@@ -1,0 +1,548 @@
+"""Relational core plans (E1, E7–E8, E13–E18, E20–E24, E28–E29, E33, E47).
+
+Every plan is declarative DataFrame/SQL — Catalyst gets predicate
+pushdown, column pruning and join planning for free. Explicit
+``broadcast()`` hints mark the dimension sides that must never shuffle
+at 100 TB (region/nation/supplier are KBs even at SF-100k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.deterministic import davg, drounded, dsum
+from ..sources import load_table
+from . import register
+
+
+# --------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 shape. The flagship: filter -> groupBy(2)
+# -> 8 aggregates -> order. Scan-dominated; at 100 TB the only shuffle is
+# the tiny 4-group aggregate exchange (partial aggregation map-side).
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)       AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)  AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_discount)      AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary report (E7,E8,E20,E28,E33)",
+    tags=("relational", "agg"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q3_shipping_priority — 3-way join + agg + top-N. customer filter is
+# selective -> Catalyst broadcast; orders⋈lineitem is the real shuffle,
+# co-partitioned on orderkey.
+# --------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter + fact join + top-N (E13,E14,E28)",
+    tags=("relational", "join"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q5_region_revenue — 5-way star join. region/nation/supplier/customer are
+# all broadcast dims; lineitem is the only big side, touched once.
+# --------------------------------------------------------------------------
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: multi-way star join with broadcast dims (E13,E14,E20)",
+    tags=("relational", "join"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dim = (
+        supp.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dim),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-type coverage
+# --------------------------------------------------------------------------
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    """,
+    doc="left-semi join == EXISTS (E15)",
+    tags=("relational", "join"),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return orders.join(
+        li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="left-anti join == NOT EXISTS (E15)",
+    tags=("relational", "join"),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    doc="full-outer join of two aggregates (E13)",
+    tags=("relational", "join"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, F.col("nk") == F.col("nk_s"), "full_outer")
+        .select(
+            F.coalesce("nk", "nk_s").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT s_suppkey, c_custkey
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    """,
+    doc="equi + inequality (theta) join (E16); equi key carries the shuffle, "
+    "the inequality is a post-join residual — no nested loop at scale",
+    tags=("relational", "join"),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    return supp.join(
+        cust,
+        (F.col("s_nationkey") == F.col("c_nationkey"))
+        & (F.col("s_acctbal") > F.col("c_acctbal")),
+    ).select("s_suppkey", "c_custkey")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+    doc="cross join — dims only; a cross join over facts is forbidden at scale (E18)",
+    tags=("relational", "join"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+# --------------------------------------------------------------------------
+# Aggregate coverage
+# --------------------------------------------------------------------------
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="exact distinct aggregation (E21)",
+    tags=("relational", "agg"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6)              AS std_qty,
+           ROUND(VAR_SAMP(l_discount), 6)                 AS var_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)    AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="statistical aggregates (E22); rounded to 6dp — single-pass moment "
+    "accumulation is order-sensitive in the low bits on every engine",
+    tags=("relational", "agg"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        drounded(F.stddev_samp("l_quantity")).alias("std_qty"),
+        drounded(F.var_samp("l_discount")).alias("var_disc"),
+        drounded(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        drounded(F.covar_samp("l_quantity", "l_extendedprice")).alias(
+            "covar_qty_price"
+        ),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6)  AS median_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6)  AS p90_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="exact continuous percentiles (E22); both engines sort+interpolate",
+    tags=("relational", "agg"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        drounded(F.percentile("l_extendedprice", F.lit(0.5))).alias("median_price"),
+        drounded(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="hierarchical rollup with GROUPING disambiguation (E23)",
+    tags=("relational", "agg"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty"
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="cube over two dimensions (E23)",
+    tags=("relational", "agg"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "sum_price"
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT c_nationkey,
+           STRING_AGG(CAST(c_custkey AS VARCHAR), ','
+                      ORDER BY CAST(c_custkey AS VARCHAR)) AS custkeys,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="collect_list canonicalized to a sorted CSV string (E24) — "
+    "per-group gather, the reference's gather() generalized",
+    tags=("relational", "agg"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list(F.col("c_custkey").cast("string")))
+        ).alias("custkeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_approx",
+    oracle=None,  # sketch-based; engine-specific by design -> rows-only check
+    doc="approx_count_distinct (HLL++) + percentile_approx — the 100 TB "
+    "path where exact distinct would shuffle every key (E21,E22)",
+    tags=("relational", "agg", "approx"),
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops
+# --------------------------------------------------------------------------
+@register(
+    "global_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="global top-N: Spark plans TakeOrderedAndProject — no full sort (E28)",
+    tags=("relational", "sort"),
+)
+def global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(25)
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    doc="UNION (distinct) of two key sets (E29)",
+    tags=("relational", "setop"),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         big AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                 WHERE o_totalprice > 200000)
+    SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM building INTERSECT SELECT * FROM big)
+    UNION ALL
+    SELECT c_custkey, 'only_building' AS tag
+    FROM (SELECT * FROM building EXCEPT SELECT * FROM big)
+    """,
+    doc="INTERSECT + EXCEPT tagged union (E29)",
+    tags=("relational", "setop"),
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    both = building.intersect(big).withColumn("tag", F.lit("both"))
+    only_b = building.exceptAll(big).withColumn("tag", F.lit("only_building"))
+    return both.unionByName(only_b)
+
+
+# --------------------------------------------------------------------------
+# SQL entry point (E47): same engine, SQL text in — registered views share
+# names with the DuckDB oracle's.
+# --------------------------------------------------------------------------
+@register(
+    "sql_entry_point",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="spark.sql() over registered temp views (E47)",
+    tags=("relational", "sql"),
+)
+def sql_entry_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_balance
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )

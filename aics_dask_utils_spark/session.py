@@ -1,0 +1,69 @@
+"""SparkSession bootstrap tuned for this engine.
+
+Local mode is a single JVM; on a real cluster the same builder applies —
+only ``master`` and the executor sizing change. The defaults here are the
+ones that matter at 100 TB:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic broadcast).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster
+  AQE's coalescePartitions makes the initial number a ceiling, not a
+  commitment.
+- Arrow enabled so pandas interchange and Pandas UDFs are columnar.
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "aics_dask_utils_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master=None`` selects local mode with all cores — the same
+    "address is None => local backend" contract as the reference handler
+    (``distributed_handler.py:61-66``); otherwise ``master`` is a cluster
+    URL (spark://, yarn, k8s://).
+    """
+    if master is None:
+        master = f"local[{_DEFAULT_CPUS}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = _DEFAULT_CPUS
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # ANSI off: engine contract is permissive arithmetic (NULL on
+        # overflow/bad cast), matching the reference's dynamic typing.
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

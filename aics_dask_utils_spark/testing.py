@@ -1,0 +1,137 @@
+"""Differential-testing harness: Spark result vs DuckDB oracle.
+
+Mirrors the reference's test strategy — independent-baseline comparison
+with order-insensitive equality (reference
+``tests/test_distributed_handler.py:20-39``: handler output vs raw
+executor output via ``set()``) — scaled up to relational results:
+both engines run over the same parquet files; results are canonicalized
+(columns sorted by name, rows sorted by all columns, timestamps to µs,
+floats compared with tolerance) and compared cell-by-cell.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import duckdb
+import pandas as pd
+
+from .sources.readers import TABLE_NAMES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    """Fresh in-memory DuckDB with the driver tables registered as views —
+    the same registration scheme the driver's t2 harness uses."""
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by all columns; normalize dtypes that
+    differ representationally between engines (ns vs µs timestamps,
+    category, decimal objects)."""
+    out = df.copy()
+    out = out[sorted(out.columns)]
+    for col in out.columns:
+        s = out[col]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            # Spark is µs; DuckDB parquet ns — truncate both to µs.
+            out[col] = s.dt.floor("us")
+            if getattr(out[col].dt, "tz", None) is not None:
+                out[col] = out[col].dt.tz_localize(None)
+        elif s.dtype == object:
+            out[col] = s.map(
+                lambda v: float(v) if isinstance(v, __import__("decimal").Decimal) else v
+            )
+    sort_cols = list(out.columns)
+    if sort_cols:
+        out = out.sort_values(
+            by=sort_cols, kind="mergesort", na_position="last"
+        ).reset_index(drop=True)
+    return out
+
+
+def _cell_equal(a, b, rel_tol: float, abs_tol: float) -> bool:
+    a_null = a is None or (isinstance(a, float) and math.isnan(a)) or a is pd.NaT
+    b_null = b is None or (isinstance(b, float) and math.isnan(b)) or b is pd.NaT
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        a_null = a_null or bool(pd.isna(a))
+        b_null = b_null or bool(pd.isna(b))
+    except (TypeError, ValueError):
+        pass
+    if a_null or b_null:
+        return a_null == b_null
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=rel_tol, abs_tol=abs_tol)
+        except (TypeError, ValueError):
+            return False
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        a_l, b_l = list(a), list(b)
+        return len(a_l) == len(b_l) and all(
+            _cell_equal(x, y, rel_tol, abs_tol) for x, y in zip(a_l, b_l)
+        )
+    return a == b
+
+
+def assert_frames_match(
+    spark_pdf: pd.DataFrame,
+    oracle_pdf: pd.DataFrame,
+    rel_tol: float = 1e-9,
+    abs_tol: float = 1e-9,
+    context: str = "",
+) -> None:
+    left = canonicalize(spark_pdf)
+    right = canonicalize(oracle_pdf)
+    assert list(left.columns) == list(right.columns), (
+        f"{context}: column mismatch {list(left.columns)} vs {list(right.columns)}"
+    )
+    assert len(left) == len(right), (
+        f"{context}: row count {len(left)} vs oracle {len(right)}"
+    )
+    for col in left.columns:
+        lv, rv = left[col].tolist(), right[col].tolist()
+        for i, (a, b) in enumerate(zip(lv, rv)):
+            if not _cell_equal(a, b, rel_tol, abs_tol):
+                raise AssertionError(
+                    f"{context}: col {col!r} row {i}: spark={a!r} oracle={b!r}"
+                )
+
+
+def run_plan_vs_oracle(
+    spark,
+    name: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    con: Optional["duckdb.DuckDBPyConnection"] = None,
+) -> pd.DataFrame:
+    """Run one registered plan on Spark and its oracle on DuckDB; assert
+    they match. Returns the Spark result (pandas) for extra assertions."""
+    from .plans import all_plans
+
+    spec = all_plans()[name]
+    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only check, mirrors the driver
+        return spark_pdf
+    own = con is None
+    if own:
+        con = duckdb_connection(sf_dir)
+    try:
+        oracle_pdf = con.execute(spec.oracle).fetchdf()
+    finally:
+        if own:
+            con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, context=name)
+    return spark_pdf

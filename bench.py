@@ -1,0 +1,76 @@
+"""Benchmark harness: headline plans at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan construction + execution to a
+count/collect action), after a warm-up pass of the Spark session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aics_dask_utils_spark.plans import all_plans  # noqa: E402
+from aics_dask_utils_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+# Headline queries: the scan/join/agg/window/dedup/similarity shapes that
+# dominate a 100 TB workload. Kept to plans that exist; extended as the
+# registry grows.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_theta",
+    "agg_distinct",
+    "agg_percentile",
+    "agg_rollup",
+    "global_topn",
+]
+
+
+def main() -> None:
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="aics_dask_utils_spark-bench",
+        shuffle_partitions=CPUS,
+    )
+    plans = all_plans()
+    names = [n for n in HEADLINE if n in plans]
+    # session warm-up: JVM + codegen + parquet footer reads
+    plans[names[0]].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = plans[name].fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
