@@ -1,1 +1,182 @@
-"""Placeholder plan module — filled in as operators land."""
+"""Array / higher-order-function plans over the embeddings table (E12, E36).
+
+Everything here runs as JVM higher-order functions (`transform`,
+`filter`, `aggregate`, `zip_with`) — the embedding math never leaves
+codegen. The fold order is left-to-right on both engines, so double
+results are bit-comparable (elements cast to double first; the parquet
+column is array<float>).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_array, vec_dot, vec_norm
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "array_basics",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                  AS emb_dim,
+           CAST(embedding[1] AS DOUBLE)                    AS first_val,
+           CAST(embedding[len(embedding)] AS DOUBLE)       AS last_val,
+           len(list_filter(embedding, x -> x > 0))         AS n_pos,
+           ROUND(list_reduce(list_transform(embedding, x -> CAST(ABS(x) AS DOUBLE)),
+                             (acc, x) -> acc + x), 6)      AS l1_norm,
+           ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2),
+                             (acc, x) -> acc + x), 6)      AS sum_doubled
+    FROM embeddings
+    """,
+    doc="array basics: size/element_at/filter/transform/aggregate (E36)",
+    tags=("array",),
+)
+def array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = as_double_array("embedding")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("emb_dim"),
+        F.element_at(dbl, 1).alias("first_val"),
+        F.element_at(dbl, F.size("embedding")).alias("last_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(dbl, lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("l1_norm"),
+        F.round(
+            F.aggregate(
+                F.transform(dbl, lambda x: x * 2), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("sum_doubled"),
+    )
+
+
+@register(
+    "array_slice_sort",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 6)) AS head4,
+           list_sort(list_transform(embedding[1:8], x -> ROUND(CAST(x AS DOUBLE), 6))) AS head8_sorted,
+           len(list_distinct(list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE), 1) AS DOUBLE)))) AS n_distinct_1dp
+    FROM embeddings
+    """,
+    doc="slice / sort_array / array_distinct (E36); floats rounded before "
+    "the distinct so both engines bucket identically",
+    tags=("array",),
+)
+def array_slice_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = as_double_array("embedding")
+    r6 = lambda a: F.transform(a, lambda x: F.round(x, 6))  # noqa: E731
+    return emb.select(
+        "vec_id",
+        r6(F.slice(dbl, 1, 4)).alias("head4"),
+        F.sort_array(r6(F.slice(dbl, 1, 8))).alias("head8_sorted"),
+        F.size(
+            F.array_distinct(F.transform(dbl, lambda x: F.round(x, 1)))
+        ).alias("n_distinct_1dp"),
+    )
+
+
+@register(
+    "array_explode_stats",
+    oracle="""
+    SELECT vec_id, dim_idx, ROUND(dim_val, 6) AS dim_val
+    FROM (
+      SELECT vec_id,
+             UNNEST(generate_series(1, len(embedding)))  AS dim_idx,
+             UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS dim_val
+      FROM embeddings
+    ) WHERE dim_idx <= 8
+    """,
+    doc="posexplode: vector -> (id, dim, value) rows — the unrolled layout "
+    "for columnar vector analytics (E36)",
+    tags=("array",),
+)
+def array_explode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", F.posexplode(as_double_array("embedding")))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim_idx"),
+            F.round("col", 6).alias("dim_val"),
+        )
+        .where(F.col("dim_idx") <= 8)
+    )
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(SQRT(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (acc, x) -> acc + x)), 6) AS l2_norm,
+           ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 (acc, x) -> acc + x), 6)  AS comp_sum
+    FROM embeddings
+    """,
+    doc="vector norms via JVM fold — no UDF (E12)",
+    tags=("array", "similarity"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(vec_norm("embedding"), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(
+                as_double_array("embedding"), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("comp_sum"),
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH unrolled AS (
+      SELECT label,
+             UNNEST(generate_series(1, len(embedding))) AS dim_idx,
+             UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      FROM embeddings
+    )
+    SELECT label, dim_idx,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6) AS centroid_val
+    FROM unrolled
+    WHERE dim_idx <= 4
+    GROUP BY label, dim_idx
+    """,
+    doc="per-label centroids via explode + exact-decimal mean — the "
+    "k-means/IVF training primitive, shuffle is (labels × dims) rows (E12)",
+    tags=("array", "similarity"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    unrolled = emb.select(
+        "label", F.posexplode(as_double_array("embedding"))
+    ).select("label", (F.col("pos") + 1).alias("dim_idx"), F.col("col").alias("v"))
+    return (
+        unrolled.where(F.col("dim_idx") <= 4)
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid_val")
+        )
+    )

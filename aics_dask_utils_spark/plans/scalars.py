@@ -1,1 +1,218 @@
-"""Placeholder plan module — filled in as operators land."""
+"""Scalar-function plans (E32–E35, E37).
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side,
+inside whole-stage codegen. No Python crosses the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                                   AS name_upper,
+           LOWER(p_brand)                                  AS brand_lower,
+           SUBSTRING(p_type, 1, 5)                         AS type_prefix,
+           TRIM(CONCAT(' ', p_name, ' '))                  AS name_trimmed,
+           LENGTH(p_name)                                  AS name_len,
+           CONCAT(p_brand, '#', p_type)                    AS brand_type,
+           REGEXP_EXTRACT(p_name, '([a-z]+)', 1)           AS first_word,
+           REGEXP_REPLACE(p_type, '[aeiou]', '_')          AS type_devoweled,
+           LEVENSHTEIN(p_brand, SUBSTRING(p_type, 1, LENGTH(p_brand))) AS brand_type_dist,
+           SPLIT_PART(p_name, ' ', 1)                      AS first_token,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END   AS has_a
+    FROM part
+    """,
+    doc="string function battery (E32): case/substr/trim/concat/regex/"
+    "levenshtein/split/LIKE",
+    tags=("scalar",),
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.length("p_name").alias("name_len"),
+        F.concat("p_brand", F.lit("#"), "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.levenshtein(
+            "p_brand", F.substring("p_type", F.lit(1), F.length("p_brand"))
+        ).alias("brand_type_dist"),
+        F.split_part("p_name", F.lit(" "), F.lit(1)).alias("first_token"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+    )
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT)            AS yr,
+           CAST(MONTH(o_orderdate) AS INT)           AS mth,
+           CAST(DAY(o_orderdate) AS INT)             AS dom,
+           CAST(DAYOFWEEK(o_orderdate) AS INT) + 1   AS dow,
+           DATE_TRUNC('month', o_orderdate)          AS month_start,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS due_date,
+           DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(EPOCH(o_orderdate) AS BIGINT)        AS epoch_sec,
+           STRFTIME(o_orderdate, '%Y-%m')            AS ym
+    FROM orders
+    """,
+    doc="date/time battery (E33): extract/trunc/add/diff/epoch/format",
+    tags=("scalar",),
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        # Spark dayofweek: Sunday=1; DuckDB dayofweek: Sunday=0 -> +1
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp")
+        .alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05)                       AS disc_dev,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)       AS price_floor,
+           CAST(CEIL(l_quantity / 7) AS BIGINT)         AS qty_ceil7,
+           ROUND(POW(l_quantity, 2) + 1, 6)             AS qty_sq,
+           ROUND(LN(l_extendedprice), 6)                AS log_price,
+           ROUND(SQRT(l_quantity), 6)                   AS sqrt_qty,
+           ROUND(EXP(l_discount), 6)                    AS exp_disc,
+           CAST(l_quantity AS BIGINT) % 5               AS qty_mod5,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_dec
+    FROM lineitem
+    """,
+    doc="math battery (E34) incl. decimal cast; transcendentals rounded to "
+    "6dp (libm low-bit variance across engines)",
+    tags=("scalar",),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        F.round(F.pow("l_quantity", F.lit(2)) + 1, 6).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod5"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("net_dec"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END                          AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULTED') AS seg_or_default,
+           GREATEST(c_acctbal, 0.0)                     AS bal_clamped,
+           LEAST(c_acctbal, 9999.0)                     AS bal_capped,
+           CASE WHEN c_nationkey IN (1, 2, 3) THEN 1 ELSE 0 END AS in_nations
+    FROM customer
+    """,
+    doc="conditional battery (E35): CASE/COALESCE/NULLIF/GREATEST/LEAST/IN",
+    tags=("scalar",),
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULTED")
+        ).alias("seg_or_default"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_clamped"),
+        F.least(F.col("c_acctbal"), F.lit(9999.0)).alias("bal_capped"),
+        F.when(F.col("c_nationkey").isin(1, 2, 3), 1).otherwise(0).alias(
+            "in_nations"
+        ),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')            AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_key
+    FROM events
+    """,
+    doc="JSON path extraction from events.props (E37)",
+    tags=("scalar", "json"),
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+        F.get_json_object("props", "$.missing").alias("missing_key"),
+    )
+
+
+@register(
+    "scalar_json_typed",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract(props, '$.k') AS INT) AS k_typed,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
+    """,
+    doc="from_json with an explicit schema — the scale path: parse once "
+    "into a typed struct, not N path extractions (E37)",
+    tags=("scalar", "json"),
+)
+def scalar_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "props_struct", F.from_json("props", "struct<k:int>")
+    )
+    return parsed.where(F.col("props_struct.k").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.col("props_struct.k").alias("k_typed"),
+        (F.col("props_struct.k") % 10).alias("k_bucket"),
+    )

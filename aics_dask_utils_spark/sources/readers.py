@@ -29,8 +29,24 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan of one driver table (E1)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Parquet scan of one driver table (E1).
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4
+    refuses to read natively — we read it as a long (legacy conf, set at
+    runtime so any session works) and floor-convert to a µs timestamp,
+    the same truncation DuckDB's ``CAST(ts AS TIMESTAMP)`` applies.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(

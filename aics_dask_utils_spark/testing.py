@@ -36,6 +36,26 @@ def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     return con
 
 
+def _normalize_cell(v):
+    """Make heterogeneous cells sortable/comparable across engines:
+    Decimal -> float, list/ndarray -> tuple (hashable, lexicographically
+    sortable), date -> Timestamp."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(_normalize_cell(x) for x in v)
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return pd.Timestamp(v)
+    return v
+
+
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name and rows by all columns; normalize dtypes that
     differ representationally between engines (ns vs µs timestamps,
@@ -50,9 +70,7 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             if getattr(out[col].dt, "tz", None) is not None:
                 out[col] = out[col].dt.tz_localize(None)
         elif s.dtype == object:
-            out[col] = s.map(
-                lambda v: float(v) if isinstance(v, __import__("decimal").Decimal) else v
-            )
+            out[col] = s.map(_normalize_cell)
     sort_cols = list(out.columns)
     if sort_cols:
         out = out.sort_values(
