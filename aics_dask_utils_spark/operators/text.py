@@ -1,0 +1,161 @@
+"""Text-analysis operators (E38–E39): tokenize, quality, language-ID,
+fingerprints, TF-IDF.
+
+All pure built-in expressions — tokenization is `split`, counting is
+`regexp_count`, hashing is `md5` — so the whole path stays in
+whole-stage codegen and scales linearly with input bytes. No Python UDF
+anywhere in text analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal per-language stopword lists for the n-gram/stopword heuristic
+#: language-ID. Ordered dict: ties break towards the earlier entry.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "y", "los", "es"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+}
+
+#: English stopwords used for quality scoring.
+QUALITY_STOPWORDS = ["the", "a", "and", "of", "to", "is", "in", "it", "that"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lower-cased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_token_count(col: Column | str) -> Column:
+    """BPE-ish regex token count: word pieces + standalone punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"))
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+
+
+def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or QUALITY_STOPWORDS
+    return F.size(
+        F.filter(tokens(col), lambda t: F.array_contains(F.array(*[F.lit(w) for w in sw]), t))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio features + a composite
+    quality score in [0,1] (heuristic in the C4/Gopher style: enough
+    length, some stopwords, limited punctuation)."""
+    # No rounding: every term is IEEE +,-,*,/ or min over identical
+    # integer inputs, so the doubles are bit-identical on any engine.
+    toks = token_count(text_col)
+    n_chars = F.length(text_col)
+    sw_ratio = stopword_count(text_col).cast("double") / toks
+    punct_ratio = punct_count(text_col).cast("double") / n_chars
+    mean_tok_len = (n_chars - toks + 1).cast("double") / toks  # chars minus separators
+    score = (
+        F.least(toks.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + F.least(sw_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        *df.columns,
+        toks.alias("n_tokens"),
+        sw_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def langid_scores(text_col: str = "text") -> list[Column]:
+    """One match-count column per candidate language."""
+    cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        cols.append(
+            F.size(F.filter(tokens(text_col), lambda t: F.array_contains(arr, t))).alias(
+                f"score_{lang}"
+            )
+        )
+    return cols
+
+
+def langid_predict() -> Column:
+    """argmax over the score_<lang> columns; ties break by dict order;
+    all-zero -> 'unknown'."""
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return pred
+
+
+def fingerprint_exact(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized lower text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def fingerprint_bag(col: Column | str) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token
+    bag — robust to shuffled word order."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (the MinHash/Jaccard unit)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def tf_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, term, tf, idf, tfidf) rows. Smoothed idf = ln((N+1)/(df+1)).
+
+    Shuffle profile: one explode (narrow), one groupBy(doc,term), one
+    groupBy(term) for df — the term dimension is tiny relative to the
+    corpus, so the df side is broadcast back onto the tf side.
+    """
+    n_docs = docs.select(F.countDistinct(id_col).alias("n")).withColumn(
+        "j", F.lit(1)
+    )
+    term_rows = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = term_rows.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    return (
+        tf.join(F.broadcast(df_counts), "term")
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(n_docs), "j")
+        .drop("j")
+        .withColumn(
+            "idf", F.round(F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6)
+        )
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))
+        .drop("n")
+    )

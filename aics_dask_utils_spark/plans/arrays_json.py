@@ -25,10 +25,10 @@ from . import register
            CAST(embedding[1] AS DOUBLE)                    AS first_val,
            CAST(embedding[len(embedding)] AS DOUBLE)       AS last_val,
            len(list_filter(embedding, x -> x > 0))         AS n_pos,
-           ROUND(list_reduce(list_transform(embedding, x -> CAST(ABS(x) AS DOUBLE)),
-                             (acc, x) -> acc + x), 6)      AS l1_norm,
-           ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2),
-                             (acc, x) -> acc + x), 6)      AS sum_doubled
+           list_reduce(list_transform(embedding, x -> CAST(ABS(x) AS DOUBLE)),
+                       (acc, x) -> acc + x)                AS l1_norm,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2),
+                       (acc, x) -> acc + x)                AS sum_doubled
     FROM embeddings
     """,
     doc="array basics: size/element_at/filter/transform/aggregate (E36)",
@@ -43,19 +43,11 @@ def array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(dbl, 1).alias("first_val"),
         F.element_at(dbl, F.size("embedding")).alias("last_val"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-        F.round(
-            F.aggregate(
-                F.transform(dbl, lambda x: F.abs(x)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
+        F.aggregate(
+            F.transform(dbl, lambda x: F.abs(x)), F.lit(0.0), lambda acc, x: acc + x
         ).alias("l1_norm"),
-        F.round(
-            F.aggregate(
-                F.transform(dbl, lambda x: x * 2), F.lit(0.0), lambda acc, x: acc + x
-            ),
-            6,
+        F.aggregate(
+            F.transform(dbl, lambda x: x * 2), F.lit(0.0), lambda acc, x: acc + x
         ).alias("sum_doubled"),
     )
 
@@ -64,8 +56,8 @@ def array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_slice_sort",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 6)) AS head4,
-           list_sort(list_transform(embedding[1:8], x -> ROUND(CAST(x AS DOUBLE), 6))) AS head8_sorted,
+           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
+           list_sort(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS head8_sorted,
            len(list_distinct(list_transform(embedding,
                x -> CAST(ROUND(CAST(x AS DOUBLE), 1) AS DOUBLE)))) AS n_distinct_1dp
     FROM embeddings
@@ -77,11 +69,10 @@ def array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_slice_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = as_double_array("embedding")
-    r6 = lambda a: F.transform(a, lambda x: F.round(x, 6))  # noqa: E731
     return emb.select(
         "vec_id",
-        r6(F.slice(dbl, 1, 4)).alias("head4"),
-        F.sort_array(r6(F.slice(dbl, 1, 8))).alias("head8_sorted"),
+        F.slice(dbl, 1, 4).alias("head4"),
+        F.sort_array(F.slice(dbl, 1, 8)).alias("head8_sorted"),
         F.size(
             F.array_distinct(F.transform(dbl, lambda x: F.round(x, 1)))
         ).alias("n_distinct_1dp"),
@@ -91,7 +82,7 @@ def array_slice_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_explode_stats",
     oracle="""
-    SELECT vec_id, dim_idx, ROUND(dim_val, 6) AS dim_val
+    SELECT vec_id, dim_idx, dim_val
     FROM (
       SELECT vec_id,
              UNNEST(generate_series(1, len(embedding)))  AS dim_idx,
@@ -110,7 +101,7 @@ def array_explode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             (F.col("pos") + 1).alias("dim_idx"),
-            F.round("col", 6).alias("dim_val"),
+            F.col("col").alias("dim_val"),
         )
         .where(F.col("dim_idx") <= 8)
     )
@@ -120,11 +111,11 @@ def array_explode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_norms",
     oracle="""
     SELECT vec_id, label,
-           ROUND(SQRT(list_reduce(list_transform(embedding,
+           SQRT(list_reduce(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                 (acc, x) -> acc + x)), 6) AS l2_norm,
-           ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                 (acc, x) -> acc + x), 6)  AS comp_sum
+                 (acc, x) -> acc + x)) AS l2_norm,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 (acc, x) -> acc + x)  AS comp_sum
     FROM embeddings
     """,
     doc="vector norms via JVM fold — no UDF (E12)",
@@ -135,12 +126,9 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
-        F.round(vec_norm("embedding"), 6).alias("l2_norm"),
-        F.round(
-            F.aggregate(
-                as_double_array("embedding"), F.lit(0.0), lambda acc, x: acc + x
-            ),
-            6,
+        vec_norm("embedding").alias("l2_norm"),
+        F.aggregate(
+            as_double_array("embedding"), F.lit(0.0), lambda acc, x: acc + x
         ).alias("comp_sum"),
     )
 
@@ -155,7 +143,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, dim_idx,
-           ROUND(CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6) AS centroid_val
+           CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS centroid_val
     FROM unrolled
     WHERE dim_idx <= 4
     GROUP BY label, dim_idx
@@ -173,10 +161,9 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         unrolled.where(F.col("dim_idx") <= 4)
         .groupBy("label", "dim_idx")
         .agg(
-            F.round(
+            (
                 F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("centroid_val")
         )
     )

@@ -1,1 +1,185 @@
-"""Placeholder plan module — filled in as operators land."""
+"""Text-analysis plans over `documents` (E38–E39).
+
+Spark side composes :mod:`..operators.text`; oracles replicate the same
+deterministic definitions in DuckDB SQL (regexp_split / list_filter /
+md5), so results hash-match exactly — including the float scores, which
+are products/logs of identical doubles rounded to 6dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators import text as T
+from ..sources import load_table
+from . import register
+
+_SW = ",".join(f"'{w}'" for w in T.QUALITY_STOPWORDS)
+
+
+@register(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           len(regexp_split_to_array(lower(trim(text)), '\s+'))       AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_word_tokens,
+           length(text)                                               AS n_chars_measured,
+           len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS n_unique_tokens,
+           len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))::DOUBLE
+                 / len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ttr
+    FROM documents
+    """,
+    doc="token counting: whitespace + BPE-ish regex + type/token ratio (E39)",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        T.word_token_count("text").alias("n_word_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=rf"""
+    WITH b AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 t -> list_contains([{_SW}], t))) AS n_sw,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           n_sw::DOUBLE / n_tokens    AS stopword_ratio,
+           n_punct::DOUBLE / n_chars  AS punct_ratio,
+           (n_chars - n_tokens + 1)::DOUBLE / n_tokens AS mean_token_len,
+           LEAST(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+                 + LEAST((n_sw::DOUBLE / n_tokens) * 5.0, 1.0) * 0.3
+                 + (1.0 - LEAST((n_punct::DOUBLE / n_chars) * 10.0, 1.0)) * 0.2
+               AS quality_score
+    FROM b
+    """,
+    doc="quality scoring: length/punct/stopword ratios + composite (E39)",
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_features(docs.select("doc_id", "text"), "text").select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        "mean_token_len",
+        "quality_score",
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, words in T.LANG_STOPWORDS.items():
+        lst = ",".join(f"'{w}'" for w in words)
+        score_cols.append(
+            rf"len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),"
+            rf" t -> list_contains([{lst}], t))) AS score_{lang}"
+        )
+    langs = list(T.LANG_STOPWORDS)
+    best = "GREATEST(" + ",".join(f"score_{l}" for l in langs) + ")"
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' ELSE {pred} END"
+    scores = ",\n           ".join(score_cols)
+    sel = ",".join(f"score_{l}" for l in langs)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang AS labeled_lang,
+           {scores}
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang, {sel}, {pred} AS predicted_lang FROM s
+    """
+
+
+@register(
+    "text_langid",
+    oracle=_langid_oracle(),
+    doc="stopword-overlap language-ID heuristic with argmax + tiebreak (E39)",
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), *T.langid_scores("text")
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        *[f"score_{l}" for l in T.LANG_STOPWORDS],
+        T.langid_predict().alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fp_bag
+    FROM documents
+    """,
+    doc="document fingerprints: normalized-text md5 + order-insensitive "
+    "token-bag md5 (E39/E30)",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint_exact("text").alias("fp_exact"),
+        T.fingerprint_bag("text").alias("fp_bag"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH term_rows AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM term_rows GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM term_rows GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+             ROUND(LN((n.n + 1.0) / (dfc.df + 1.0)), 6) AS idf,
+             ROUND(tf.tf * ROUND(LN((n.n + 1.0) / (dfc.df + 1.0)), 6), 6) AS tfidf
+      FROM tf JOIN dfc USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, idf, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term) AS rn FROM scored) t
+    WHERE rn <= 2
+    """,
+    doc="TF-IDF with smoothed idf; top-2 terms per doc (E38)",
+    tags=("text",),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.tf_idf(docs.select("doc_id", "text"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("doc_id", "term", "tf", "df", "idf", "tfidf")
+    )
