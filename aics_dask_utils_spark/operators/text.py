@@ -120,15 +120,16 @@ def fingerprint_bag(col: Column | str) -> Column:
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles (the MinHash/Jaccard unit)."""
     t = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0)))
-    return F.array_distinct(
+    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    # sequence(1, n) with n < 1 DESCENDS in Spark — guard short docs to [].
+    return F.when(F.size(t) >= k, F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
                 " ", *[F.element_at(t, (i + j).cast("int")) for j in range(k)]
             ),
         )
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def tf_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

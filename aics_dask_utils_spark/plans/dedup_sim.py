@@ -1,1 +1,275 @@
-"""Placeholder plan module — filled in as operators land."""
+"""Dedup + similarity-search plans (E19, E30–E31, E40).
+
+Oracles replicate the md5-based deterministic pipelines in DuckDB SQL —
+including the full MinHash→band→bucket→verify chain — so the driver
+hash-checks the whole LSH pipeline, not just a smoke run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..sources import load_table
+from . import register
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_SHINGLES_CTE = rf"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                    generate_series(1, len(t)-2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [] END AS s
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sg FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+      SELECT d1, d2, inter, s1.n_sg AS n1, s2.n_sg AS n2,
+             inter::DOUBLE / (s1.n_sg + s2.n_sg - inter) AS jaccard
+      FROM inter JOIN sizes s1 ON inter.d1 = s1.doc_id
+                 JOIN sizes s2 ON inter.d2 = s2.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT doc_id, fp,
+           MIN(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+           COUNT(*) OVER (PARTITION BY fp) AS group_size,
+           CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS INT) AS is_dup
+    FROM fp
+    """,
+    doc="exact dedup by normalized-text fingerprint; keeper = min id (E30)",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+@register(
+    "dedup_keep_first_per_source",
+    oracle="""
+    SELECT doc_id, source, lang
+    FROM (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) t WHERE rn = 1
+    """,
+    doc="keyed dedup: first doc per source under doc_id order (E30)",
+    tags=("dedup",),
+)
+def dedup_keep_first_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.keyed_keep_first(
+        docs.select("doc_id", "source", "lang"), ["source"], [F.col("doc_id")]
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT d1, d2, inter, n1, n2, jaccard
+    FROM jac WHERE jaccard >= 0.8
+    """,
+    doc="exact 3-gram Jaccard near-dup pairs (E31); the verification "
+    "primitive — quadratic per shingle bucket, LSH is the scale path",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    r = num_hashes // bands
+    mh_cols = ",\n             ".join(
+        f"MIN(md5('{i}:' || sg)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        slots = " || '|' || ".join(f"mh_{b * r + j}" for j in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({slots}) AS bh FROM mh"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id,
+             {mh_cols}
+      FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT c.d1, c.d2, j.jaccard
+    FROM cand c JOIN jac j ON c.d1 = j.d1 AND c.d2 = j.d2
+    WHERE j.jaccard >= 0.8
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash(12 md5 hashes) + LSH banding (4 bands × 3 rows) candidate "
+    "pairs, verified with exact Jaccard >= 0.8 (E31/E19); shuffle is "
+    "linear in corpus size — the 100 TB dedup path",
+    tags=("dedup", "similarity"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.8).select(
+        "d1", "d2", "jaccard"
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN s_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return rf"""
+    WITH ex AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM ex
+    ),
+    bit_sums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {sim} AS simhash FROM bit_sums
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc="16-bit deterministic SimHash signatures from md5 token hashes "
+    "(E31); identical signatures = Hamming-0 near-dup bucket",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=16)
+
+
+_COS = (
+    "list_dot_product(e1, e2) / "
+    "(sqrt(list_dot_product(e1, e1)) * sqrt(list_dot_product(e2, e2)))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.label AS blk, a.vec_id AS v1, b.vec_id AS v2,
+           {_COS.replace('e1', 'a.v').replace('e2', 'b.v')} AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS.replace('e1', 'a.v').replace('e2', 'b.v')} >= 0.4
+    """,
+    doc="embedding-cosine near-dup pairs, label-blocked (IVF-cell pruning "
+    "instead of O(n²) cross join) (E31/E19)",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "ann_topk_brute",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             {_COS.replace('e1', 'q.qv').replace('e2', 'c.v')} AS cosine
+      FROM e c CROSS JOIN q WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 10
+    """,
+    doc="exact brute-force cosine top-10 for 5 query vectors (E40); "
+    "queries broadcast, corpus scanned once",
+    tags=("similarity",),
+)
+def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, label AS cell, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, q.cell, c.vec_id AS neighbor_id,
+             {_COS.replace('e1', 'q.qv').replace('e2', 'c.v')} AS cosine
+      FROM e c JOIN q ON c.label = q.cell WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, cell, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 10
+    """,
+    doc="IVF-style top-10: probe only the query's coarse cell — at scale "
+    "the cell predicate is partition pruning on the corpus (E40/E19)",
+    tags=("similarity",),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=10)
