@@ -1,1 +1,195 @@
-"""Placeholder plan module — filled in as operators land."""
+"""Event-time plans over `events` (E17, E33, E41–E44 batch semantics).
+
+Time-window semantics are defined identically on both engines through
+epoch arithmetic (floor(epoch/width)*width), which is exactly how
+Spark's ``F.window`` aligns tumbling/sliding windows (epoch origin,
+UTC). Session windows follow Spark's half-open [start, last+gap)
+semantics, replicated in the oracle via lag/gap/cumsum.
+
+The same aggregations run as true Structured Streaming queries in
+:mod:`..streaming`; batch mode is what the DuckDB oracle can verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.deterministic import dsum
+from ..operators.asof import asof_join
+from ..sources import load_table
+from . import register
+
+# DuckDB view of events with Spark's µs truncation applied.
+_EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+
+@register(
+    "asof_join_events_orders",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           o.o_orderkey AS asof_o_orderkey,
+           o.o_orderdate AS asof_o_orderdate
+    FROM {_EV} e
+    LEFT JOIN LATERAL (
+      SELECT o_orderkey, o_orderdate
+      FROM orders o
+      WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      ORDER BY o_orderdate DESC, o_orderkey DESC
+      LIMIT 1
+    ) o ON TRUE
+    """,
+    doc="as-of join: each event matched to the latest prior order of the "
+    "same user — union+last(ignorenulls) single-shuffle formulation (E17)",
+    tags=("events", "join"),
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+
+
+@register(
+    "events_tumbling",
+    oracle=f"""
+    SELECT to_timestamp(floor(epoch(ts) / 600) * 600)::TIMESTAMP       AS window_start,
+           to_timestamp(floor(epoch(ts) / 600) * 600 + 600)::TIMESTAMP AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM {_EV}
+    GROUP BY 1, 2, 3
+    """,
+    doc="10-min tumbling window aggregation (E42 batch form)",
+    tags=("events", "window"),
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding",
+    oracle=f"""
+    WITH slid AS (
+      SELECT e.*,
+             to_timestamp(floor(epoch(ts) / 300) * 300 - k * 300)::TIMESTAMP AS window_start
+      FROM {_EV} e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+    )
+    SELECT window_start,
+           window_start + INTERVAL 10 MINUTE AS window_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM slid
+    GROUP BY 1, 2
+    """,
+    doc="10-min window sliding every 5 min — each event lands in 2 windows "
+    "(E42); Spark materializes the per-event window list, same as the "
+    "oracle's unnest",
+    tags=("events", "window"),
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_session",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts FROM {_EV}),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="session windows with 30-min gap per user (E43 batch form); "
+    "Spark session_window semantics: [first_ts, last_ts + gap)",
+    tags=("events", "window"),
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_rate_per_type",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM {_EV}
+    GROUP BY event_type
+    """,
+    doc="per-type event profile over the full stream (E33/E20 on events)",
+    tags=("events", "agg"),
+)
+def events_rate_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("sum_value"),
+        (dsum("value") / F.count(F.lit(1))).alias("avg_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -1,0 +1,147 @@
+"""Streaming building blocks over the `events` table layout."""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..functions.deterministic import dsum
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (E41). Schema is pinned
+    (streaming sources must not infer), and the nanosecond parquet
+    timestamp arrives as long -> converted to a µs event-time column,
+    matching the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # file-stream sources take a directory; select just events.parquet
+    # out of the sf_dir via glob
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if "ts" in sdf.columns and isinstance(sdf.schema["ts"].dataType, LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def run_stream_to_memory(
+    sdf: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> str:
+    """Run a streaming DataFrame to completion into an in-memory sink
+    (availableNow drains all input then stops). Returns the sink table
+    name; read it with ``spark.table(name)``."""
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time window aggregation (E42) with a watermark
+    (E44) bounding state."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows in a real stream (E43)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events_within_watermark(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedup (E45): drops repeated (user_id,
+    event_type) pairs whose event times fall within the watermark delay."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+_STATE_SCHEMA = StructType([StructField("count", LongType())])
+_OUT_SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("running_count", LongType())]
+)
+
+
+def _count_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    prior = state.get[0] if state.exists else 0
+    total = prior + sum(len(p) for p in pdfs)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [user_id], "running_count": [total]})
+
+
+def running_count_per_user(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (E45): a
+    per-user running event count carried in explicit state across
+    micro-batches — the arbitrary-stateful-processing escape hatch."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _count_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,65 @@
+"""SparkHandler reference-parity tests.
+
+Mirrors reference ``tests/test_distributed_handler.py``: elementwise
+``lambda x: x+1`` over 10/100/1000 elements, differential against an
+independent plain-Python baseline, order-insensitive (set) comparison;
+plus batched/unbatched cross-check and batch-size introspection.
+"""
+
+import pytest
+
+from aics_dask_utils_spark.handler import SparkHandler
+
+
+@pytest.fixture(scope="module")
+def handler(spark):
+    # wrap the shared test session; handler must NOT stop it on close
+    return SparkHandler(spark=spark)
+
+
+@pytest.mark.parametrize("n", [10, 100, 1000])
+def test_map_gather_matches_baseline(handler, n):
+    data = list(range(n))
+    got = handler.gather(handler.map(lambda x: x + 1, data))
+    baseline = list(map(lambda x: x + 1, data))
+    assert set(got) == set(baseline)
+
+
+@pytest.mark.parametrize("n", [10, 100, 1000])
+def test_batched_map_matches_map(handler, n):
+    data = list(range(n))
+    unbatched = handler.gather(handler.map(lambda x: x + 1, data))
+    batched = handler.batched_map(lambda x: x + 1, data)
+    explicit = handler.batched_map(lambda x: x + 1, data, batch_size=64)
+    assert set(batched) == set(unbatched) == set(explicit)
+
+
+def test_multi_iterable_zip(handler):
+    a, b = list(range(50)), list(range(100, 150))
+    got = handler.batched_map(lambda x, y: x * y, a, b)
+    assert set(got) == {x * y for x, y in zip(a, b)}
+
+
+def test_misaligned_iterables_raise(handler):
+    with pytest.raises(ValueError):
+        handler.map(lambda x, y: x, [1, 2, 3], [1, 2])
+
+
+def test_batch_size_defaults_to_parallelism(handler):
+    assert handler._get_batch_size() == handler.parallelism > 0
+
+
+def test_gather_of_materialized_list(handler):
+    # thread-backend parity: gather over an already-materialized list
+    assert handler.gather([1, 2, 3]) == [1, 2, 3]
+
+
+def test_close_leaves_external_session_running(spark):
+    h = SparkHandler(spark=spark)
+    h.close()
+    assert spark.range(1).count() == 1  # session still alive
+
+
+def test_context_manager(spark):
+    with SparkHandler(spark=spark) as h:
+        assert h.gather(h.map(lambda x: -x, [1, 2])) == [-1, -2]

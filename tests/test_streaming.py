@@ -1,0 +1,75 @@
+"""True Structured Streaming tests (E41–E45), driven with availableNow.
+
+Correctness gate: the streamed tumbling aggregation must equal the
+batch aggregation of the same data (which itself is DuckDB-verified in
+plans.events_windows) — stream/batch parity is Spark's own unified-
+semantics promise, and it gives the streaming path a real oracle.
+"""
+
+import pandas as pd
+import pytest
+
+from aics_dask_utils_spark.plans import all_plans
+from aics_dask_utils_spark.streaming import (
+    dedup_events_within_watermark,
+    read_events_stream,
+    run_stream_to_memory,
+    running_count_per_user,
+    session_counts,
+    tumbling_counts,
+)
+from aics_dask_utils_spark.testing import assert_frames_match
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, events_stream):
+    name = run_stream_to_memory(tumbling_counts(events_stream), "complete")
+    streamed = spark.table(name).toPandas()
+    batch = all_plans()["events_tumbling"].fn(spark, sf_dir).toPandas()
+    assert_frames_match(streamed, batch, context="stream-vs-batch tumbling")
+
+
+def test_stream_session_equals_batch(spark, sf_dir, events_stream):
+    name = run_stream_to_memory(session_counts(events_stream), "complete")
+    streamed = spark.table(name).toPandas()
+    batch = all_plans()["events_session"].fn(spark, sf_dir).toPandas()
+    assert_frames_match(streamed, batch, context="stream-vs-batch session")
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, events_stream):
+    name = run_stream_to_memory(
+        dedup_events_within_watermark(events_stream), "append"
+    )
+    got = spark.table(name).toPandas()
+    batch_events = all_plans()["events_rate_per_type"].fn(spark, sf_dir)
+    n_pairs = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    # one survivor per (user_id, event_type) pair: all events fall inside
+    # the 1h watermark delay only per micro-batch; with maxFilesPerTrigger=1
+    # the whole file is one batch -> exact distinct semantics.
+    assert len(got) == n_pairs
+    assert got.duplicated(["user_id", "event_type"]).sum() == 0
+    assert batch_events.count() > 0
+
+
+def test_stream_stateful_running_count(spark, sf_dir, events_stream):
+    name = run_stream_to_memory(running_count_per_user(events_stream), "update")
+    got = spark.table(name).toPandas()
+    # final state per user = total events per user (take last emission)
+    final = got.groupby("user_id")["running_count"].max().reset_index()
+    expected = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .rename(columns={"count": "running_count"})
+    )
+    assert_frames_match(final, expected, context="stateful running count")
