@@ -39,3 +39,19 @@ def vec_norm(a: Column | str) -> Column:
 def vec_cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL when either norm is zero."""
     return vec_dot(a, b) / F.nullif(vec_norm(a) * vec_norm(b), F.lit(0.0))
+
+
+def with_unit_vector(df, vec_col: str, out_col: str):
+    """Add a pre-normalized copy of ``vec_col``: the norm fold runs ONCE
+    per row, so any later pairwise cosine is a single dot product. At
+    corpus scale you materialize this column — normalize-on-write, not
+    per-pair."""
+    nrm = F.sqrt(
+        F.aggregate(
+            as_double_array(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return df.withColumn("__nrm", nrm).withColumn(
+        out_col,
+        F.transform(as_double_array(vec_col), lambda x: x / F.col("__nrm")),
+    ).drop("__nrm")

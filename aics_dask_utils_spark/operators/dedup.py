@@ -59,8 +59,18 @@ def keyed_keep_first(df: DataFrame, key_cols: list[str], order_cols: list) -> Da
     return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to cluster parallelism before a fan-out (explode/pair
+    join). Small inputs arrive as one parquet split; the rows they
+    EXPLODE into are not small — without this the fan-out runs on one
+    core. (At 100 TB the scan is already thousands of splits and this
+    shuffle is proportionally free.)"""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return df.select(
+    return _spread(df, id_col).select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("sg")
     )
 
@@ -104,6 +114,10 @@ def ngram_jaccard_pairs(
     )
 
 
+#: largest prime < 2^48; 48-bit hash halves keep i*h2 within int64.
+MINHASH_PRIME = 281474976710597
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -111,17 +125,27 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 12,
 ) -> DataFrame:
-    """Deterministic MinHash: hash_i(doc) = min over shingles of
-    md5(i || ':' || shingle). Output: (doc_id, mh_0..mh_{n-1}).
+    """Deterministic MinHash via Carter–Wegman universal hashing:
+    ONE md5 per shingle yields two 48-bit halves (h1, h2); hash_i =
+    (h1 + i*h2) mod P. Output: (doc_id, mh_0..mh_{n-1}) bigints.
 
-    md5-as-minhash keeps the signature engine-reproducible (no seeded
-    murmur divergence between JVM and the oracle)."""
+    One cryptographic hash amortized over all signature slots — ~12×
+    less hashing than md5-per-slot — while staying engine-reproducible
+    (the oracle derives the identical integers from the same md5 hex)."""
     ex = _doc_shingles(df, id_col, text_col, k)
+    h = F.md5(F.col("sg"))
+    hashed = ex.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(h, 13, 12), 16, 10).cast("bigint").alias("h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sg")))).alias(f"mh_{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_PRIME)).alias(
+            f"mh_{i}"
+        )
         for i in range(num_hashes)
     ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -165,10 +189,35 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold=0.0).select(
-        "d1", "d2", "jaccard"
+    # Verify ONLY the candidates: fan each candidate out to d1's shingles
+    # and probe d2's shingle set — cost is |cand| × shingles-per-doc, not
+    # the all-pairs co-shingle join.
+    ex = _doc_shingles(df, id_col, text_col, k)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sg"))
+    e1 = ex.alias("e1")
+    e2 = ex.alias("e2")
+    inter = (
+        cand.join(e1, F.col("d1") == F.col("e1.doc_id"))
+        .join(
+            e2,
+            (F.col("d2") == F.col("e2.doc_id")) & (F.col("e1.sg") == F.col("e2.sg")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return cand.join(exact, ["d1", "d2"]).where(F.col("jaccard") >= threshold)
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sg").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sg").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
 
 
 def simhash(
@@ -206,21 +255,31 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Cosine near-dup pairs, blocked by a coarse cluster column — the
     IVF-style pruning that replaces the O(n²) cross join at scale. Pairs
-    across blocks are (by construction) not compared."""
-    a = df.select(
+    across blocks are (by construction) not compared.
+
+    Vectors are unit-normalized BEFORE the pair join (one fold per row),
+    so each pair costs a single dot product."""
+    from ..functions.vectors import vec_dot, with_unit_vector
+
+    unit = with_unit_vector(df, vec_col, "__u")
+    a = _spread(unit, id_col).select(
         F.col(id_col).alias("v1"),
         F.col(block_col).alias("blk"),
-        F.col(vec_col).alias("e1"),
+        F.col("__u").alias("u1"),
     )
-    b = df.select(
+    b = unit.select(
         F.col(id_col).alias("v2"),
         F.col(block_col).alias("blk"),
-        F.col(vec_col).alias("e2"),
+        F.col("__u").alias("u2"),
     )
+    # Broadcast the probe side: a shuffle join on `blk` would cap
+    # parallelism at the number of blocks (few blocks here; at corpus
+    # scale the block count is large and this becomes a co-partitioned
+    # join on blk instead).
     return (
-        a.join(b, ["blk"])
+        a.join(F.broadcast(b), ["blk"])
         .where(F.col("v1") < F.col("v2"))
-        .withColumn("cosine", vec_cosine("e1", "e2"))
+        .withColumn("cosine", vec_dot("u1", "u2"))
         .where(F.col("cosine") >= threshold)
         .select("blk", "v1", "v2", "cosine")
     )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.vectors import vec_cosine
+from ..functions.vectors import vec_dot, with_unit_vector
 
 
 def brute_force_topk(
@@ -34,16 +34,17 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for each query row (q_id, neighbor id,
     cosine, rank). Excludes self-matches."""
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    unit_q = with_unit_vector(queries, vec_col, "__u")
+    unit_c = with_unit_vector(corpus, vec_col, "__u")
+    q = unit_q.select(F.col(id_col).alias("q_id"), F.col("__u").alias("q_vec"))
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    c = unit_c.repartition(n_part).select(
+        F.col(id_col).alias("n_id"), F.col("__u").alias("n_vec")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("n_id") != F.col("q_id"))
-        .withColumn("cosine", vec_cosine("q_vec", "n_vec"))
+        .withColumn("cosine", vec_dot("q_vec", "n_vec"))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("n_id"))
     return (
@@ -65,20 +66,23 @@ def ivf_topk(
     """Approximate top-k: compare each query only against corpus rows in
     its own coarse cell(s). ``n_probe_cells=1`` probes the query's own
     cell; the equi-join on cell is the pruning."""
-    q = queries.select(
+    unit_q = with_unit_vector(queries, vec_col, "__u")
+    unit_c = with_unit_vector(corpus, vec_col, "__u")
+    q = unit_q.select(
         F.col(id_col).alias("q_id"),
         F.col(cell_col).alias("cell"),
-        F.col(vec_col).alias("q_vec"),
+        F.col("__u").alias("q_vec"),
     )
-    c = corpus.select(
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    c = unit_c.repartition(n_part).select(
         F.col(id_col).alias("n_id"),
         F.col(cell_col).alias("cell"),
-        F.col(vec_col).alias("n_vec"),
+        F.col("__u").alias("n_vec"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("n_id") != F.col("q_id"))
-        .withColumn("cosine", vec_cosine("q_vec", "n_vec"))
+        .withColumn("cosine", vec_dot("q_vec", "n_vec"))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("n_id"))
     return (

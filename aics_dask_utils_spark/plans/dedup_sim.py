@@ -101,23 +101,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    from ..operators.dedup import MINHASH_PRIME
+
     r = num_hashes // bands
     mh_cols = ",\n             ".join(
-        f"MIN(md5('{i}:' || sg)) AS mh_{i}" for i in range(num_hashes)
+        f"MIN((h1 + {i} * h2) % {MINHASH_PRIME}) AS mh_{i}"
+        for i in range(num_hashes)
     )
     band_selects = []
     for b in range(bands):
-        slots = " || '|' || ".join(f"mh_{b * r + j}" for j in range(r))
+        slots = " || '|' || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({slots}) AS bh FROM mh"
         )
     bands_sql = "\n      UNION ALL ".join(band_selects)
     return f"""
     WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(sg), 1, 12)) AS BIGINT)  AS h1,
+             CAST(('0x' || substr(md5(sg), 13, 12)) AS BIGINT) AS h2
+      FROM ex
+    ),
     mh AS (
       SELECT doc_id,
              {mh_cols}
-      FROM ex GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
     bands AS (
       {bands_sql}
@@ -188,24 +197,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, bits=16)
 
 
-_COS = (
-    "list_dot_product(e1, e2) / "
-    "(sqrt(list_dot_product(e1, e1)) * sqrt(list_dot_product(e2, e2)))"
-)
+# Unit-normalized embedding CTE — mirrors with_unit_vector(): norm is a
+# fold over the double-cast array, each element divided by it.
+_UNIT_CTE = """
+    raw AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM raw
+    )
+"""
 
 
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    )
+    WITH {_UNIT_CTE}
     SELECT a.label AS blk, a.vec_id AS v1, b.vec_id AS v2,
-           {_COS.replace('e1', 'a.v').replace('e2', 'b.v')} AS cosine
+           list_dot_product(a.u, b.u) AS cosine
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_COS.replace('e1', 'a.v').replace('e2', 'b.v')} >= 0.4
+    WHERE list_dot_product(a.u, b.u) >= 0.4
     """,
     doc="embedding-cosine near-dup pairs, label-blocked (IVF-cell pruning "
     "instead of O(n²) cross join) (E31/E19)",
@@ -219,14 +234,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_topk_brute",
     oracle=f"""
-    WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    WITH {_UNIT_CTE},
+    q AS (SELECT vec_id AS q_id, u AS qu FROM e WHERE vec_id < 5),
     scored AS (
       SELECT q.q_id, c.vec_id AS neighbor_id,
-             {_COS.replace('e1', 'q.qv').replace('e2', 'c.v')} AS cosine
+             list_dot_product(q.qu, c.u) AS cosine
       FROM e c CROSS JOIN q WHERE c.vec_id <> q.q_id
     )
     SELECT q_id, neighbor_id, cosine, rank FROM (
@@ -248,15 +260,11 @@ def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_topk_ivf",
     oracle=f"""
-    WITH e AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    q AS (SELECT vec_id AS q_id, label AS cell, v AS qv FROM e WHERE vec_id < 5),
+    WITH {_UNIT_CTE},
+    q AS (SELECT vec_id AS q_id, label AS cell, u AS qu FROM e WHERE vec_id < 5),
     scored AS (
       SELECT q.q_id, q.cell, c.vec_id AS neighbor_id,
-             {_COS.replace('e1', 'q.qv').replace('e2', 'c.v')} AS cosine
+             list_dot_product(q.qu, c.u) AS cosine
       FROM e c JOIN q ON c.label = q.cell WHERE c.vec_id <> q.q_id
     )
     SELECT q_id, cell, neighbor_id, cosine, rank FROM (
