@@ -56,6 +56,8 @@ def register(
 def all_plans() -> dict[str, QuerySpec]:
     # Import side-effect modules once, lazily, so `import plans` stays cheap.
     from . import relational  # noqa: F401
+    from . import tpch_extra  # noqa: F401
+    from . import python_udf  # noqa: F401
     from . import windows  # noqa: F401
     from . import scalars  # noqa: F401
     from . import arrays_json  # noqa: F401

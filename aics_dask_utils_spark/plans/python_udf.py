@@ -1,0 +1,148 @@
+"""Arbitrary-Python map surface (E9, E46) with oracle parity.
+
+The reference's core contract is "run any serializable Python callable
+over aligned sequences" (reference `aics_dask_utils/distributed_handler.py:113-114`,
+`:135-140`). On Spark that contract lives in the Arrow-vectorized UDF
+family — scalar ``pandas_udf`` (batch-columnar, ~10-100× row UDFs),
+grouped-agg ``pandas_udf`` (a UDAF over whole groups), and
+``mapInPandas`` (arbitrary batch→batch transforms, the `batched_map`
+generalization). Each plan here exercises one of those entry points
+with semantics an ANSI oracle can replicate, so the Python boundary
+itself is under the hash-check — not just JVM expressions.
+
+Determinism policy: UDF math is kept in exact integer space (cents via
+round(×100)) so results are independent of row order, partition count,
+and Arrow batch size — float accumulation order inside a UDF is NOT
+reproducible across engines, integer sums are.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS revenue_cents,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="scalar pandas_udf (Arrow batch in/out) computing discounted "
+    "revenue in exact cents, aggregated JVM-side (E9,E46); the Python "
+    "boundary crosses once per batch, not per row",
+    tags=("udf",),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("long")
+    def revenue_cents(price: pd.Series, discount: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # float64 per-row arithmetic is IEEE-deterministic; the round-to-
+        # cents keeps the downstream SUM in exact integer space. floor(x+.5)
+        # = SQL ROUND (half away from zero) for the positive domain — pandas
+        # .round() is half-to-even and would drift on exact halves.
+        return pd.Series(
+            np.floor(price.to_numpy() * (1.0 - discount.to_numpy()) * 100.0 + 0.5)
+        ).astype("int64")
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        li.withColumn(
+            "cents", revenue_cents(F.col("l_extendedprice"), F.col("l_discount"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+           MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="grouped-agg pandas_udf: a custom UDAF receiving each whole group "
+    "as one Arrow series (E46); integer-cents math keeps it "
+    "order-independent. NOTE: no partial aggregation — at 100 TB prefer "
+    "built-in aggs or Algebird-style mergeable sketches; this is the "
+    "escape hatch, not the default",
+    tags=("udf",),
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @pandas_udf("long")
+    def total_cents(price: pd.Series) -> int:
+        return int(np.floor(price.to_numpy() * 100.0 + 0.5).astype("int64").sum())
+
+    @pandas_udf("long")
+    def max_cents(price: pd.Series) -> int:
+        return int(np.floor(price.to_numpy() * 100.0 + 0.5).astype("int64").max())
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            total_cents(F.col("o_totalprice")).alias("total_cents"),
+            max_cents(F.col("o_totalprice")).alias("max_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           n_chars
+    FROM documents
+    WHERE n_chars > 0
+      AND len(regexp_split_to_array(trim(text), '\s+')) >= 40
+    """,
+    doc="mapInPandas: arbitrary batch->batch transform (filter + derive) — "
+    "the reference's batched_map generalized to Arrow record batches "
+    "(E9,E46); streams batches, never materializes a partition",
+    tags=("udf",),
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def tokenize_filter(batches):
+        for pdf in batches:
+            n_tokens = (
+                pdf["text"].str.strip().str.split().str.len().fillna(0).astype("int64")
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": n_tokens,
+                    "n_chars": pdf["n_chars"],
+                }
+            )
+            yield out[(out["n_chars"] > 0) & (out["n_tokens"] >= 40)]
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return docs.mapInPandas(
+        tokenize_filter, "doc_id long, n_tokens long, n_chars long"
+    )
