@@ -33,6 +33,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q18_large_orders",
     "join_theta",
     "agg_distinct",
     "agg_percentile",
@@ -50,6 +54,8 @@ HEADLINE = [
     "ann_topk_brute",
     "ann_topk_ivf",
     "scalar_json_typed",
+    "udf_pandas_scalar",
+    "udf_map_in_pandas",
 ]
 
 

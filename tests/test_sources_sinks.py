@@ -1,0 +1,114 @@
+"""Source/sink round-trip tests (E2, E4–E6).
+
+Parquet scans are exercised by every oracle test; here we cover the
+remaining formats: CSV and JSON-lines round-trips with explicit schemas
+(the 100 TB default — schema inference is a full extra read pass),
+in-memory aligned-sequence tables (the reference's multi-iterable zip,
+reference ``distributed_handler.py:135-140``), Hive-partitioned writes
+with partition-pruned reads, and the per-row side-effecting sink
+(reference PNG writer pattern, ``scripts/test_aics_cluster.py:98-101``).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from aics_dask_utils_spark.sources import (
+    foreach_partition_sink,
+    from_sequences,
+    load_table,
+    read_csv,
+    read_json,
+    write_partitioned,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("name", StringType()),
+        StructField("grp", IntegerType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def small_df(spark):
+    rows = [(i, f"name_{i}", i % 3) for i in range(100)]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_round_trip(spark, small_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("csv") / "t.csv")
+    small_df.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=SCHEMA)
+    assert _sorted_rows(back) == _sorted_rows(small_df)
+
+
+def test_csv_infer_schema(spark, small_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("csvi") / "t.csv")
+    small_df.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path)  # inference path
+    assert back.count() == 100 and set(back.columns) == {"k", "name", "grp"}
+
+
+def test_json_round_trip(spark, small_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("json") / "t.json")
+    small_df.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema=SCHEMA)
+    assert _sorted_rows(back) == _sorted_rows(small_df)
+
+
+def test_from_sequences_aligned(spark):
+    df = from_sequences(spark, [1, 2, 3], ["a", "b", "c"], names=["n", "s"])
+    assert _sorted_rows(df) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_from_sequences_misaligned_raises(spark):
+    with pytest.raises(ValueError):
+        from_sequences(spark, [1, 2], [1])
+
+
+def test_partitioned_write_prunes(spark, small_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("part") / "t")
+    write_partitioned(small_df, path, ["grp"])
+    # one hive directory per partition value
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("grp=")
+    ) == ["grp=0", "grp=1", "grp=2"]
+    back = spark.read.parquet(path).where(F.col("grp") == 1)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter must prune at the scan, not post-filter all rows
+    assert "PartitionFilters" in plan
+    assert back.count() == sum(1 for i in range(100) if i % 3 == 1)
+
+
+def test_foreach_partition_sink_writes_rows(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("sink")
+    df = spark.range(20).repartition(4)
+
+    def row_sink(row, state):
+        with open(os.path.join(state, f"{row.id}.txt"), "w") as fh:
+            fh.write(str(row.id))
+
+    foreach_partition_sink(df, row_sink, open_partition=lambda: str(out))
+    written = sorted(int(f.split(".")[0]) for f in os.listdir(out))
+    assert written == list(range(20))
+
+
+def test_events_nanos_timestamp(spark, sf_dir):
+    # events.ts is TIMESTAMP(NANOS) parquet; reader must floor to micros
+    ev = load_table(spark, sf_dir, "events")
+    assert ev.schema["ts"].dataType.typeName().startswith("timestamp")
+    assert ev.where(F.col("ts").isNull()).count() == 0
