@@ -34,3 +34,44 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("content")
     )
     return binary_meta(docs).select("doc_id", "byte_len", "sha256_hex", "magic_hex")
+
+
+@register(
+    "multimodal_decode_slice",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, repeat(md5(text), 3) AS px  -- 96 ascii chars = 96 px
+      FROM documents
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS path,
+           CAST(4 AS INT) AS height, CAST(4 AS INT) AS width,
+           list_transform(generate_series(65, 80),
+                          i -> ord(substr(px, CAST(i AS INT), 1))) AS plane
+    FROM img
+    """,
+    doc="EXECUTED decode->slice pipeline (E3,E10,E11): each doc's md5 hex "
+    "(x3, pure ASCII) becomes the pixel payload of a FAKEIMG STCZYX "
+    "(1,1,2,3,4,4) tensor built as a binary column; mapInPandas decodes "
+    "it (shape, channels, pixels) and select_plane slices (c='c1', "
+    "z=middle) with column arithmetic — the oracle computes the same "
+    "16-px plane from the hex chars. Real codecs slot into decode_image; "
+    "the Spark-side plumbing (binary cells, Arrow batches, flat-tensor "
+    "slicing) is what's under test",
+    tags=("multimodal",),
+)
+def multimodal_decode_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from ..operators.multimodal import FAKE_MAGIC, decode_images, select_plane
+
+    shape = (1, 1, 2, 3, 4, 4)  # 96 pixels
+    names = b"c0,c1"
+    header = FAKE_MAGIC + struct.pack(">6H", *shape) + struct.pack(">H", len(names)) + names
+    docs = load_table(spark, sf_dir, "documents")
+    binary_df = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.concat(
+            F.lit(header), F.encode(F.repeat(F.md5("text"), 3), "UTF-8")
+        ).alias("content"),
+    )
+    return select_plane(decode_images(binary_df), channel_name="c1")

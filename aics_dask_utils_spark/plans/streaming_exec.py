@@ -1,0 +1,130 @@
+"""Streaming-EXECUTION plans (E41–E45): the correctness gate actually
+drives Structured Streaming, not a batch stand-in.
+
+Each plan starts a real ``readStream`` over the events parquet,
+drains it with ``trigger(availableNow=True)`` into a memory sink, and
+returns the sink table — so the DuckDB hash-compare certifies the
+streaming path end to end (source → watermark → stateful op → sink).
+The single-file source yields one micro-batch, which pins the
+semantics the oracle can express:
+
+- complete-mode window aggregations equal the batch aggregation;
+- watermark dedup keeps exactly one row per key (projected to the key
+  columns so survivor choice — a row-order artifact — can't leak in);
+- the ``applyInPandasWithState`` running count's final emission per
+  key equals the batch count (max over emissions makes this robust
+  to multi-batch replans).
+
+At 100 TB these same queries run unbounded: the watermark bounds
+state, and the memory sink becomes a kafka/parquet sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import (
+    dedup_events_within_watermark,
+    read_events_stream,
+    run_stream_to_memory,
+    running_count_per_user,
+    session_counts,
+    tumbling_counts,
+)
+from . import register
+
+_EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+
+@register(
+    "stream_tumbling_exec",
+    oracle=f"""
+    SELECT to_timestamp(floor(epoch(ts) / 600) * 600)::TIMESTAMP       AS window_start,
+           to_timestamp(floor(epoch(ts) / 600) * 600 + 600)::TIMESTAMP AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM {_EV}
+    GROUP BY 1, 2, 3
+    """,
+    doc="EXECUTED stream: tumbling window agg with watermark, availableNow "
+    "to a memory sink, hash-compared to the batch oracle (E41,E42,E44)",
+    tags=("streaming",),
+)
+def stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = tumbling_counts(read_events_stream(spark, sf_dir))
+    name = run_stream_to_memory(sdf, "complete")
+    return spark.table(name)
+
+
+@register(
+    "stream_session_exec",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts FROM {_EV}),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="EXECUTED stream: session windows (30-min gap) per user via "
+    "session_window state, availableNow drain (E41,E43,E44)",
+    tags=("streaming",),
+)
+def stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = session_counts(read_events_stream(spark, sf_dir), gap="30 minutes")
+    name = run_stream_to_memory(sdf, "complete")
+    return spark.table(name)
+
+
+@register(
+    "stream_dedup_exec",
+    oracle=f"""
+    SELECT DISTINCT user_id, event_type FROM {_EV}
+    """,
+    doc="EXECUTED stream: dropDuplicatesWithinWatermark keeps one row per "
+    "(user_id, event_type); projected to the keys so survivor choice "
+    "(row-order dependent) stays out of the hash (E41,E44,E45)",
+    tags=("streaming",),
+)
+def stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = dedup_events_within_watermark(read_events_stream(spark, sf_dir))
+    name = run_stream_to_memory(sdf.select("user_id", "event_type"), "append")
+    return spark.table(name)
+
+
+@register(
+    "stream_stateful_count_exec",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS running_count
+    FROM {_EV}
+    GROUP BY user_id
+    """,
+    doc="EXECUTED stream: applyInPandasWithState per-user running count; "
+    "the final state emission per user equals the batch count (E45)",
+    tags=("streaming",),
+)
+def stream_stateful_count_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = running_count_per_user(read_events_stream(spark, sf_dir))
+    name = run_stream_to_memory(sdf, "update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("running_count").alias("running_count"))
+    )
