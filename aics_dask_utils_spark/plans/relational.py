@@ -96,6 +96,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
+    # Join BEFORE aggregating: the BUILDING-segment filter makes the
+    # orders⋈customer side selective, so the join prunes ~80% of
+    # lineitems ahead of the group-by. (Pre-aggregating lineitem first —
+    # the q18 trick — loses here because the join is reductive.)
     return (
         li.join(
             orders.join(

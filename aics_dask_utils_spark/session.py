@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed-table warehouse (bucketed tables land here; bucketing
+        # metadata needs the catalog, plain .parquet() writes don't)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
         # ANSI off: engine contract is permissive arithmetic (NULL on
         # overflow/bad cast), matching the reference's dynamic typing.
         .config("spark.sql.ansi.enabled", "false")

@@ -1,0 +1,85 @@
+"""Scale-pattern tests: salting equivalence and bucketed shuffle
+elimination — the claims README makes about 100 TB behavior, asserted
+on the physical plan, not taken on faith.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aics_dask_utils_spark.operators.skew import (
+    bucketed_join_ready,
+    salted_join,
+    write_bucketed,
+)
+from aics_dask_utils_spark.sources import load_table
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_linenumber").alias("s")
+    )
+    salted = salted_join(
+        li, orders, on="l_orderkey", discriminator="l_linenumber", n_salts=8
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("l_linenumber").alias("s"))
+    assert plain.collect() == salted.collect()
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, 10), (1, 11), (2, 12)], ["k", "d"])
+    small = spark.createDataFrame([(1, "x")], ["k", "v"])
+    got = salted_join(big, small, on="k", discriminator="d", n_salts=4, how="left")
+    rows = {(r.k, r.d, r.v) for r in got.collect()}
+    assert rows == {(1, 10, "x"), (1, 11, "x"), (2, 12, None)}
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed(li, "li_bucketed", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(
+        orders, "orders_bucketed", ["o_orderkey"], 8, sort_cols=["o_orderkey"]
+    )
+    yield "li_bucketed", "orders_bucketed"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir, bucketed_tables):
+    li_t, o_t = bucketed_tables
+    li = bucketed_join_ready(spark, li_t)
+    orders = bucketed_join_ready(spark, o_t)
+    joined = li.join(
+        orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("l_orderkey", "o_totalprice", "l_quantity")
+    plan = _plan_of(joined)
+    # co-bucketed scan-side distribution: the sort-merge join must not
+    # shuffle either side
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and the result is still correct
+    n_plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert joined.count() == n_plain
+
+
+def test_bucketed_groupby_eliminates_exchange(spark, bucketed_tables):
+    li_t, _ = bucketed_tables
+    li = bucketed_join_ready(spark, li_t)
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    assert "Exchange hashpartitioning" not in _plan_of(agg)
