@@ -283,3 +283,52 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("blk", "v1", "v2", "cosine")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors until fixpoint. Returns
+    (doc_id, component) where component = min doc_id of the component.
+
+    This is the step LSH pair-finding needs to become an actual dedup
+    GROUPING (A~B, B~C => {A,B,C} keep one). Iterative => no single SQL
+    equivalent; each round is one shuffle join + one aggregate, and the
+    label frame is checkpointed to keep lineage flat. Convergence takes
+    at most the graph diameter rounds — near-dup clusters are shallow
+    (diameter << 10), so the loop is short regardless of corpus size.
+    At 100 TB scale swap in the large-star/small-star variant
+    (Kiveris et al.) to bound degree hot-spots; the loop skeleton is
+    identical."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            labels.join(und, labels["node"] == und["a"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

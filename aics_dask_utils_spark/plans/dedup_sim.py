@@ -16,8 +16,12 @@ from ..sources import load_table
 from . import register
 
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
-_SHINGLES_CTE = rf"""
-    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+
+
+def _shingle_ctes(src: str = "documents") -> str:
+    """CTE chain toks→sh→ex→sizes→inter→jac over any doc-shaped source."""
+    return rf"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM {src}),
     sh AS (
       SELECT doc_id,
              CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
@@ -40,6 +44,9 @@ _SHINGLES_CTE = rf"""
                  JOIN sizes s2 ON inter.d2 = s2.doc_id
     )
 """
+
+
+_SHINGLES_CTE = _shingle_ctes()
 
 
 @register(
@@ -100,7 +107,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.8)
 
 
-def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+def _minhash_pair_ctes(
+    src: str = "documents",
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> str:
+    """CTE chain ending in ``pairs(d1, d2, jaccard)``: the full
+    shingle→minhash→band→bucket→verify pipeline over ``src``."""
     from ..operators.dedup import MINHASH_PRIME
 
     r = num_hashes // bands
@@ -115,8 +129,7 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
             f"SELECT doc_id, {b} AS band, md5({slots}) AS bh FROM mh"
         )
     bands_sql = "\n      UNION ALL ".join(band_selects)
-    return f"""
-    WITH {_SHINGLES_CTE},
+    return f"""{_shingle_ctes(src)},
     hashed AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(sg), 1, 12)) AS BIGINT)  AS h1,
@@ -135,10 +148,18 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
                    AND a.doc_id < b.doc_id
-    )
-    SELECT c.d1, c.d2, j.jaccard
-    FROM cand c JOIN jac j ON c.d1 = j.d1 AND c.d2 = j.d2
-    WHERE j.jaccard >= 0.8
+    ),
+    pairs AS (
+      SELECT c.d1, c.d2, j.jaccard
+      FROM cand c JOIN jac j ON c.d1 = j.d1 AND c.d2 = j.d2
+      WHERE j.jaccard >= {threshold}
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    return f"""
+    WITH {_minhash_pair_ctes(num_hashes=num_hashes, bands=bands)}
+    SELECT d1, d2, jaccard FROM pairs
     """
 
 
@@ -281,3 +302,119 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return S.ivf_topk(emb, queries, k=10)
+
+
+@register(
+    "dedup_minhash_components",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    und AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    """,
+    doc="near-dup GROUPS: connected components over the verified MinHash-"
+    "LSH pair graph via iterative min-label propagation — the step that "
+    "turns pairs (A~B, B~C) into dedup clusters {{A,B,C}} (E30,E31). "
+    "Iterative Spark loop vs a recursive-CTE oracle: the driver "
+    "hash-checks a whole iterative graph algorithm",
+    tags=("dedup", "iterative"),
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.8)
+    return D.connected_components(pairs, "d1", "d2")
+
+
+_QUALITY_CTES = r"""
+    q AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+      FROM documents
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text, d.lang, d.source, q.n_tokens
+      FROM documents d JOIN q USING (doc_id)
+      WHERE q.n_tokens >= 40 AND q.n_punct::DOUBLE / q.n_chars <= 0.1
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM kept
+    ),
+    keepers AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM fp
+    ),
+    s1 AS (
+      SELECT k.* FROM kept k JOIN keepers u ON k.doc_id = u.doc_id
+      WHERE u.doc_id = u.keeper
+    )
+"""
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH {_QUALITY_CTES},
+    {_minhash_pair_ctes(src="s1")},
+    dropped AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+    s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM s2 GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="END-TO-END training-data pipeline: quality gate (length + punct "
+    "ratio) -> exact dedup (normalized-text fingerprint, keep min id) -> "
+    "near-dup dedup (MinHash-LSH pairs on survivors, drop the larger id "
+    "of each pair) -> per-(lang, source) corpus stats. One lazy plan: "
+    "Catalyst fuses the whole chain; the only shuffles are the dedup "
+    "aggregations and the LSH band join (E30,E31,E38,E39 composed)",
+    tags=("dedup", "text", "pipeline"),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint_exact, tokens
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
+    )
+    kept = q.where(
+        (F.col("n_tokens") >= 40)
+        & (F.col("n_punct").cast("double") / F.col("n_chars") <= 0.1)
+    ).select("doc_id", "text", "lang", "source", "n_tokens")
+    w = W.partitionBy(fingerprint_exact("text"))
+    s1 = (
+        kept.withColumn("keeper", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    pairs = D.minhash_lsh_pairs(s1, num_hashes=12, bands=4, threshold=0.8)
+    dropped = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    s2 = s1.join(dropped, "doc_id", "left_anti")
+    return (
+        s2.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -50,6 +50,7 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_quality",
     "dedup_minhash_lsh",
+    "pipeline_clean_corpus",
     "dedup_embedding_cosine",
     "ann_topk_brute",
     "ann_topk_ivf",
