@@ -66,5 +66,6 @@ def all_plans() -> dict[str, QuerySpec]:
     from . import events_windows  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import streaming_exec  # noqa: F401
+    from . import sources_plans  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,88 @@
+"""Source-format plans (E2): CSV / JSON-lines round trips under the
+oracle gate.
+
+Each plan WRITES a slice of a driver table to /tmp in the text format,
+reads it back with an explicit schema (the 100 TB default — inference
+is an extra full pass), and aggregates; the oracle aggregates the
+original parquet directly. A hash match proves the format round-trip
+is lossless (Spark writes shortest-round-trip doubles and ISO
+timestamps) and the scan honors the declared schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum
+from ..sources import load_table, read_csv, read_json
+from . import register
+
+
+def _tmp(sf_dir: str, fmt: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"/tmp/spark_graft_{fmt}_{tag}"
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_quantity >= 45
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="CSV round trip (E2): filtered lineitem slice written as CSV, "
+    "re-read with an explicit schema, aggregated — hash-matched against "
+    "the parquet original",
+    tags=("source",),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    sel = li.select("l_returnflag", "l_quantity")
+    path = _tmp(sf_dir, "csv")
+    sel.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=sel.schema)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           MIN(o_orderdate) AS first_order
+    FROM orders
+    WHERE o_totalprice > 300000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="JSON-lines round trip (E2) incl. timestamp fidelity: filtered "
+    "orders written as JSONL, re-read with explicit schema, aggregated",
+    tags=("source",),
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    sel = orders.select("o_orderstatus", "o_totalprice", "o_orderdate")
+    path = _tmp(sf_dir, "json")
+    sel.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema=sel.schema)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.min("o_orderdate").alias("first_order"),
+        )
+        .orderBy("o_orderstatus")
+    )

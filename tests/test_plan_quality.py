@@ -1,0 +1,81 @@
+"""Physical-plan quality gates.
+
+Scale behavior is a property of the PLAN, not the runtime: these tests
+pin the optimizations README/SURVEY claim — filters reaching the
+parquet scan, pruned read schemas, dimension broadcasts, top-N without
+a global sort, whole-stage codegen on the hot paths — so a regression
+shows up as a red test, not as a 100 TB incident.
+"""
+
+import pytest
+
+from aics_dask_utils_spark.plans import all_plans
+
+
+def _formatted(spark, name, sf_dir) -> str:
+    df = all_plans()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    plan = _formatted(spark, "q6_forecast_revenue", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed, not residual-only
+    assert "LessThan(l_shipdate" in plan
+    # column pruning: only the 4 needed columns are read
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read and "l_comment" not in read
+    assert read.count(":") <= 6  # 4 columns + prefix colons
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir):
+    plan = _formatted(spark, "q1_pricing_summary", sf_dir)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):  # unused keys
+        assert col not in read
+
+
+@pytest.mark.parametrize(
+    "name,n_broadcasts",
+    [("q5_region_revenue", 3), ("q10_returned_items", 3), ("q7_nation_volume", 4)],
+)
+def test_star_joins_broadcast_dims(spark, sf_dir, name, n_broadcasts):
+    plan = _formatted(spark, name, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= n_broadcasts, plan
+
+
+@pytest.mark.parametrize("name", ["global_topn", "q3_shipping_priority"])
+def test_topn_avoids_global_sort(spark, sf_dir, name):
+    # top-N must plan TakeOrderedAndProject: per-partition heap + merge,
+    # never a full Sort of the input
+    plan = _formatted(spark, name, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_agg_and_codegen(spark, sf_dir):
+    # map-side combine: partial aggregation must run before the exchange,
+    # so the shuffle carries group rows, not fact rows
+    plan = _formatted(spark, "q1_pricing_summary", sf_dir)
+    assert "partial_sum" in plan
+    # whole-stage codegen: the codegen explain must find fused subtrees
+    df = all_plans()["q1_pricing_summary"].fn(spark, sf_dir)
+    codegen = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    assert "WholeStageCodegen" in codegen
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    # EXISTS with a non-equi residual must remain a (left-semi) join,
+    # not degrade to an aggregate-distinct + inner join
+    plan = _formatted(spark, "q4_order_priority", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    # the LSH pair join is an equi-join on (band, hash) buckets —
+    # a cartesian/nested-loop here would be quadratic in the corpus
+    plan = _formatted(spark, "dedup_minhash_lsh", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
