@@ -90,3 +90,60 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", F.col("cell").alias("cell"), F.col("n_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def brute_force_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized exact top-k: the THROUGHPUT path.
+
+    The JVM fold formulations above are bit-reproducible (oracle-
+    hashable) but evaluate interpreted per element; this variant does
+    the same math as one numpy matmul per Arrow batch — each executor
+    scores its corpus partition against the (small, collected) query
+    matrix and emits only its LOCAL top-k per query, so the final
+    global top-k shuffles at most k × n_queries rows per partition.
+    BLAS accumulation order differs from a sequential fold in float
+    low bits, so this is benchmarked rows-only, not hash-compared.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()  # queries are small by contract
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            S = C @ Q.T  # (batch, n_queries)
+            n_ids = pdf[id_col].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                s = np.where(n_ids == qid, -np.inf, S[:, j])
+                top = np.argsort(-s)[:k]
+                top = top[np.isfinite(s[top])]
+                out_q.extend([qid] * len(top))
+                out_n.extend(n_ids[top])
+                out_c.extend(s[top])
+            yield pd.DataFrame(
+                {"q_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "q_id long, neighbor_id long, cosine double"
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )

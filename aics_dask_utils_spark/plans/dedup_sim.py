@@ -418,3 +418,17 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "ann_topk_pandas",
+    oracle=None,  # BLAS fold order != sequential fold -> rows-only check
+    doc="vectorized exact top-k ANN: one numpy matmul per Arrow batch, "
+    "local top-k per partition, global top-k window (E40 throughput "
+    "path); same semantics as ann_topk_brute, ~matmul speed",
+    tags=("similarity", "approx"),
+)
+def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.brute_force_topk_pandas(queries, emb, "vec_id", "embedding", k=10)

@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_topk_brute",
     "ann_topk_ivf",
+    "ann_topk_pandas",
     "scalar_json_typed",
     "udf_pandas_scalar",
     "udf_map_in_pandas",

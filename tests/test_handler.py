@@ -63,3 +63,24 @@ def test_close_leaves_external_session_running(spark):
 def test_context_manager(spark):
     with SparkHandler(spark=spark) as h:
         assert h.gather(h.map(lambda x: -x, [1, 2])) == [-1, -2]
+
+
+def test_gather_reraises_worker_exception(handler):
+    # fail-fast parity: the first worker exception surfaces at gather,
+    # never silently partial (reference distributed_handler.py:146-163)
+    def boom(x):
+        if x == 3:
+            raise ValueError("worker failure on 3")
+        return x
+
+    deferred = handler.map(boom, list(range(8)))
+    with pytest.raises(Exception) as exc_info:
+        handler.gather(deferred)
+    assert "worker failure on 3" in str(exc_info.value)
+
+
+def test_batched_map_explicit_batches_complete_in_order(handler):
+    # completed-per-batch semantics: with batch_size=b, results
+    # concatenate in batch order (reference distributed_handler.py:142)
+    got = handler.batched_map(lambda x: x * 2, list(range(10)), batch_size=3)
+    assert got == [x * 2 for x in range(10)]

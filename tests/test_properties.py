@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the engine's determinism policy
+and the two formulations of exact top-k similarity.
+
+The determinism policy (functions/deterministic.py) claims exact-decimal
+sums are invariant to partitioning — the property that makes results
+bit-identical on 8 partitions locally and 80,000 on a cluster. Assert
+it on generated data, not just the fixture tables.
+"""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aics_dask_utils_spark.functions.deterministic import dsum
+
+_doubles = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ).map(lambda x: round(x, 4)),
+    min_size=1,
+    max_size=300,
+)
+
+
+@given(xs=_doubles)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dsum_invariant_to_partitioning(spark, xs):
+    rows = [(float(x),) for x in xs]
+    df = spark.createDataFrame(rows, "v double")
+    results = set()
+    for n_parts in (1, 3, 17):
+        got = (
+            df.repartition(n_parts).agg(dsum("v").alias("s")).collect()[0]["s"]
+        )
+        results.add(got)
+    assert len(results) == 1  # bit-identical across partition counts
+    # and equal to exact decimal arithmetic done in python
+    from decimal import Decimal
+
+    expected = float(sum(Decimal(str(x)) for x in xs))
+    assert math.isclose(results.pop(), expected, rel_tol=0, abs_tol=1e-6)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=500)
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_handler_map_gather_matches_python(spark, xs):
+    from aics_dask_utils_spark.handler import SparkHandler
+
+    h = SparkHandler(spark=spark)
+    got = h.gather(h.map(lambda x: x * 3 + 1, xs))
+    assert got == [x * 3 + 1 for x in xs]
+
+
+def test_ann_pandas_matches_jvm_brute(spark, sf_dir):
+    """The numpy-matmul top-k and the JVM fold top-k must agree on
+    neighbors and ranks exactly, and on cosines to 1e-9 (BLAS vs
+    sequential accumulation differ only in low bits)."""
+    import numpy as np
+
+    from aics_dask_utils_spark.plans import all_plans
+
+    ps = all_plans()
+    pa = (
+        ps["ann_topk_pandas"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pb = (
+        ps["ann_topk_brute"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(pa) == len(pb) > 0
+    assert (
+        pa[["q_id", "neighbor_id", "rank"]].values
+        == pb[["q_id", "neighbor_id", "rank"]].values
+    ).all()
+    assert np.allclose(pa["cosine"], pb["cosine"], atol=1e-9)
