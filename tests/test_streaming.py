@@ -73,3 +73,25 @@ def test_stream_stateful_running_count(spark, sf_dir, events_stream):
         .rename(columns={"count": "running_count"})
     )
     assert_frames_match(final, expected, context="stateful running count")
+
+
+def test_rate_source_smoke(spark):
+    # E41's "rate" source: a rows-per-second generator stream, drained
+    # for one micro-batch — covers the non-file streaming source path.
+    import uuid
+
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name)
+    assert set(got.columns) == {"timestamp", "value"}
+    assert got.count() >= 0
