@@ -1,0 +1,77 @@
+"""Deterministic distributed k-means (the IVF-cell trainer).
+
+Lloyd iterations expressed as pure DataFrame algebra so every step is
+engine-reproducible and the whole algorithm sits under the DuckDB
+hash-check (see ``plans/clustering.py``):
+
+- init: centroids = the k lowest-id vectors (seed-free, deterministic);
+- assignment: dist²(v,c) = ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩ — three sequential
+  dot-product folds, identical on any engine; ties broken by centroid
+  id via a (dist2, cid) row_number;
+- update: per-dimension mean via posexplode + exact DECIMAL(30,12)
+  sums (order-independent), repacked with a sorted collect.
+
+Scale shape: assignment is a broadcast cross join (k centroids are KBs)
++ one narrow pass over the vectors; the update shuffles (k × dims)
+groups. Centroids never leave the cluster — the loop is lazy plans,
+no driver collect. At real scale you'd run this over an IVF sample;
+the loop skeleton is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.vectors import as_double_array, vec_dot
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; returns one row per cluster:
+    (cid, n_vecs, centroid) — final assignment sizes and refreshed
+    centroids."""
+    e = df.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v"))
+    cent = e.where(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), F.col("v").alias("c")
+    )
+    assign = None
+    for _ in range(iters):
+        scored = e.crossJoin(F.broadcast(cent)).withColumn(
+            "dist2",
+            vec_dot("v", "v") - F.lit(2.0) * vec_dot("v", "c") + vec_dot("c", "c"),
+        )
+        w = W.partitionBy("vid").orderBy("dist2", "cid")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", "v", "cid")
+        )
+        dim_means = (
+            assign.select("cid", F.posexplode("v"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(30,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        cent = dim_means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        sizes.join(cent, "cid")
+        .select("cid", "n_vecs", F.col("c").alias("centroid"))
+        .orderBy("cid")
+    )

@@ -67,5 +67,6 @@ def all_plans() -> dict[str, QuerySpec]:
     from . import multimodal  # noqa: F401
     from . import streaming_exec  # noqa: F401
     from . import sources_plans  # noqa: F401
+    from . import clustering  # noqa: F401
 
     return REGISTRY
