@@ -27,6 +27,58 @@ from pyspark.sql.window import Window as W
 from ..functions.vectors import as_double_array, vec_dot
 
 
+def kmeans_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vid, v) × (cid, c) -> (vid, v, cid).
+    Broadcast cross join + dist² identity; ties break to the lowest cid."""
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "dist2",
+        vec_dot("v", "v") - F.lit(2.0) * vec_dot("v", "c") + vec_dot("c", "c"),
+    )
+    w = W.partitionBy("vid").orderBy("dist2", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vid", "v", "cid")
+    )
+
+
+def _recompute_centroids(assign: DataFrame) -> DataFrame:
+    dim_means = (
+        assign.select("cid", F.posexplode("v"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("col").cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    return dim_means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Train the coarse quantizer: ``iters`` Lloyd rounds from the k
+    lowest-id seeds. Returns (cid, c)."""
+    e = df.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v"))
+    cent = e.where(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(iters):
+        cent = _recompute_centroids(kmeans_assign(e, cent))
+    return cent
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -43,32 +95,8 @@ def kmeans_fit_predict(
     )
     assign = None
     for _ in range(iters):
-        scored = e.crossJoin(F.broadcast(cent)).withColumn(
-            "dist2",
-            vec_dot("v", "v") - F.lit(2.0) * vec_dot("v", "c") + vec_dot("c", "c"),
-        )
-        w = W.partitionBy("vid").orderBy("dist2", "cid")
-        assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vid", "v", "cid")
-        )
-        dim_means = (
-            assign.select("cid", F.posexplode("v"))
-            .groupBy("cid", "pos")
-            .agg(
-                (
-                    F.sum(F.col("col").cast("decimal(30,12)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
-        )
-        cent = dim_means.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("c")
-        )
+        assign = kmeans_assign(e, cent)
+        cent = _recompute_centroids(assign)
     sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
     return (
         sizes.join(cent, "cid")

@@ -16,13 +16,16 @@ from ..sources import load_table
 from . import register
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+def _kmeans_ctes(k: int = 4, iters: int = 2, final_assign: bool = False) -> str:
+    """CTE chain e, c0, (s_i, a_i, x_i, m_i, c_i)*; with ``final_assign``
+    one extra assignment block a{iters+1} against the trained c{iters}."""
     ctes = [
         "e AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
         f"c0 AS (SELECT vid AS cid, v AS c FROM e WHERE vid < {k})",
     ]
+    n_assign = iters + 1 if final_assign else iters
     prev = "c0"
-    for i in range(1, iters + 1):
+    for i in range(1, n_assign + 1):
         ctes.append(
             f"""s{i} AS (
       SELECT e.vid, e.v, c.cid,
@@ -39,6 +42,8 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
       ) WHERE rn = 1
     )"""
         )
+        if i > iters:
+            break  # final assignment only — no centroid update
         ctes.append(
             f"""x{i} AS (
       SELECT cid,
@@ -58,9 +63,12 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
             f"c{i} AS (SELECT cid, list(m ORDER BY pos) AS c FROM m{i} GROUP BY cid)"
         )
         prev = f"c{i}"
-    body = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes)
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
     return f"""
-    WITH {body}
+    WITH {_kmeans_ctes(k, iters)}
     SELECT z.cid, z.n_vecs, c.c AS centroid
     FROM (SELECT cid, COUNT(*) AS n_vecs FROM a{iters} GROUP BY cid) z
     JOIN c{iters} c USING (cid)
@@ -80,3 +88,69 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_fit_predict(emb, "vec_id", "embedding", k=4, iters=2)
+
+
+@register(
+    "ann_topk_learned_ivf",
+    oracle=f"""
+    WITH {_kmeans_ctes(k=4, iters=2, final_assign=True)},
+    u AS (
+      SELECT vid, cid,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM a3
+    ),
+    q AS (SELECT vid AS q_id, cid AS cell, u AS qu FROM u WHERE vid < 5),
+    scored AS (
+      SELECT q.q_id, q.cell, c.vid AS neighbor_id,
+             list_dot_product(q.qu, c.u) AS cosine
+      FROM u c JOIN q ON c.cid = q.cell
+      WHERE c.vid <> q.q_id
+    )
+    SELECT q_id, cell, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="LEARNED-index ANN: k-means-trained coarse quantizer (k=4, 2 "
+    "Lloyd rounds) -> every vector assigned to its cell -> queries probe "
+    "only their own cell -> cosine top-10 on unit vectors. The complete "
+    "train/index/probe IVF pipeline in one lazy plan, hash-matched end "
+    "to end (E12,E40)",
+    tags=("similarity", "iterative"),
+)
+def ann_topk_learned_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ..functions.vectors import as_double_array, vec_dot
+    from ..operators.clustering import kmeans_assign, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("vec_id").alias("vid"), as_double_array("embedding").alias("v")
+    )
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=2)
+    assigned = kmeans_assign(e, cent)
+    nrm = F.sqrt(vec_dot("v", "v"))
+    unit = assigned.withColumn(
+        "u", F.transform("v", lambda x: x / nrm)
+    ).select("vid", "cid", "u")
+    q = unit.where(F.col("vid") < 5).select(
+        F.col("vid").alias("q_id"), F.col("cid").alias("cell"), F.col("u").alias("qu")
+    )
+    c = unit.select(
+        F.col("vid").alias("neighbor_id"), F.col("cid").alias("cell"),
+        F.col("u").alias("cu"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("cosine", vec_dot("qu", "cu"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("q_id", "cell", "neighbor_id", "cosine", "rank")
+    )
