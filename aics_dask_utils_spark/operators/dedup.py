@@ -332,3 +332,64 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs within a Hamming radius of the simhash.
+
+    Bit-band LSH: the b-bit signature splits into ``bands`` equal
+    slices; by pigeonhole any pair with hamming <= bands-1 agrees on at
+    least one slice, so the candidate join is an equi-join on
+    (band, slice-value) — linear shuffle, no all-pairs compare.
+    Candidates are verified with an exact popcount of the XOR.
+    Returns (d1, d2, hamming), d1 < d2, hamming <= max_hamming."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole guarantee needs max_hamming < bands")
+    sigs = simhash(df, id_col, text_col, bits)
+    w = bits // bands
+    mask = (1 << w) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * w)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(band_arr).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

@@ -432,3 +432,43 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return S.brute_force_topk_pandas(queries, emb, "vec_id", "embedding", k=10)
+
+
+def _simhash_near_oracle(bits: int = 16, bands: int = 4, max_hamming: int = 2) -> str:
+    w = bits // bands
+    mask = (1 << w) - 1
+    sims_body = _simhash_oracle(bits).strip()
+    # reuse the signature query as a CTE: strip the leading WITH and wrap
+    assert sims_body.startswith("WITH")
+    inner = sims_body[len("WITH"):]
+    return f"""
+    WITH {inner.rsplit("SELECT", 1)[0]}
+    , sims AS (SELECT {inner.rsplit("SELECT", 1)[1]})
+    , bandids AS (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+    , banded AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * {w})) & {mask} AS bv
+        FROM sims CROSS JOIN bandids
+    )
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
+                        b.doc_id AS d2, b.simhash AS s2
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, bit_count(xor(s1, s2)) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash_near",
+    oracle=_simhash_near_oracle(),
+    doc="simhash near-dup pairs within Hamming radius 2 via bit-band LSH "
+    "(4 bands × 4 bits; pigeonhole: any pair at hamming <= 3 shares a "
+    "band) + exact popcount verify (E31)",
+    tags=("dedup",),
+)
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, bits=16, bands=4, max_hamming=2)

@@ -95,3 +95,68 @@ def test_rate_source_smoke(spark):
     got = spark.table(name)
     assert set(got.columns) == {"timestamp", "value"}
     assert got.count() >= 0
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path_factory):
+    """Real late-data semantics: batch 1 advances the watermark; a row in
+    batch 2 older than the watermark is DROPPED from the windowed
+    aggregation, while batch-1 windows below the final watermark emit."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path_factory.mktemp("stream_src")
+
+    def write_file(rows, name, mtime):
+        tmp = str(src) + f"_{name}_tmp"
+        spark.createDataFrame(rows, "ts timestamp, user_id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(str(src), f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2020, 1, 1, h, m)
+    # batch 1: events 10:00..12:00 -> watermark advances to 11:00
+    write_file([(t(10), 1), (t(11), 2), (t(12), 3)], "b1", 1_600_000_000)
+    # batch 2: 12:30 -> watermark advances to 11:30 (watermark updates
+    # take effect on the batch AFTER the one that observed the max)
+    write_file([(t(12, 30), 5)], "b2", 1_600_000_100)
+    # batch 3: 09:00 is far below the 11:30 watermark -> must be dropped
+    write_file([(t(9), 4)], "b3", 1_600_000_200)
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["ws"].hour * 100 + r["ws"].minute: r["n"] for r in spark.table(name).collect()}
+    assert 900 not in got  # the late 09:00 row was dropped by the watermark
+    assert got.get(1000) == 1 and got.get(1100) == 1  # finalized batch-1 windows
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # exactly the late row
