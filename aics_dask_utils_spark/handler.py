@@ -118,9 +118,12 @@ class SparkHandler:
         func: Callable,
         *iterables: Sequence,
         num_slices: Optional[int] = None,
+        **kwargs,
     ) -> DeferredMap:
         """Deferred elementwise zip-apply over aligned sequences.
 
+        Extra ``**kwargs`` are forwarded to every ``func`` call, matching
+        the reference's pass-through (``distributed_handler.py:117-128``).
         Result order is row order (stronger than the reference, whose
         contract is set-equality — ``tests/test_distributed_handler.py:32-34``).
         """
@@ -128,7 +131,7 @@ class SparkHandler:
         slices = num_slices or min(max(1, n), self.parallelism)
         rows = list(zip(*iterables))
         rdd = self._spark.sparkContext.parallelize(rows, slices)
-        return DeferredMap(rdd=rdd.map(lambda row: func(*row)))
+        return DeferredMap(rdd=rdd.map(lambda row: func(*row, **kwargs)))
 
     def gather(self, deferred: DeferredMap | list | tuple) -> list[Any]:
         """Materialize deferred results; the first worker exception
@@ -144,6 +147,7 @@ class SparkHandler:
         *iterables: Sequence,
         batch_size: Optional[int] = None,
         one_job: bool = True,
+        **kwargs,
     ) -> list[Any]:
         """Elementwise map with bounded in-flight work.
 
@@ -158,13 +162,13 @@ class SparkHandler:
         """
         n = self._check_aligned(iterables)
         if batch_size is None and one_job:
-            return self.gather(self.map(func, *iterables))
+            return self.gather(self.map(func, *iterables, **kwargs))
         if batch_size is None:
             batch_size = self._get_batch_size()
         results: list[Any] = []
         for i in range(0, n, batch_size):
             sliced = [it[i : i + batch_size] for it in iterables]
-            results += self.gather(self.map(func, *sliced))
+            results += self.gather(self.map(func, *sliced, **kwargs))
         return results
 
     # -- lifecycle (reference rows 6-7) ---------------------------------

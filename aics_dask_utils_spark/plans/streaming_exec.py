@@ -128,3 +128,29 @@ def stream_stateful_count_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("running_count").alias("running_count"))
     )
+
+
+@register(
+    "stream_sliding_exec",
+    oracle=f"""
+    WITH slid AS (
+      SELECT e.*,
+             to_timestamp(floor(epoch(ts) / 300) * 300 - k * 300)::TIMESTAMP AS window_start
+      FROM {_EV} e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+    )
+    SELECT window_start,
+           window_start + INTERVAL 10 MINUTE AS window_end,
+           COUNT(*) AS n
+    FROM slid
+    GROUP BY 1, 2
+    """,
+    doc="EXECUTED stream: 10-min windows sliding every 5 min with "
+    "watermark, availableNow drain (E41,E42,E44)",
+    tags=("streaming",),
+)
+def stream_sliding_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import sliding_counts
+
+    sdf = sliding_counts(read_events_stream(spark, sf_dir))
+    name = run_stream_to_memory(sdf, "complete")
+    return spark.table(name)

@@ -610,3 +610,40 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_type", "p_size")
     )
+
+
+@register(
+    "q11_important_values",
+    oracle="""
+    WITH supp_value AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+               AS value
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    total AS (
+      SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+               AS tot
+      FROM lineitem
+    )
+    SELECT l_suppkey, value
+    FROM supp_value, total
+    WHERE value > 0.0012 * tot
+    ORDER BY value DESC, l_suppkey
+    """,
+    doc="TPC-H Q11 shape (partsupp absent — lineitem value per supplier): "
+    "per-group sums kept only above a fraction of the GLOBAL total; the "
+    "1-row total is broadcast into the filter (E14,E20)",
+    tags=("relational", "agg", "tpch"),
+)
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    supp_value = li.groupBy("l_suppkey").agg(dsum(value).alias("value"))
+    total = li.agg(dsum(value).alias("tot"))
+    return (
+        supp_value.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.lit(0.0012) * F.col("tot"))
+        .select("l_suppkey", "value")
+        .orderBy(F.desc("value"), "l_suppkey")
+    )

@@ -84,3 +84,12 @@ def test_batched_map_explicit_batches_complete_in_order(handler):
     # concatenate in batch order (reference distributed_handler.py:142)
     got = handler.batched_map(lambda x: x * 2, list(range(10)), batch_size=3)
     assert got == [x * 2 for x in range(10)]
+
+
+def test_map_forwards_kwargs(handler):
+    # reference pass-through: extra kwargs reach every func call
+    # (distributed_handler.py:117-128)
+    got = handler.batched_map(
+        lambda x, offset=0: x + offset, [1, 2, 3], offset=100
+    )
+    assert got == [101, 102, 103]
