@@ -216,3 +216,46 @@ def scalar_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props_struct.k").alias("k_typed"),
         (F.col("props_struct.k") % 10).alias("k_bucket"),
     )
+
+
+@register(
+    "scalar_null_safe",
+    oracle="""
+    WITH j AS (SELECT CAST(json_extract_string(props, '$.ref') AS BIGINT) AS ref,
+                      event_id, user_id, event_type, value
+               FROM events)
+    SELECT event_id,
+           (ref IS NOT DISTINCT FROM user_id)         AS ref_is_user,
+           (ref IS DISTINCT FROM user_id)             AS ref_not_user,
+           user_id IN (1, 2, 3)                       AS in_small,
+           value BETWEEN 10 AND 20                    AS in_band,
+           event_type LIKE 'c%'                       AS starts_c,
+           CASE WHEN ref IS NULL THEN -1 ELSE ref END AS ref_filled
+    FROM j
+    ORDER BY event_id
+    LIMIT 500
+    """,
+    doc="null-safe equality (<=>), IN, BETWEEN, LIKE over a nullable "
+    "JSON-extracted column (E8,E35,E37) — three-valued logic matched "
+    "against IS [NOT] DISTINCT FROM",
+    tags=("scalar",),
+)
+def scalar_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ref = F.get_json_object("props", "$.ref").cast("bigint")
+    j = ev.select(
+        ref.alias("ref"), "event_id", "user_id", "event_type", "value"
+    )
+    return (
+        j.select(
+            "event_id",
+            F.col("ref").eqNullSafe(F.col("user_id")).alias("ref_is_user"),
+            (~F.col("ref").eqNullSafe(F.col("user_id"))).alias("ref_not_user"),
+            F.col("user_id").isin(1, 2, 3).alias("in_small"),
+            F.col("value").between(10, 20).alias("in_band"),
+            F.col("event_type").like("c%").alias("starts_c"),
+            F.when(F.col("ref").isNull(), F.lit(-1)).otherwise(F.col("ref")).alias("ref_filled"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )

@@ -86,3 +86,36 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "sink_partitioned_roundtrip",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="Hive-partitioned sink round trip (E5): lineitem written "
+    "partitionBy(l_returnflag), read back with a partition filter that "
+    "PRUNES at the scan (asserted in test_sources_sinks), aggregated "
+    "against the unpartitioned oracle",
+    tags=("source",),
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import write_partitioned
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    path = _tmp(sf_dir, "part_rf")
+    write_partitioned(li, path, ["l_returnflag"])
+    back = spark.read.parquet(path).where(F.col("l_returnflag") == "R")
+    return (
+        back.groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price"))
+        .orderBy("l_linestatus")
+    )
