@@ -192,6 +192,13 @@ def minhash_lsh_pairs(
     # Verify ONLY the candidates: fan each candidate out to d1's shingles
     # and probe d2's shingle set — cost is |cand| × shingles-per-doc, not
     # the all-pairs co-shingle join.
+    # NOTE (measured, don't "simplify"): `ex` below is the SAME subtree
+    # as the signature branch, so Spark's ReuseExchange computes the
+    # shingle shuffle once for all three uses. Two rewrites benchmarked
+    # SLOWER at sf0.1: per-row shingle ARRAYS + array_intersect (loses
+    # the shared exchange; nested broadcast builds serialize, 11s), and
+    # narrow HOF signatures via zip_with folds (interpreted + projection
+    # collapse re-evaluates the hash arrays per slot, 20s+ vs 3s).
     ex = _doc_shingles(df, id_col, text_col, k)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sg"))
     e1 = ex.alias("e1")
