@@ -146,3 +146,66 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         tokenize_filter, "doc_id long, n_tokens long, n_chars long"
     )
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_totalprice * 100 AS BIGINT) IS NOT NULL AS has_price,
+           COUNT(l.l_orderkey) AS n_lines,
+           COALESCE(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)), 0) AS qty_cents
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 450000
+    GROUP BY o.o_orderkey, has_price
+    ORDER BY o.o_orderkey
+    """,
+    doc="cogrouped-map applyInPandas (E46): orders and lineitem cogrouped "
+    "on orderkey, each pair of group frames reduced in pandas — the "
+    "two-sided arbitrary-Python join surface; integer-cents math keeps "
+    "it order-independent",
+    tags=("udf",),
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    def merge(o_pdf: pd.DataFrame, l_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(o_pdf):
+            return pd.DataFrame(
+                columns=["o_orderkey", "has_price", "n_lines", "qty_cents"]
+            )
+        qty = (
+            int(np.floor(l_pdf["l_quantity"].to_numpy() * 100.0 + 0.5).astype("int64").sum())
+            if len(l_pdf)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(o_pdf["o_orderkey"].iloc[0])],
+                "has_price": [True],
+                "n_lines": [int(len(l_pdf))],
+                "qty_cents": [qty],
+            }
+        )
+
+    from ..sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 450000
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            merge,
+            "o_orderkey long, has_price boolean, n_lines long, qty_cents long",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -73,6 +73,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         plans[name].fn(spark, SF_DIR).count()  # warm-up run
+        # settle the JVM heap so one query's garbage doesn't bill the next
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
