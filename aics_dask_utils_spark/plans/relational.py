@@ -550,3 +550,26 @@ def sql_entry_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+@register(
+    "agg_collect_set",
+    oracle="""
+    SELECT c_nationkey,
+           STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="collect_set canonicalized to a sorted CSV (E24): the distinct "
+    "per-group gather; dedup happens map-side in the partial aggregate",
+    tags=("relational", "agg"),
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("c_mktsegment"))
+        ).alias("segments"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
