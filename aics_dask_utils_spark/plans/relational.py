@@ -573,3 +573,56 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("segments"),
         F.countDistinct("c_mktsegment").alias("n_segments"),
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+           SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS high,
+           SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END) AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="pivot: long->wide reshape with an explicit value list (a pivot "
+    "without one needs an extra distinct pass at 100 TB) (E20)",
+    tags=("relational", "agg"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
+        .count()
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+            F.coalesce(F.col("2-HIGH"), F.lit(0)).alias("high"),
+            F.coalesce(F.col("5-LOW"), F.lit(0)).alias("low"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value
+    FROM customer WHERE c_custkey <= 200
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer WHERE c_custkey <= 200
+    """,
+    doc="unpivot/melt: wide->long reshape — each row explodes to one row "
+    "per measure column, a narrow transform (E7,E29)",
+    tags=("relational",),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    return cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
