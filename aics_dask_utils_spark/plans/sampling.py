@@ -1,0 +1,149 @@
+"""Sampling / splitting / corpus-mixing plans (EXT north star).
+
+Every sampler is a deterministic content-hash filter
+(`operators/sampling.py`): md5-derived 48-bit hash + integer threshold,
+so DuckDB reproduces the identical keep/drop decision per row and the
+oracle hash-match is exact. No RNG anywhere — reproducible at any
+partition count, resample-stable under appends.
+
+Oracle idiom (parity with `hash48`):
+  Spark  F.conv(substring(md5(concat_ws('|', seed, key)), 1, 12), 16, 10)
+  DuckDB CAST(('0x' || substr(md5(concat_ws('|', seed, key)), 1, 12)) AS BIGINT)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum
+from ..operators.sampling import (
+    HASH_SCALE,
+    balance_strata,
+    bernoulli_sample,
+    split_column,
+    stratified_sample,
+    threshold,
+)
+from ..sources import load_table
+from . import register
+
+_H = "CAST(('0x' || substr(md5(concat_ws('|', '{seed}', CAST({key} AS VARCHAR))), 1, 12)) AS BIGINT)"
+
+
+@register(
+    "sample_bernoulli",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_H.format(seed="doc20", key="doc_id")} < {threshold(0.2)}
+    """,
+    doc="deterministic 20% Bernoulli sample of documents by content hash "
+    "of doc_id — narrow filter, no shuffle, no RNG; resample-stable "
+    "(EXT sampling)",
+    tags=("sampling",),
+)
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bernoulli_sample(docs, "doc_id", 0.2, seed="doc20").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "sample_train_test_split",
+    oracle=f"""
+    WITH h AS (
+        SELECT o_totalprice,
+               {_H.format(seed="split13", key="o_orderkey")} AS hv
+        FROM orders
+    ),
+    labeled AS (
+        SELECT CASE WHEN hv < {threshold(0.8)} THEN 'train'
+                    WHEN hv < {threshold(0.9)} THEN 'valid'
+                    ELSE 'test' END AS split,
+               o_totalprice
+        FROM h
+    )
+    SELECT split,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM labeled
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="80/10/10 train/valid/test split of orders by cumulative hash "
+    "thresholds on o_orderkey; per-split count + exact-decimal price "
+    "sum. Same key always lands in the same split across runs and "
+    "engines (EXT sampling)",
+    tags=("sampling",),
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    labeled = split_column(
+        orders,
+        "o_orderkey",
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+        seed="split13",
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total_price"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_H.format(seed="strat7", key="doc_id")}
+          < CASE lang WHEN 'en' THEN {threshold(0.25)}
+                      WHEN 'zh' THEN {threshold(0.6)}
+                      WHEN 'es' THEN {threshold(0.8)}
+                      WHEN 'de' THEN {threshold(1.0)}
+                      WHEN 'fr' THEN {threshold(1.0)}
+                      ELSE 0 END
+    """,
+    doc="per-language quota sampling (deterministic sampleBy): the "
+    "threshold is a CASE over the stratum, still one narrow filter — "
+    "no per-stratum pass, no shuffle (EXT sampling)",
+    tags=("sampling",),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "lang",
+        "doc_id",
+        {"en": 0.25, "zh": 0.6, "es": 0.8, "de": 1.0, "fr": 1.0},
+        seed="strat7",
+    ).select("doc_id", "lang")
+
+
+@register(
+    "sample_balance_langs",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS mn FROM c)
+    SELECT d.lang, COUNT(*) AS kept
+    FROM documents d
+    JOIN c ON d.lang = c.lang
+    CROSS JOIN m
+    WHERE {_H.format(seed="balance", key="d.doc_id")} * c.cnt
+          < m.mn * {HASH_SCALE}
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    doc="corpus mixture balancing: downsample every language toward the "
+    "smallest one. Per-stratum counts are a tiny map-side-combined agg "
+    "broadcast back to the scan; keep decision is exact bigint math "
+    "(h*cnt < min*2^48) so the oracle agrees row-for-row "
+    "(EXT sampling/mixture)",
+    tags=("sampling",),
+)
+def sample_balance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = balance_strata(docs, "lang", "doc_id", seed="balance")
+    return kept.groupBy("lang").agg(F.count("*").alias("kept")).orderBy("lang")
