@@ -15,6 +15,10 @@ simplified schema (no commitdate/receiptdate/partsupp):
 - Q18 : group-HAVING on a join, top-N
 - Q19 : OR-of-ANDs pushdown across a join
 - Q22 : global-scalar filter + anti join (dormant customers)
+- Q2  : min-per-group decorrelation (window MIN + equality) for the
+        min-cost supplier; Q9 : 5-way profit join; Q20 : aggregation-
+        filtered semi join; Q21 : EXISTS/NOT-EXISTS lineitem self-joins
+        (all four adapted for the absent partsupp/receiptdate columns)
 
 Scale notes: every dimension side is explicitly broadcast; the only
 shuffles that survive at 100 TB are fact⋈fact on orderkey (AQE-planned
@@ -646,4 +650,219 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("value") > F.lit(0.0012) * F.col("tot"))
         .select("l_suppkey", "value")
         .orderBy(F.desc("value"), "l_suppkey")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity
+                    AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN part     ON l_partkey  = p_partkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (partsupp absent — 0.6*p_retailprice*l_quantity "
+    "stands in for ps_supplycost): 5-way join, profit per nation per "
+    "year. part/supplier/nation broadcast; the only big shuffle is "
+    "lineitem x orders on orderkey; the part LIKE filter prunes the "
+    "fact early via the broadcast hash (E13,E14,E20,E33)",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+      FROM unit
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ROUND(unit_cost, 6) AS unit_cost
+    FROM best
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE unit_cost = best_cost
+      AND p_size BETWEEN 10 AND 25
+      AND p_type = 'ECONOMY'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, l_suppkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (partsupp absent — min observed unit price from "
+    "lineitem stands in for min ps_supplycost): the correlated "
+    "min-subquery is decorrelated into a per-part window MIN + equality "
+    "filter, so one shuffle on partkey serves both the aggregate and "
+    "the 'is the minimum' test; dims broadcast after (E13,E14,E25)",
+    tags=("relational", "join", "window", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").between(10, 25) & (F.col("p_type") == "ECONOMY")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = unit.withColumn("best_cost", F.min("unit_cost").over(w))
+    return (
+        best.where(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+            "l_suppkey",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "l_suppkey")
+        .limit(100)
+        .drop("l_suppkey")
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 50
+    )
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape (partsupp absent — per supplier x part shipped "
+    "quantity stands in for available stock): aggregation-filtered IN "
+    "becomes groupBy + HAVING + left-semi join; the HAVING output is "
+    "supplier-cardinality, so the semi side broadcasts (E15,E20)",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_quantity >= 45
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_quantity >= 45)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21 shape (no receiptdate — quantity >= 45 stands in for "
+    "'late'): the sole big-quantity supplier in multi-supplier 'F' "
+    "orders. EXISTS -> left-semi and NOT EXISTS -> left-anti, both "
+    "lineitem self-joins on orderkey with a supplier-inequality "
+    "residual — all three legs share the orderkey shuffle key "
+    "(E13,E15,E20)",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supplier = load_table(spark, sf_dir, "supplier")
+    l1 = li.where(F.col("l_quantity") >= 45)
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.where(F.col("l_quantity") >= 45).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
     )
