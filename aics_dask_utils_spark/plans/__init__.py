@@ -69,5 +69,6 @@ def all_plans() -> dict[str, QuerySpec]:
     from . import sources_plans  # noqa: F401
     from . import clustering  # noqa: F401
     from . import sampling  # noqa: F401
+    from . import llm_pipeline  # noqa: F401
 
     return REGISTRY

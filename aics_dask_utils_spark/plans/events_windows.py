@@ -193,3 +193,87 @@ def events_rate_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM {_EV}
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_view_after_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                         AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                         AND t_click > t_view AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM u
+    """,
+    doc="ordered conversion funnel signup→view→click→purchase via "
+    "conditional-min stage timestamps — one shuffle on user_id, then a "
+    "single-row global rollup (E20/E33 sequential-pattern analytics)",
+    tags=("events", "agg"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage_min(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    u = ev.groupBy("user_id").agg(
+        stage_min("signup").alias("t_signup"),
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_click") > F.col("t_view"))
+    s4 = s3 & (F.col("t_purchase") > F.col("t_click"))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(s1).alias("n_signup"),
+        cnt(s2).alias("n_view_after_signup"),
+        cnt(s3).alias("n_click_after_view"),
+        cnt(s4).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "events_daily_active",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM {_EV}
+    GROUP BY 1
+    """,
+    doc="daily-active rollup: events, distinct users, exact-decimal "
+    "value sum per calendar day (E21/E33)",
+    tags=("events", "agg"),
+)
+def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("sum_value"),
+    )

@@ -1,0 +1,210 @@
+"""LLM-training-data pipeline plans over `documents` (E38–E39 extensions).
+
+Three operators every large-scale corpus pipeline needs beyond basic
+quality scoring:
+
+- **decontamination** — flag training documents sharing word n-grams
+  with a held-out evaluation set. The eval side is tiny relative to the
+  corpus (benchmarks are ~1e5 n-grams vs ~1e11 training docs), so the
+  distinct eval-n-gram relation is broadcast: the 100 TB scan never
+  shuffles, each task probes a hash set. This is the standard
+  "13-gram overlap" recipe (GPT-3/PaLM appendices) at k=5 to suit the
+  ~40-token synthetic docs.
+- **repetition stats** — Gopher-style duplicate-bigram and top-bigram
+  fractions; high values indicate boilerplate/spam. Pure
+  explode→two-level aggregate; integer-derived doubles so the oracle
+  hash-matches bit-exactly.
+- **PII redaction** — regex find/replace-count for email- and
+  phone-shaped spans. Patterns chosen to behave identically under
+  Java regex (Spark) and RE2 (DuckDB). The synthetic corpus contains
+  no PII, so a deterministic PII-bearing prefix is constructed from
+  `doc_id` on BOTH engines — the regexes then have real positives to
+  find and redact.
+
+All three stay entirely in whole-stage codegen (no Python UDF), which
+is what makes them viable over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ..sources import load_table
+from . import register
+
+#: Which `source` partition plays the held-out benchmark in the
+#: decontamination plan.
+EVAL_SOURCE = "src0"
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z0-9.]+"
+_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_decontaminate",
+    oracle=rf"""
+    WITH grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+                 range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 3),
+                 i -> array_to_string(
+                        (regexp_split_to_array(lower(trim(text)), '\s+'))[i:i+4], ' ')
+             )) AS ngs
+      FROM documents
+    ),
+    eval_ng AS (
+      SELECT DISTINCT unnest(ngs) AS ng FROM grams WHERE source = '{EVAL_SOURCE}'
+    ),
+    train AS (SELECT doc_id, ngs FROM grams WHERE source <> '{EVAL_SOURCE}'),
+    hits AS (
+      SELECT tr.doc_id, COUNT(*) AS n_contaminated
+      FROM (SELECT doc_id, unnest(ngs) AS ng FROM train) tr
+      JOIN eval_ng USING (ng)
+      GROUP BY tr.doc_id
+    )
+    SELECT t.doc_id,
+           len(t.ngs) AS n_ngrams,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           COALESCE(h.n_contaminated, 0)::DOUBLE / len(t.ngs) AS contamination_ratio,
+           CAST(COALESCE(h.n_contaminated, 0) > 0 AS INT) AS contaminated
+    FROM train t LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="benchmark decontamination: distinct 5-gram overlap of training "
+    "docs (source != src0) vs the broadcast eval set (source = src0)",
+    tags=("text", "dedup"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.shingles("text", 5)
+    train = docs.where(F.col("source") != EVAL_SOURCE).select(
+        "doc_id", sh.alias("ngs")
+    )
+    eval_ngrams = (
+        docs.where(F.col("source") == EVAL_SOURCE)
+        .select(F.explode(sh).alias("ng"))
+        .distinct()
+    )
+    hits = (
+        train.select("doc_id", F.explode("ngs").alias("ng"))
+        .join(F.broadcast(eval_ngrams), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return (
+        train.select("doc_id", F.size("ngs").alias("n_ngrams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            n_hit.alias("n_contaminated"),
+            (n_hit.cast("double") / F.col("n_ngrams")).alias(
+                "contamination_ratio"
+            ),
+            (n_hit > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=r"""
+    WITH bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+                 range(1, len(regexp_split_to_array(lower(trim(text)), '\s+'))),
+                 i -> (regexp_split_to_array(lower(trim(text)), '\s+'))[i]
+                      || ' ' ||
+                      (regexp_split_to_array(lower(trim(text)), '\s+'))[i+1]
+             )) AS bigram
+      FROM documents
+    ),
+    cnts AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT)                        AS n_bigrams,
+           COUNT(*)                                        AS n_distinct_bigrams,
+           CAST(MAX(cnt) AS BIGINT)                        AS top_bigram_n,
+           (CAST(SUM(cnt) AS BIGINT) - COUNT(*))::DOUBLE
+               / CAST(SUM(cnt) AS BIGINT)                  AS dup_bigram_fraction,
+           CAST(MAX(cnt) AS BIGINT)::DOUBLE
+               / CAST(SUM(cnt) AS BIGINT)                  AS top_bigram_fraction
+    FROM cnts
+    GROUP BY doc_id
+    """,
+    doc="Gopher-style repetition signals: duplicate-bigram fraction and "
+    "most-frequent-bigram fraction per document (E39)",
+    tags=("text",),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i.cast("int")),
+                F.element_at(t, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnts = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = F.sum("cnt")
+    distinct = F.count(F.lit(1))
+    return cnts.groupBy("doc_id").agg(
+        total.alias("n_bigrams"),
+        distinct.alias("n_distinct_bigrams"),
+        F.max("cnt").alias("top_bigram_n"),
+        ((total - distinct).cast("double") / total).alias("dup_bigram_fraction"),
+        (F.max("cnt").cast("double") / total).alias("top_bigram_fraction"),
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=rf"""
+    WITH p AS (
+      SELECT doc_id,
+             'contact u' || doc_id || '@ex.com or call 555-'
+               || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ' || text AS pii_text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM p
+    """,
+    doc="PII scrubbing: count + redact email/phone-shaped spans "
+    "(deterministic synthetic PII prefix; regexes portable across "
+    "Java regex and RE2) (E39/E32)",
+    tags=("text",),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.lit("contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(pii, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(pii, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

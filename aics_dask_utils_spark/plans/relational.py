@@ -626,3 +626,33 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal"),
         F.col("c_nationkey").cast("double").alias("nationkey"),
     ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="fixed-width histogram binning of a measure (floor-divide bucket "
+    "key; map-side partial agg makes this a near-free full-scan profile "
+    "at 100 TB) (E20/E34)",
+    tags=("agg",),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / F.lit(5000.0))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )

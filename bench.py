@@ -49,6 +49,7 @@ HEADLINE = [
     "events_session",
     "text_tfidf_top_terms",
     "text_quality",
+    "text_decontaminate",
     "dedup_minhash_lsh",
     "pipeline_clean_corpus",
     "dedup_embedding_cosine",
