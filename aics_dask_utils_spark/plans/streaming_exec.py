@@ -154,3 +154,32 @@ def stream_sliding_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = sliding_counts(read_events_stream(spark, sf_dir))
     name = run_stream_to_memory(sdf, "complete")
     return spark.table(name)
+
+
+@register(
+    "stream_stream_join_exec",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM {_EV} WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM {_EV} WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    """,
+    doc="EXECUTED stream-stream interval join: purchases attributed to "
+    "the same user's clicks in the prior 30 min; watermarks on both "
+    "sides + two-sided time bounds keep join state finite (E41,E44)",
+    tags=("streaming", "join"),
+)
+def stream_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import click_purchase_join
+
+    ev = read_events_stream(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = read_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "click"
+    )
+    out = click_purchase_join(purchases, clicks)
+    name = run_stream_to_memory(out, "append")
+    return spark.table(name)

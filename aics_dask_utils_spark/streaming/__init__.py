@@ -21,4 +21,5 @@ from .ops import (  # noqa: F401
     session_counts,
     dedup_events_within_watermark,
     running_count_per_user,
+    click_purchase_join,
 )

@@ -145,3 +145,31 @@ def running_count_per_user(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def click_purchase_join(
+    purchases: DataFrame, clicks: DataFrame, lookback: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join (E41/E44): each purchase matched to
+    the same user's clicks in the preceding ``lookback`` window. Both
+    sides carry watermarks and the join condition bounds event time on
+    both sides, so state for either stream is evicted once the
+    watermark passes — the unbounded-state trap of stream-stream joins
+    is closed and the operator runs forever at 100 TB/day."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", "1 hour")
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "1 hour")
+    return p.join(
+        c,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
