@@ -277,3 +277,36 @@ def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum("value").alias("sum_value"),
     )
+
+
+@register(
+    "events_retention",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+               FROM {_EV}),
+    firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, d.day) AS INT) AS day_offset,
+           COUNT(DISTINCT d.user_id) AS n_active
+    FROM d JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention: users bucketed by first-active day, distinct "
+    "actives per (cohort, day-offset) — first-touch relation is tiny "
+    "per cohort and joins back broadcast-style at scale (E20/E33)",
+    tags=("events", "agg"),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    firsts = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

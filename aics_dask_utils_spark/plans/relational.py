@@ -656,3 +656,48 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
+
+
+@register(
+    "agg_mode_median",
+    oracle="""
+    WITH cnts AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    modes AS (
+      SELECT l_returnflag, l_quantity AS mode_qty
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                        ORDER BY cnt DESC, l_quantity) AS rn FROM cnts) t
+      WHERE rn = 1
+    ),
+    med AS (
+      SELECT l_returnflag, MEDIAN(l_quantity) AS median_qty, COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT med.l_returnflag, median_qty, mode_qty, n
+    FROM med JOIN modes USING (l_returnflag)
+    """,
+    doc="median (interpolated) + deterministic mode (ties break to the "
+    "smallest value — unlike the built-in MODE, which is tie-unstable "
+    "on both engines) per group (E22)",
+    tags=("agg",),
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cnts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.col("l_quantity"))
+    modes = (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return med.join(modes, "l_returnflag").select(
+        "l_returnflag", "median_qty", "mode_qty", "n"
+    )

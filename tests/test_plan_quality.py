@@ -79,3 +79,25 @@ def test_minhash_lsh_no_cartesian(spark, sf_dir):
     plan = _formatted(spark, "dedup_minhash_lsh", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
+    # the eval-benchmark n-gram set must broadcast: the training-corpus
+    # scan side of a 100 TB decontamination pass must never shuffle
+    plan = _formatted(spark, "text_decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_histogram_partial_agg(spark, sf_dir):
+    # binning profile must combine map-side: the exchange carries one
+    # row per (partition, bin), not per lineitem row
+    plan = _formatted(spark, "agg_histogram", sf_dir)
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_funnel_single_wide_shuffle(spark, sf_dir):
+    # funnel = groupBy(user) then a global single-row rollup: exactly
+    # one wide exchange over the fact table plus the 1-row final merge
+    plan = _formatted(spark, "events_funnel", sf_dir)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, plan
