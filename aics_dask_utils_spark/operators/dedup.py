@@ -177,16 +177,37 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.alias("a")
-    b2 = banded.alias("b")
+    # Bucket-grouped pair enumeration, NOT a banded-self-join: a self-join
+    # would evaluate the whole signature pipeline twice (self-join alias
+    # rewriting defeats ReuseExchange — measured 6.3s vs 1.9s at sf0.1)
+    # and shuffle it twice. Here the signature relation shuffles ONCE on
+    # (band, bh); near-dup buckets are tiny, so in-bucket pair expansion
+    # is ~|bucket|² over single-digit buckets. At corpus scale a
+    # degenerate hot bucket (e.g. empty docs) is the known hazard — cap
+    # it upstream by exact-dedup'ing first (pipeline_clean_corpus does).
+    ids = F.array_sort(F.collect_list("doc_id"))
     cand = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        banded.groupBy("band", "bh")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "ids", i + 2, F.size(F.col("ids"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("d1"), y.alias("d2")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select("p.d1", "p.d2")
         .distinct()
     )
     # Verify ONLY the candidates: fan each candidate out to d1's shingles
