@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.deterministic import dsum
+from ..functions.deterministic import davg, drounded, dsum
 from ..operators.asof import asof_join
 from ..sources import load_table
 from . import register
@@ -309,4 +309,44 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value)
+                 AS mean_value,
+             ROUND(STDDEV_SAMP(value), 6) AS std_value
+      FROM {_EV} GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.mean_value) / s.std_value AS zscore,
+           CAST(ABS((e.value - s.mean_value) / s.std_value) > 2.0 AS INT)
+               AS is_anomaly
+    FROM {_EV} e JOIN stats s USING (event_type)
+    """,
+    doc="per-type z-score normalization + outlier flag: tiny stats "
+    "relation broadcast back onto the stream — the standard two-pass "
+    "normalize at 100 TB (E20/E22/E34)",
+    tags=("events", "agg"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        davg("value").alias("mean_value"),
+        drounded(F.stddev_samp("value")).alias("std_value"),
+    )
+    z = (F.col("value") - F.col("mean_value")) / F.col("std_value")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("zscore"),
+            (F.abs(z) > 2.0).cast("int").alias("is_anomaly"),
+        )
     )

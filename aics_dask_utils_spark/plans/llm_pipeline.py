@@ -208,3 +208,54 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(pii, F.lit(_PHONE_RE)).alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+@register(
+    "text_unigram_lm_score",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    vs  AS (SELECT COUNT(*) AS v FROM vocab)
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(ROUND(-LN((vocab.cnt + 1.0) / (tot.n + vs.v)), 6)
+                         AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+               AS avg_neg_logprob
+    FROM tok
+    JOIN vocab USING (term)
+    CROSS JOIN tot CROSS JOIN vs
+    GROUP BY tok.doc_id
+    """,
+    doc="corpus-trained add-1 unigram LM scoring: per-doc mean negative "
+    "log-probability (the KenLM-style fluency/quality proxy). The "
+    "vocabulary relation is corpus-small -> broadcast; per-token "
+    "logprobs rounded to 6dp then decimal-summed so the mean is "
+    "order-independent and engine-exact (E38/E39)",
+    tags=("text",),
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
+    ).withColumn("j", F.lit(1))
+    logp = F.round(
+        -F.log((F.col("cnt") + 1.0) / (F.col("n") + F.col("v"))), 6
+    ).cast("decimal(30,6)")
+    return (
+        tok.join(F.broadcast(vocab), "term")
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(totals), "j")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(logp).cast("double") / F.count(F.lit(1))).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

@@ -701,3 +701,31 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(modes, "l_returnflag").select(
         "l_returnflag", "median_qty", "mode_qty", "n"
     )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+    SELECT o_orderstatus,
+           struct_extract(max({'p': o_totalprice, 'k': o_orderkey}), 'k')
+               AS max_price_orderkey,
+           struct_extract(min({'p': o_totalprice, 'k': o_orderkey}), 'k')
+               AS min_price_orderkey,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="arg-max/arg-min per group via lexicographic struct MAX/MIN — "
+    "unlike bare MAX_BY/ARG_MAX this is tie-deterministic on both "
+    "engines (ties break to the larger/smaller key) (E20/E22)",
+    tags=("agg",),
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pk = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    return orders.groupBy("o_orderstatus").agg(
+        F.max(pk)["k"].alias("max_price_orderkey"),
+        F.min(pk)["k"].alias("min_price_orderkey"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )

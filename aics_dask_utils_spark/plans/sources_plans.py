@@ -119,3 +119,80 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price"))
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="ORC round trip (E2/E5): customer written as ORC, read back, "
+    "aggregated — the columnar-format breadth check beyond parquet",
+    tags=("source",),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    )
+    path = _tmp(sf_dir, "orc")
+    cust.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("sum_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "sink_upsert_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    updates AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NULL THEN 'kept'
+                WHEN b.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM base b FULL OUTER JOIN updates u USING (o_orderkey)
+    """,
+    doc="MERGE/upsert sink (E5): updates win over base, unmatched "
+    "updates insert, unmatched base rows survive — the full-outer-join "
+    "formulation of MERGE INTO, round-tripped through a parquet sink. "
+    "At scale both sides shuffle once on the merge key (or zero times "
+    "if the base table is bucketed on it)",
+    tags=("source", "join"),
+)
+def sink_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") % 2 == 0)
+    updates = orders.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    merged = b.join(u, on="o_orderkey", how="full_outer").select(
+        F.col("o_orderkey"),
+        F.coalesce("u.o_orderstatus", "b.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("u.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+        F.when(F.col("u.o_orderstatus").isNull(), "kept")
+        .when(F.col("b.o_orderstatus").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+    path = _tmp(sf_dir, "merge")
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
