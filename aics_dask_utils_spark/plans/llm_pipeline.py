@@ -259,3 +259,62 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_span_dedup",
+    oracle=r"""
+    WITH spans AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 7),
+                 i -> md5(array_to_string(
+                        (regexp_split_to_array(lower(trim(text)), '\s+'))[i:i+8],
+                        ' '))
+             ))) AS span_h
+      FROM documents
+    ),
+    freq AS (
+      SELECT span_h, COUNT(DISTINCT doc_id) AS n_docs
+      FROM spans GROUP BY span_h
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_spans,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+               / COUNT(*) AS shared_span_fraction
+    FROM spans s JOIN freq f USING (span_h)
+    GROUP BY s.doc_id
+    """,
+    doc="cross-document span dedup (exact-substring style, Lee et al. "
+    "2022): distinct 9-token spans hashed corpus-wide; per-doc "
+    "fraction of spans appearing in >1 document. Span hashes shuffle "
+    "once for the frequency count and once back — both linear in "
+    "corpus tokens; md5 keys keep the shuffle narrow (16 bytes/span) "
+    "at 100 TB (E30/E31/E39)",
+    tags=("text", "dedup"),
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(T.shingles("text", 9), lambda s: F.md5(s))
+        ).alias("span_h"),
+    )
+    freq = spans.groupBy("span_h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        spans.join(freq, "span_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            shared.alias("n_shared_spans"),
+            (shared.cast("double") / F.count(F.lit(1))).alias(
+                "shared_span_fraction"
+            ),
+        )
+    )
