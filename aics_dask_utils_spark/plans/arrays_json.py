@@ -167,3 +167,54 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_val")
         )
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             NULLIF(list_max(list_transform(embedding,
+                     x -> ABS(CAST(x AS DOUBLE)))) / 127.0, 0.0) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, label, ROUND(scale, 6) AS scale_r,
+           CAST(list_reduce(list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) / scale, 0) AS BIGINT)),
+                 (a, b) -> a + b) AS BIGINT) AS q_sum,
+           ROUND(list_reduce(list_transform(embedding,
+                 x -> (CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / scale, 0) * scale)
+                    * (CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / scale, 0) * scale)),
+                 (a, b) -> a + b), 6) AS sq_err
+    FROM s
+    """,
+    doc="symmetric int8 quantization of embeddings: per-vector scale = "
+    "max|x|/127, quantized checksum + reconstruction squared error — "
+    "the 4x storage shrink applied before shipping a 100 TB vector "
+    "store; pure JVM folds, no UDF (E12/E36)",
+    tags=("array", "similarity"),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = as_double_array("embedding")
+    scale = F.nullif(
+        F.array_max(F.transform(arr, lambda x: F.abs(x))) / 127.0, F.lit(0.0)
+    )
+    emb = emb.withColumn("scale", scale)
+    sc = F.col("scale")
+    q = F.transform(arr, lambda x: F.round(x / sc, 0).cast("bigint"))
+    dq_err = F.transform(
+        arr,
+        lambda x: (x - F.round(x / sc, 0) * sc) * (x - F.round(x / sc, 0) * sc),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(sc, 6).alias("scale_r"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
+            "q_sum"
+        ),
+        F.round(
+            F.aggregate(dq_err, F.lit(0.0), lambda a, b: a + b), 6
+        ).alias("sq_err"),
+    )

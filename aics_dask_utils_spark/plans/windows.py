@@ -171,3 +171,38 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("c_name", 2).over(w).alias("second_name"),
     )
+
+
+@register(
+    "window_trailing_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+               AS sum_last_hour
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 epoch(CAST(ts AS TIMESTAMP))::BIGINT AS ts_sec
+          FROM events) e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="trailing 1-hour per-event rolling stats via RANGE frame on "
+    "epoch seconds — the time-based sliding frame (E27) that rows-based "
+    "frames can't express; decimal running sum keeps it order-exact",
+    tags=("window", "events"),
+)
+def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, W.currentRow)
+    )
+    dec = F.col("value").cast("decimal(30,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(dec).over(w).cast("double").alias("sum_last_hour"),
+    )
