@@ -183,3 +183,44 @@ def stream_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = click_purchase_join(purchases, clicks)
     name = run_stream_to_memory(out, "append")
     return spark.table(name)
+
+
+@register(
+    "stream_foreach_batch_exec",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM {_EV}
+    WHERE value > 50.0
+    GROUP BY event_type
+    """,
+    doc="EXECUTED stream: foreachBatch parquet sink — each micro-batch "
+    "lands as an atomic append, then the landed files are aggregated; "
+    "checkpointed so a restart resumes, the production stream-to-lake "
+    "path (E41,E45,E5)",
+    tags=("streaming", "source"),
+)
+def stream_foreach_batch_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..streaming import read_events_stream
+    from ..streaming.ops import run_stream_foreach_batch_parquet
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fb_{tag}"
+    for p in (path, path + "_ckpt"):
+        shutil.rmtree(p, ignore_errors=True)
+    sdf = read_events_stream(spark, sf_dir).where(F.col("value") > 50.0)
+    run_stream_foreach_batch_parquet(sdf, path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -173,3 +173,24 @@ def click_purchase_join(
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "inner",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+def run_stream_foreach_batch_parquet(sdf: DataFrame, path: str) -> None:
+    """Drain a stream through ``foreachBatch`` into parquet (E41/E45):
+    the production sink pattern — each micro-batch lands as an atomic
+    append job, giving exactly-once-per-batch file output plus the
+    freedom to run arbitrary batch logic (merge, dedup, compaction)
+    inside the sink. availableNow => terminates after draining."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", path.rstrip("/") + "_ckpt"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
