@@ -93,3 +93,92 @@ def test_ann_pandas_matches_jvm_brute(spark, sf_dir):
         == pb[["q_id", "neighbor_id", "rank"]].values
     ).all()
     assert np.allclose(pa["cosine"], pb["cosine"], atol=1e-9)
+
+
+_token_docs = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+        min_size=0,
+        max_size=15,
+    ).map(lambda ws: " ".join(ws)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=_token_docs)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_shingle_count_and_bag_fingerprint_invariants(spark, docs):
+    """shingles(k) yields <= max(0, n_tokens-k+1) entries (distinct-capped,
+    never the descending-sequence artifact); fingerprint_bag is invariant
+    under token-order permutation."""
+    from aics_dask_utils_spark.operators.text import (
+        fingerprint_bag,
+        shingles,
+        tokens,
+    )
+
+    rows = [(i, d, " ".join(reversed(d.split()))) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string, rev string")
+    got = df.select(
+        F.size(tokens("text")).alias("n_tok"),
+        F.size(shingles("text", 3)).alias("n_sh"),
+        (fingerprint_bag("text") == fingerprint_bag("rev")).alias("bag_eq"),
+    ).collect()
+    for r in got:
+        assert 0 <= r["n_sh"] <= max(0, r["n_tok"] - 2)
+        assert r["bag_eq"]
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+            ).map(lambda x: round(x, 3)),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_quantization_error_bound(spark, vecs):
+    """int8 symmetric quantization: each reconstructed component is within
+    scale/2 of the original, so per-vector squared error <= dim*(scale/2)^2."""
+    from aics_dask_utils_spark.functions.vectors import as_double_array
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, embedding array<double>",
+    )
+    arr = as_double_array("embedding")
+    scale = F.nullif(
+        F.array_max(F.transform(arr, lambda x: F.abs(x))) / 127.0, F.lit(0.0)
+    )
+    df = df.withColumn("scale", scale)
+    sc = F.col("scale")
+    err = F.aggregate(
+        F.transform(
+            arr,
+            lambda x: (x - F.round(x / sc, 0) * sc)
+            * (x - F.round(x / sc, 0) * sc),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    got = df.select("scale", err.alias("err")).collect()
+    for r in got:
+        if r["scale"] is None:
+            assert r["err"] is None  # all-zero vector: NULL propagates
+        else:
+            assert r["err"] <= 4 * (r["scale"] / 2.0) ** 2 + 1e-12
