@@ -14,6 +14,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from ..functions.deterministic import dsum
@@ -21,9 +22,11 @@ from ..functions.deterministic import dsum
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (E41). Schema is pinned
-    (streaming sources must not infer), and the nanosecond parquet
-    timestamp arrives as long -> converted to a µs event-time column,
-    matching the batch reader."""
+    (streaming sources must not infer). ``ts`` is normalized to a µs
+    TIMESTAMP (LTZ) event-time column whatever the parquet encoding —
+    INT64 nanos arrive as long (legacy conf) and are floor-converted;
+    TIMESTAMP(µs, NTZ) is reinterpreted as UTC (the session timezone),
+    which watermarks require (event time must be LTZ)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
@@ -36,8 +39,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if "ts" in sdf.columns and isinstance(sdf.schema["ts"].dataType, LongType):
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if "ts" in sdf.columns:
+        ts_type = sdf.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 
