@@ -136,3 +136,33 @@ def balance_strata(
     return joined.where(h * F.col("_cnt") < F.col("_mn") * F.lit(HASH_SCALE)).drop(
         "_cnt", "_mn"
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    k: int,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of ``k`` rows
+    (Efraimidis–Spirakis A-ES): each row draws an exponential key
+    ``-ln(u)/w`` from its content-hash uniform ``u`` and its weight
+    ``w``; the k smallest keys are exactly a weight-proportional sample
+    without replacement.
+
+    Same scale shape as the other samplers: the draw is a narrow
+    per-row expression; selection is a global top-k, which Spark runs
+    as per-partition top-k + a k-row merge (TakeOrderedAndProject) —
+    no full sort, no shuffle of the data. Deterministic: the same rows
+    win on any engine, at any partition count, and appending new rows
+    only ever displaces rows at the selection boundary.
+    """
+    # u in (0,1): (h + 0.5) / 2^48 — never 0 or 1, so ln is finite.
+    u = (hash48(F.col(key), seed).cast("double") + 0.5) / F.lit(float(HASH_SCALE))
+    draw = -F.log(u) / weight.cast("double")
+    return (
+        df.withColumn("draw_key", draw)
+        .orderBy(F.col("draw_key").asc(), F.col(key).asc())
+        .limit(k)
+    )

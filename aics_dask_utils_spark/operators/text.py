@@ -160,3 +160,55 @@ def tf_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
         .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))
         .drop("n")
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag-of-terms query
+    (Robertson/Spärck Jones; Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    Returns (doc_id, dl, bm25) for documents matching >= 1 query term.
+
+    Scale shape: the token explode is filtered to query terms BEFORE
+    the (doc, term) aggregation, so the shuffle carries only matching
+    postings — |matches|, not |tokens|. Corpus stats (N, total length)
+    and per-term document frequencies are tiny aggregates broadcast
+    back onto the postings. Per-term weights are rounded to 6 dp and
+    summed in exact decimal, so scores hash-match any engine running
+    the same arithmetic.
+    """
+    from ..functions.deterministic import dsum
+
+    toks = tokens(text_col)
+    q = F.array(*[F.lit(t) for t in query_terms])
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(F.filter(toks, lambda t: F.array_contains(q, t))).alias("term"),
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_dl"),
+    )
+    tf = base.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_tf = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    )
+    weighted = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", F.round(idf * norm_tf, 6))
+    )
+    return weighted.groupBy("doc_id", "dl").agg(dsum("w").alias("bm25"))

@@ -350,3 +350,67 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2.0).cast("int").alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "events_resample_ffill",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP AS bucket,
+             value
+      FROM {_EV}
+    ),
+    agg AS (
+      SELECT user_id, bucket, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY user_id, bucket
+    ),
+    rng AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY user_id),
+    filled AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM rng
+    )
+    SELECT f.user_id, f.bucket, COALESCE(a.n, 0) AS n, a.sum_value,
+           LAST_VALUE(a.sum_value IGNORE NULLS) OVER (
+             PARTITION BY f.user_id ORDER BY f.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM filled f LEFT JOIN agg a ON f.user_id = a.user_id AND f.bucket = a.bucket
+    """,
+    doc="time-series resample to a regular hourly grid per user: bucket "
+    "aggregate, gap-fill missing buckets via per-user sequence+explode, "
+    "forward-fill the last observed value (E27/E33/E51 feature-"
+    "engineering composite). The dense grid is generated from a tiny "
+    "per-user (lo, hi) relation, never by cross-joining a calendar",
+    tags=("events", "window"),
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias(
+            "bucket"
+        ),
+        "value",
+    )
+    agg = b.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
+    rng = agg.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    filled = rng.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    w = W.partitionBy("user_id").orderBy("bucket")
+    return (
+        filled.join(agg, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "sum_value",
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

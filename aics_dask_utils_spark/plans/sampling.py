@@ -147,3 +147,42 @@ def sample_balance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     kept = balance_strata(docs, "lang", "doc_id", seed="balance")
     return kept.groupBy("lang").agg(F.count("*").alias("kept")).orderBy("lang")
+
+
+@register(
+    "sample_weighted_topk",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, n_tokens,
+             -ln(({_H.format(seed="wsample", key="doc_id")} + 0.5)
+                 / {HASH_SCALE}.0) / n_tokens AS draw
+      FROM t
+    )
+    SELECT doc_id, n_tokens, ROUND(draw, 6) AS draw
+    FROM d ORDER BY draw, doc_id LIMIT 50
+    """,
+    doc="deterministic weighted sampling WITHOUT replacement "
+    "(Efraimidis-Spirakis A-ES): exponential draw -ln(u)/w from a "
+    "content-hash uniform, k smallest win; weight = token count, so "
+    "longer documents are proportionally likelier. Draw is a narrow "
+    "expression; selection is TakeOrdered top-k, no global sort "
+    "(EXT sampling)",
+    tags=("sampling",),
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample_topk
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    picked = weighted_sample_topk(
+        base, "doc_id", F.col("n_tokens"), k=50, seed="wsample"
+    )
+    return picked.select(
+        "doc_id", "n_tokens", F.round("draw_key", 6).alias("draw")
+    )

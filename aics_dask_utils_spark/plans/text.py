@@ -183,3 +183,49 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 2)
         .select("doc_id", "term", "tf", "df", "idf", "tfidf")
     )
+
+
+_BM25_TERMS = ["dup", "vector", "hash"]
+_BM25_TERMS_SQL = ",".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "text_bm25_search",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_dl FROM toks),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             unnest(list_filter(t, x -> list_contains([{_BM25_TERMS_SQL}], x))) AS term
+      FROM toks
+    ),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT doc_id, dl,
+             ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+                                  / (total_dl::DOUBLE / n_docs))), 6) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, dl, CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) AS bm25
+      FROM w GROUP BY doc_id, dl
+    )
+    SELECT doc_id, dl, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    doc="Okapi BM25 top-20 retrieval for a bag-of-terms query (E38/E39): "
+    "postings filtered to query terms before the (doc,term) shuffle, "
+    "df/corpus stats broadcast, per-term weights decimal-summed; the "
+    "final top-k is TakeOrdered (per-partition top-k + k-row merge), "
+    "never a global sort",
+    tags=("text", "similarity"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.bm25_scores(docs, _BM25_TERMS)
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
