@@ -123,6 +123,66 @@ def select_plane(
     )
 
 
+def sample_frames(decoded: DataFrame, every_n: int = 1, s: int = 0) -> DataFrame:
+    """Video-style frame sampling (E11 for the time axis): emit every
+    Nth T-frame as its own row, each frame the full (C,Z,Y,X) block at
+    that timestep. Pure column arithmetic on the flat STCZYX layout —
+    sequence+explode generates the sampled timesteps and slice cuts the
+    block, so the whole op stays in whole-stage codegen; the decoded
+    bytes are never re-decoded or copied through Python. At 100 TB the
+    explode is the parallelism win: one input video fans out to
+    per-frame rows that downstream feature extraction processes
+    independently."""
+    sh = F.col("shape")
+    dim = {n: F.element_at(sh, i + 1).cast("long") for i, n in enumerate("STCZYX")}
+    block = dim["C"] * dim["Z"] * dim["Y"] * dim["X"]
+    ts = F.sequence(F.lit(0).cast("long"), dim["T"] - 1, F.lit(every_n).cast("long"))
+    offset = (F.lit(s) * dim["T"] + F.col("t")) * block
+    return (
+        decoded.select("path", "shape", "pixels", F.explode(ts).alias("t"))
+        .select(
+            "path",
+            F.col("t").cast("int").alias("t"),
+            F.slice(
+                F.col("pixels"), (offset + 1).cast("int"), block.cast("int")
+            ).alias("frame"),
+        )
+    )
+
+
+def resize_plane_nn(
+    planes: DataFrame, factor: int, plane_col: str = "plane"
+) -> DataFrame:
+    """Nearest-neighbor downsample of a 2-D plane by an integer factor
+    (the resize step of the media pipeline), as index arithmetic over
+    the flat row-major plane: out(r, c) = in(r*factor, c*factor).
+    Built-in transform/element_at only — no UDF, no Python."""
+    h = F.col("height").cast("long")
+    w = F.col("width").cast("long")
+    out_h = F.floor(h / factor)
+    out_w = F.floor(w / factor)
+    idx = F.sequence(F.lit(0).cast("long"), out_h * out_w - 1)
+    picked = F.transform(
+        idx,
+        lambda i: F.element_at(
+            F.col(plane_col),
+            (
+                F.floor(i / out_w) * factor * w + (i % out_w) * factor + 1
+            ).cast("int"),
+        ),
+    )
+    # Output columns get temp names first: aliasing `width` in the same
+    # select would LATERALLY capture the `width` reference inside the
+    # transform lambda (Spark resolves lateral column aliases before
+    # input columns), silently resizing against the output width.
+    return planes.select(
+        "path",
+        out_h.cast("int").alias("__out_h"),
+        out_w.cast("int").alias("__out_w"),
+        picked.alias("plane"),
+    ).withColumnsRenamed({"__out_h": "height", "__out_w": "width"})
+
+
 def write_planes(
     planes: DataFrame, out_dir: str, encoder: Optional[Callable] = None
 ) -> int:

@@ -75,3 +75,99 @@ def multimodal_decode_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return select_plane(decode_images(binary_df), channel_name="c1")
+
+
+def _fake_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STCZYX (1,6,1,1,4,4) 'video' per doc: 96 px from md5(text) x 3."""
+    import struct
+
+    from ..operators.multimodal import FAKE_MAGIC
+
+    shape = (1, 6, 1, 1, 4, 4)
+    names = b"c0"
+    header = (
+        FAKE_MAGIC + struct.pack(">6H", *shape) + struct.pack(">H", len(names)) + names
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.concat(
+            F.lit(header), F.encode(F.repeat(F.md5("text"), 3), "UTF-8")
+        ).alias("content"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, repeat(md5(text), 3) AS px  -- 6 frames x 16 px
+      FROM documents
+    ),
+    ts AS (SELECT unnest(generate_series(0, 5, 2)) AS t)
+    SELECT CAST(doc_id AS VARCHAR) AS path,
+           CAST(t AS INT) AS t,
+           list_transform(generate_series(t * 16 + 1, t * 16 + 16),
+                          i -> ord(substr(px, CAST(i AS INT), 1))) AS frame
+    FROM img CROSS JOIN ts
+    """,
+    doc="EXECUTED video frame sampling (E10,E11): a 6-frame FAKEIMG "
+    "'video' per doc (md5-hex pixels), decoded via mapInPandas, then "
+    "every 2nd T-frame cut out by sequence+explode+slice column "
+    "arithmetic — one row per sampled frame, no re-decode, no Python "
+    "in the sampling path. The oracle recomputes the same 16-px frames "
+    "from the hex chars",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_images, sample_frames
+
+    return sample_frames(decode_images(_fake_video(spark, sf_dir)), every_n=2)
+
+
+@register(
+    "multimodal_resize_plane",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, repeat(md5(text), 3) AS px
+      FROM documents
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS path,
+           CAST(2 AS INT) AS height, CAST(2 AS INT) AS width,
+           list_transform(generate_series(0, 3),
+                          i -> ord(substr(px,
+                                CAST(64 + (i // 2) * 8 + (i % 2) * 2 + 1 AS INT),
+                                1))) AS plane
+    FROM img
+    """,
+    doc="decode -> plane-select -> nearest-neighbor 2x downsample "
+    "(E10,E11): the resize step of the media pipeline as pure "
+    "transform/element_at index arithmetic (out(r,c) = in(2r,2c)) on "
+    "the 4x4 plane from multimodal_decode_slice — no UDF in the resize; "
+    "the oracle picks the same 4 chars of the hex payload",
+    tags=("multimodal",),
+)
+def multimodal_resize_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from ..operators.multimodal import (
+        FAKE_MAGIC,
+        decode_images,
+        resize_plane_nn,
+        select_plane,
+    )
+
+    shape = (1, 1, 2, 3, 4, 4)
+    names = b"c0,c1"
+    header = (
+        FAKE_MAGIC + struct.pack(">6H", *shape) + struct.pack(">H", len(names)) + names
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    binary_df = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.concat(
+            F.lit(header), F.encode(F.repeat(F.md5("text"), 3), "UTF-8")
+        ).alias("content"),
+    )
+    planes = select_plane(decode_images(binary_df), channel_name="c1")
+    return resize_plane_nn(planes, factor=2)

@@ -196,3 +196,70 @@ def sink_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp(sf_dir, "merge")
     merged.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@register(
+    "sink_scd2_history",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey, c_acctbal,
+           DATE '1995-01-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to,
+           1 AS is_current
+    FROM customer WHERE c_custkey % 7 <> 0
+    UNION ALL
+    SELECT c_custkey, c_acctbal,
+           DATE '1995-01-01' AS valid_from,
+           DATE '1998-06-01' AS valid_to,
+           0 AS is_current
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, c_acctbal,
+           DATE '1998-06-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to,
+           1 AS is_current
+    FROM upd
+    """,
+    doc="SCD type-2 dimension history (E5/E55 family): applying a change "
+    "batch to a dimension snapshot closes out changed rows "
+    "(valid_to = effective date, is_current 0) and opens new versions, "
+    "unchanged rows pass through — the warehouse pattern for tracking "
+    "attribute history. Change detection is a left_semi/left_anti pair "
+    "on the key (one shuffle each, zero if the dimension is bucketed); "
+    "version rows are a union of three narrow branches",
+    tags=("sink", "join"),
+)
+def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base_date = F.to_date(F.lit("1995-01-01"))
+    eff_date = F.to_date(F.lit("1998-06-01"))
+    null_date = F.lit(None).cast("date")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    upd = cust.where(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    upd_keys = upd.select("c_custkey")
+    unchanged = cust.join(upd_keys, "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_acctbal",
+        base_date.alias("valid_from"),
+        null_date.alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    closed = cust.join(upd_keys, "c_custkey", "left_semi").select(
+        "c_custkey",
+        "c_acctbal",
+        base_date.alias("valid_from"),
+        eff_date.alias("valid_to"),
+        F.lit(0).alias("is_current"),
+    )
+    opened = upd.select(
+        "c_custkey",
+        "c_acctbal",
+        eff_date.alias("valid_from"),
+        null_date.alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(opened)

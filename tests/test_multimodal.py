@@ -79,3 +79,34 @@ def test_per_row_sink(spark, image_dir, tmp_path):
 def test_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_resize_nn_picks_strided_pixels(spark):
+    """Regression: the resize lambda must index with the INPUT width.
+
+    Aliasing the output column as `width` in the same select used to
+    lateral-capture the `width` reference inside the transform lambda
+    (Spark resolves lateral column aliases before input columns),
+    silently striding by the output width instead of the input's.
+    """
+    from aics_dask_utils_spark.operators.multimodal import resize_plane_nn
+
+    df = spark.createDataFrame(
+        [("p", 4, 4, list(range(16)))],
+        "path string, height int, width int, plane array<int>",
+    )
+    row = resize_plane_nn(df, 2).collect()[0]
+    assert (row["height"], row["width"]) == (2, 2)
+    assert row["plane"] == [0, 2, 8, 10]  # in(0,0), in(0,2), in(2,0), in(2,2)
+
+
+def test_frame_sample_cuts_time_blocks(spark):
+    from aics_dask_utils_spark.operators.multimodal import sample_frames
+
+    # STCZYX (1,4,1,1,2,2): 4 frames of 4 px each, pixels 0..15.
+    df = spark.createDataFrame(
+        [("v", [1, 4, 1, 1, 2, 2], list(range(16)))],
+        "path string, shape array<int>, pixels array<int>",
+    )
+    rows = {r["t"]: r["frame"] for r in sample_frames(df, every_n=2).collect()}
+    assert rows == {0: [0, 1, 2, 3], 2: [8, 9, 10, 11]}
