@@ -68,6 +68,7 @@ def all_plans() -> dict[str, QuerySpec]:
     from . import streaming_exec  # noqa: F401
     from . import sources_plans  # noqa: F401
     from . import clustering  # noqa: F401
+    from . import graph  # noqa: F401
     from . import sampling  # noqa: F401
     from . import llm_pipeline  # noqa: F401
 

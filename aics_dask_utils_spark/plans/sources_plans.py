@@ -263,3 +263,84 @@ def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_current"),
     )
     return unchanged.unionByName(closed).unionByName(opened)
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_priority_band
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice >= 150000 THEN 'high' ELSE 'low' END AS o_priority_band
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(o_priority_band, 'unknown') AS o_priority_band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM unioned
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="schema evolution on read (E2/E5): two parquet batches written "
+    "with DIFFERENT schemas (v2 adds a column), read back as ONE "
+    "dataset via mergeSchema — old rows surface NULL for the new "
+    "column. The lake-ingestion reality at 100 TB: producers add "
+    "columns over time and readers must span both vintages without "
+    "rewriting history",
+    tags=("source",),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_priority_band",
+        F.when(F.col("o_totalprice") >= 150000, "high").otherwise("low"),
+    )
+    path = _tmp(sf_dir, "evolve")
+    v1.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy(
+            F.coalesce("o_priority_band", F.lit("unknown")).alias("o_priority_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_priority_band")
+    )
+
+
+@register(
+    "sink_compacted_files",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    """,
+    doc="small-file compaction sink (E5): lineitem re-written through "
+    "repartition(4) + maxRecordsPerFile so the output is a few "
+    "right-sized files instead of one-per-task shards — the compaction "
+    "pass every 100 TB lake needs to keep scan planning cheap. The "
+    "file-count contract (<= 4 x ceil(rows/maxRecords)) is asserted in "
+    "tests/test_sources_sinks.py; the hash match proves losslessness",
+    tags=("sink",),
+)
+def sink_compacted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    path = _tmp(sf_dir, "compact")
+    (
+        li.repartition(4)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500_000)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )

@@ -112,3 +112,16 @@ def test_events_nanos_timestamp(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert ev.schema["ts"].dataType.typeName().startswith("timestamp")
     assert ev.where(F.col("ts").isNull()).count() == 0
+
+
+def test_compacted_sink_bounds_file_count(spark, sf_dir):
+    """The compaction sink must produce few, right-sized files: at most
+    repartition-count parquet parts (maxRecordsPerFile only splits a
+    task's output when it exceeds the cap)."""
+    from aics_dask_utils_spark.plans import all_plans
+
+    all_plans()["sink_compacted_files"].fn(spark, sf_dir).collect()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/spark_graft_compact_{tag}"
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert 1 <= len(parts) <= 4
