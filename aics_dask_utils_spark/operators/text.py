@@ -188,6 +188,12 @@ def bm25_scores(
 
     toks = tokens(text_col)
     q = F.array(*[F.lit(t) for t in query_terms])
+    # Small corpora arrive as one parquet split; the tokenize/explode
+    # fan-out is not small — spread it to cluster parallelism (free at
+    # real scale, where the scan is already thousands of splits).
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, id_col
+    )
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("dl"),

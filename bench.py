@@ -59,6 +59,10 @@ HEADLINE = [
     "scalar_json_typed",
     "udf_pandas_scalar",
     "udf_map_in_pandas",
+    "text_bm25_search",
+    "graph_pagerank_nations",
+    "events_resample_ffill",
+    "sample_weighted_topk",
 ]
 
 
