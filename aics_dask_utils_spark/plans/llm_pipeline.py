@@ -318,3 +318,58 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pipeline_incremental_dedup",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    existing AS (SELECT * FROM fp WHERE doc_id < 250),
+    incoming AS (SELECT * FROM fp WHERE doc_id >= 250),
+    kept AS (
+      SELECT i.* FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp)
+    ),
+    dedup AS (
+      SELECT doc_id, lang, fp,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM kept
+    )
+    SELECT lang,
+           COUNT(*) AS n_arriving,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_admitted
+    FROM dedup GROUP BY lang ORDER BY lang
+    """,
+    doc="incremental-ingestion dedup (E30 composed): a new document "
+    "batch is admitted only if its fingerprint is unseen in the "
+    "EXISTING corpus (left_anti probe — at scale the corpus side is a "
+    "bucketed fingerprint index, so the probe is exchange-free) and "
+    "then deduped within the batch (keep min id). The append-only "
+    "corpus-growth pattern: history is never rescanned in full, only "
+    "its fingerprint index",
+    tags=("dedup", "text", "pipeline"),
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "lang", T.fingerprint_exact("text").alias("fp")
+    )
+    existing = fp.where(F.col("doc_id") < 250)
+    incoming = fp.where(F.col("doc_id") >= 250)
+    kept = incoming.join(existing.select("fp"), "fp", "left_anti")
+    rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    dedup = kept.withColumn("rn", rn)
+    return (
+        dedup.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_arriving"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_admitted"),
+        )
+        .orderBy("lang")
+    )

@@ -443,6 +443,32 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_hll_sketch",
+    oracle=None,  # DataSketches binary sketches; engine-specific -> rows-only
+    doc="mergeable HLL sketches (E21 scale path): per-group "
+    "hll_sketch_agg(user buckets) -> partial-aggregatable binary state, "
+    "merged across groups with hll_union_agg for a grand-total distinct "
+    "estimate without re-scanning. THE pattern for distinct-counting "
+    "100 TB: sketches combine map-side and union across days/partitions "
+    "(estimate-vs-exact tolerance pinned in tests/test_sketches.py)",
+    tags=("relational", "agg", "approx"),
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_flag.agg(
+        F.sum("n").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
+            "approx_distinct_parts"
+        ),
+    )
+
+
+
 # --------------------------------------------------------------------------
 # Sort / limit / set ops
 # --------------------------------------------------------------------------

@@ -224,3 +224,34 @@ def stream_foreach_batch_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "stream_static_join_exec",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM {_EV} e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    doc="EXECUTED stream: stream-static enrichment join — the streaming "
+    "events micro-batches join a STATIC dimension (customer, broadcast; "
+    "re-planned per micro-batch, so dimension updates are picked up) "
+    "and aggregate per nation in complete mode. The standard 'enrich "
+    "the firehose with reference data' topology (E41,E44 family)",
+    tags=("streaming", "join"),
+)
+def stream_static_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.deterministic import dsum
+    from ..sources import load_table
+    from ..streaming.ops import run_stream_to_memory as _run
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
+    name = _run(agg, "complete")
+    return spark.table(name)

@@ -229,3 +229,60 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = T.bm25_scores(docs, _BM25_TERMS)
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "text_token_ids",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, pos, toks[pos] AS term
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
+            FROM d) t
+    ),
+    vocab AS (
+      SELECT term,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS token_id
+      FROM ex GROUP BY term
+    )
+    SELECT e.doc_id, array_agg(v.token_id ORDER BY e.pos) AS token_ids
+    FROM ex e JOIN vocab v ON e.term = v.term
+    GROUP BY e.doc_id
+    """,
+    doc="corpus tokenization to vocabulary ids (E38/E39, the "
+    "text->training-tensors step): vocabulary = terms ranked by "
+    "frequency (ties alphabetical), each document re-encoded as its "
+    "position-ordered id sequence. The vocab is a tiny aggregate "
+    "broadcast onto the posexplode; order restoration is a (pos,id) "
+    "struct sort inside the group, not a window",
+    tags=("text",),
+)
+def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "term")
+    )
+    vocab = (
+        ex.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "term",
+            F.row_number()
+            .over(W.orderBy(F.desc("cnt"), F.asc("term")))
+            .alias("token_id"),
+        )
+    )
+    return (
+        ex.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("token_ids")
+        )
+    )
