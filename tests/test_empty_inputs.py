@@ -1,0 +1,56 @@
+"""Empty-input robustness: every operator must return an empty (not
+erroring) result on an empty relation — at 100 TB empty partitions,
+empty date slices, and fully-filtered batches are routine."""
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string"
+    )
+
+
+def test_dedup_ops_on_empty_corpus(spark):
+    from aics_dask_utils_spark.operators import dedup as D
+
+    docs = _empty_docs(spark)
+    assert D.exact_dedup(docs).count() == 0
+    assert D.minhash_lsh_pairs(docs).count() == 0
+    assert D.simhash(docs).count() == 0
+    assert D.ngram_jaccard_pairs(docs).count() == 0
+
+
+def test_connected_components_on_empty_edges(spark):
+    from aics_dask_utils_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "d1 bigint, d2 bigint")
+    assert connected_components(edges).count() == 0
+
+
+def test_pagerank_on_empty_edges(spark):
+    from aics_dask_utils_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src int, dst int, w bigint")
+    assert pagerank(edges, iters=2).count() == 0
+
+
+def test_bm25_on_empty_corpus(spark):
+    from aics_dask_utils_spark.operators.text import bm25_scores
+
+    assert bm25_scores(_empty_docs(spark), ["hash"]).count() == 0
+
+
+def test_weighted_sample_on_empty(spark):
+    from aics_dask_utils_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame([], "doc_id bigint, n_tokens int")
+    assert weighted_sample_topk(df, "doc_id", F.col("n_tokens"), 5).count() == 0
+
+
+def test_short_doc_shingles_empty_not_error(spark):
+    from aics_dask_utils_spark.operators.text import shingles
+
+    df = spark.createDataFrame([(1, "one two")], "doc_id bigint, text string")
+    row = df.select(shingles("text", 3).alias("s")).first()
+    assert row["s"] == []

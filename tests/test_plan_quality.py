@@ -101,3 +101,29 @@ def test_funnel_single_wide_shuffle(spark, sf_dir):
     plan = _formatted(spark, "events_funnel", sf_dir)
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 1, plan
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
+    # corpus stats + df are broadcast onto the postings; top-20 is a
+    # per-partition heap merge, never a global sort
+    plan = _formatted(spark, "text_bm25_search", sf_dir)
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_is_narrow_topk(spark, sf_dir):
+    # the draw is a scan-side expression; selection is TakeOrdered —
+    # no join, no aggregation exchange
+    plan = _formatted(spark, "sample_weighted_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_scd2_has_no_global_sort_or_cartesian(spark, sf_dir):
+    plan = _formatted(spark, "sink_scd2_history", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" not in plan  # pure union, no sort
