@@ -472,3 +472,38 @@ def _simhash_near_oracle(bits: int = 16, bands: int = 4, max_hamming: int = 2) -
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(docs, bits=16, bands=4, max_hamming=2)
+
+
+@register(
+    "dedup_embedding_components",
+    oracle=f"""
+    WITH RECURSIVE {_UNIT_CTE.rstrip()},
+    pairs AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.u, b.u) >= 0.4
+    ),
+    und AS (
+      SELECT v1 AS a, v2 AS b FROM pairs
+      UNION
+      SELECT v2 AS a, v1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    """,
+    doc="embedding near-dup CLUSTERS: cosine pair graph (label-blocked) "
+    "-> connected components via iterative min-label propagation — the "
+    "semantic-dedup composition (pairs alone under-merge transitive "
+    "groups). Iterative Spark loop vs recursive-CTE oracle "
+    "(E19,E30,E31 composed)",
+    tags=("dedup", "similarity", "iterative"),
+)
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.4).select("v1", "v2")
+    return D.connected_components(pairs, "v1", "v2")

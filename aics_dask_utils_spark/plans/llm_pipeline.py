@@ -373,3 +373,59 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    ),
+    binned AS (
+      SELECT doc_id, n_tokens, (cum - n_tokens) // 2048 AS bin FROM c
+    )
+    SELECT bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    doc="sequence packing for training batches (EXT, LLM pipeline): "
+    "documents stream in doc_id order into 2048-token bins — bin id = "
+    "floor(preceding-cumulative-tokens / budget), a single running-sum "
+    "window + floor-divide, then per-bin stats. At 100 TB the global "
+    "order becomes per-shard order (pack within partition), same "
+    "expressions",
+    tags=("text", "pipeline"),
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(T.tokens("text")).alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    binned = c.withColumn(
+        "bin", F.floor((F.col("cum") - F.col("n_tokens")) / 2048)
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin")
+    )

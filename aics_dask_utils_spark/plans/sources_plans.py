@@ -344,3 +344,41 @@ def sink_compacted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_extendedprice").alias("sum_price"),
     )
+
+
+@register(
+    "sink_sorted_clustered",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    """,
+    doc="range-clustered sorted write (E5 scale path): repartitionByRange "
+    "on the filter key + sortWithinPartitions before writing, so every "
+    "output file covers a DISJOINT key range and its parquet row-group "
+    "min/max stats prune date-filtered scans to a file subset — the "
+    "data-skipping layout every 100 TB fact table needs. File-range "
+    "disjointness is asserted in tests/test_sources_sinks.py; the hash "
+    "match proves losslessness",
+    tags=("sink",),
+)
+def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    path = _tmp(sf_dir, "clustered")
+    (
+        li.repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )

@@ -125,3 +125,27 @@ def test_compacted_sink_bounds_file_count(spark, sf_dir):
     out = f"/tmp/spark_graft_compact_{tag}"
     parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert 1 <= len(parts) <= 4
+
+
+def test_clustered_write_files_cover_disjoint_ranges(spark, sf_dir):
+    """repartitionByRange + sortWithinPartitions must yield files whose
+    key ranges don't interleave — the property parquet row-group stats
+    need for data skipping."""
+    from aics_dask_utils_spark.plans import all_plans
+
+    all_plans()["sink_sorted_clustered"].fn(spark, sf_dir).collect()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/spark_graft_clustered_{tag}"
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(parts) >= 2
+    ranges = []
+    for p in parts:
+        mm = (
+            spark.read.parquet(os.path.join(out, p))
+            .agg(F.min("l_shipdate"), F.max("l_shipdate"))
+            .first()
+        )
+        ranges.append((mm[0], mm[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
