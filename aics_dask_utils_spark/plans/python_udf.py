@@ -209,3 +209,81 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "udf_python_udtf",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, term, length(term) AS term_len
+    FROM s WHERE length(term) >= 8
+    """,
+    doc="Python user-defined TABLE function (E46, the UDTF surface new "
+    "in Spark 3.5+): one input row expands to N output rows inside a "
+    "Python class's eval() — here a tokenizer emitting long terms. "
+    "The lateral-join expansion the reference's per-element map cannot "
+    "express (one task = one result) but a table function can",
+    tags=("udf",),
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, term string, term_len int")
+    class LongTerms:
+        def eval(self, doc_id: int, text: str):
+            for term in text.strip().lower().split():
+                if len(term) >= 8:
+                    yield doc_id, term, len(term)
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return (
+        docs.lateralJoin(
+            LongTerms(F.col("doc_id").outer(), F.col("text").outer())
+        ).select("term", "term_len", docs["doc_id"])
+        .select("doc_id", "term", "term_len")
+    )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="mapInArrow (E46): the zero-copy end of the UDF family — batches "
+    "arrive as raw pyarrow RecordBatches with no pandas conversion, the "
+    "right entry point when the Python side is itself Arrow-native "
+    "(numpy/polars/tensor libs). Cents math in exact integer space",
+    tags=("udf",),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def to_cents(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            import numpy as np
+
+            price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+            cents = np.floor(price * 100.0 + 0.5).astype("int64")
+            yield pa.RecordBatch.from_arrays(
+                [t.column("o_orderstatus").combine_chunks(), pa.array(cents)],
+                names=["o_orderstatus", "cents"],
+            )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    mapped = orders.mapInArrow(to_cents, "o_orderstatus string, cents long")
+    return (
+        mapped.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        .orderBy("o_orderstatus")
+    )
