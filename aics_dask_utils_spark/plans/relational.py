@@ -755,3 +755,43 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+@register(
+    "agg_frequent_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM base a JOIN base b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, COUNT(*) AS n_baskets
+    FROM pairs GROUP BY p1, p2
+    ORDER BY n_baskets DESC, p1, p2 LIMIT 25
+    """,
+    doc="market-basket frequent pairs (E20/E28 composed): parts "
+    "co-occurring in an order, counted and top-k'd. distinct-first "
+    "bounds the per-basket fan-out to C(items,2); the pair join is an "
+    "equi-join on the basket key (shuffle linear in baskets), top-25 is "
+    "TakeOrdered. The co-occurrence primitive under recommenders and "
+    "association mining",
+    tags=("relational", "agg"),
+)
+def agg_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .orderBy(F.desc("n_baskets"), "p1", "p2")
+        .limit(25)
+    )
