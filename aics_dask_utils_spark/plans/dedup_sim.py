@@ -507,3 +507,51 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = D.embedding_near_dup_pairs(emb, threshold=0.4).select("v1", "v2")
     return D.connected_components(pairs, "v1", "v2")
+
+
+@register(
+    "dedup_edit_distance",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lang,
+             substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 24) AS key
+      FROM documents
+    )
+    SELECT a.lang AS blk, a.doc_id AS d1, b.doc_id AS d2,
+           levenshtein(a.key, b.key) AS dist
+    FROM k a JOIN k b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.key, b.key) <= 6
+    """,
+    doc="edit-distance near-dup pairs (E31, the typo/OCR-noise "
+    "modality): normalized 24-char prefix keys compared with "
+    "levenshtein <= 6 inside language blocks — blocking keeps the pair "
+    "space per-block, the built-in JVM levenshtein keeps the O(k^2) DP "
+    "off Python. At corpus scale the block key is a coarser cluster "
+    "(simhash band / length bucket), same shape",
+    tags=("dedup",),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 24
+        ).alias("key"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.key"), F.col("b.key")))
+        .where(F.col("dist") <= 6)
+        .select(
+            F.col("a.lang").alias("blk"),
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            "dist",
+        )
+    )

@@ -795,3 +795,40 @@ def agg_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_baskets"), "p1", "p2")
         .limit(25)
     )
+
+
+@register(
+    "set_union_evolved",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_note
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus AS o_note
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT COALESCE(o_note, 'none') AS o_note, COUNT(*) AS n
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2) u
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="union across evolved schemas (E29): unionByName with "
+    "allowMissingColumns aligns by NAME and null-fills the missing "
+    "column — the safe way to append old- and new-vintage extracts "
+    "(positional unionAll would silently misalign)",
+    tags=("relational", "setop"),
+)
+def set_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.where(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderstatus").alias("o_note")
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy(F.coalesce("o_note", F.lit("none")).alias("o_note"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_note")
+    )
