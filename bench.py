@@ -87,6 +87,23 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             assert n >= 0
         timings[name] = round(best, 4)
+
+    # Reference-workload micro-bench: the reference's one measurable
+    # workload is a 10,000-element two-iterable batched_map
+    # (scripts/test_aics_cluster.py:104-127, timed at :113-125). Same
+    # shape here through the SparkHandler compatibility surface.
+    from aics_dask_utils_spark import SparkHandler
+
+    h = SparkHandler(spark=spark)
+    h.batched_map(lambda a, b: a + b, range(10_000), range(10_000))  # warm-up
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = h.batched_map(lambda a, b: a + b, range(10_000), range(10_000))
+        best = min(best, time.perf_counter() - t0)
+        assert len(out) == 10_000
+    timings["handler_batched_map_10k"] = round(best, 4)
+
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
