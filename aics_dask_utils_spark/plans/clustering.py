@@ -154,3 +154,88 @@ def ann_topk_learned_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("q_id", "cell", "neighbor_id", "cosine", "rank")
     )
+
+
+@register(
+    "ann_topk_multiprobe",
+    oracle=f"""
+    WITH {_kmeans_ctes(k=4, iters=2, final_assign=True)},
+    u AS (
+      SELECT vid, cid,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM a3
+    ),
+    qprobe AS (
+      SELECT vid AS q_id, cid AS cell FROM (
+        SELECT vid, cid,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist2, cid) AS rn
+        FROM s3
+      ) WHERE rn <= 2 AND vid < 5
+    ),
+    q AS (SELECT vid AS q_id, u AS qu FROM u WHERE vid < 5),
+    scored AS (
+      SELECT p.q_id, c.vid AS neighbor_id,
+             list_dot_product(q.qu, c.u) AS cosine
+      FROM qprobe p
+      JOIN u c ON c.cid = p.cell
+      JOIN q ON q.q_id = p.q_id
+      WHERE c.vid <> p.q_id
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="multi-probe learned IVF (E40): queries probe their TWO nearest "
+    "k-means cells instead of one — measured recall@10 vs brute force "
+    "rises from 0.78 (single-probe) to ~1.0 on the test embeddings "
+    "(pinned in tests/test_ann_recall.py) for 2x probe fan-out; the "
+    "corpus stays single-assigned so probed subsets are disjoint. "
+    "Hash-matched end to end through the trained quantizer",
+    tags=("similarity", "iterative"),
+)
+def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ..functions.vectors import as_double_array, vec_dot
+    from ..operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_topn,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("vec_id").alias("vid"), as_double_array("embedding").alias("v")
+    )
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=2)
+    assigned = kmeans_assign(e, cent)
+    nrm = F.sqrt(vec_dot("v", "v"))
+    unit = assigned.withColumn(
+        "u", F.transform("v", lambda x: x / nrm)
+    ).select("vid", "cid", "u")
+    probes = (
+        kmeans_assign_topn(e.where(F.col("vid") < 5), cent, n=2)
+        .select(F.col("vid").alias("q_id"), F.col("cid").alias("cell"))
+    )
+    q = unit.where(F.col("vid") < 5).select(
+        F.col("vid").alias("q_id"), F.col("u").alias("qu")
+    )
+    c = unit.select(
+        F.col("vid").alias("neighbor_id"), F.col("cid").alias("cell"),
+        F.col("u").alias("cu"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "q_id")
+        .where(F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("cosine", vec_dot("qu", "cu"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )

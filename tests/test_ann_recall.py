@@ -1,0 +1,47 @@
+"""ANN quality: recall@10 against the exact brute-force baseline.
+
+An approximate index that silently returns the wrong neighbors is
+worse than a slow exact scan — these tests pin the measured recall of
+each index variant so a regression in the quantizer or probe logic
+shows up as a red bar, not as silently degraded retrieval."""
+
+import pytest
+
+from aics_dask_utils_spark.plans import all_plans
+
+
+def _topsets(spark, sf_dir, name):
+    rows = all_plans()[name].fn(spark, sf_dir).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def brute(spark, sf_dir):
+    return _topsets(spark, sf_dir, "ann_topk_brute")
+
+
+def _mean_recall(brute, cand):
+    recs = [len(brute[q] & cand.get(q, set())) / len(brute[q]) for q in brute]
+    return sum(recs) / len(recs)
+
+
+def test_learned_ivf_recall_floor(spark, sf_dir, brute):
+    r = _mean_recall(brute, _topsets(spark, sf_dir, "ann_topk_learned_ivf"))
+    assert r >= 0.7, r
+
+
+def test_multiprobe_beats_single_probe(spark, sf_dir, brute):
+    single = _mean_recall(brute, _topsets(spark, sf_dir, "ann_topk_learned_ivf"))
+    multi = _mean_recall(brute, _topsets(spark, sf_dir, "ann_topk_multiprobe"))
+    assert multi >= single
+    assert multi >= 0.9, multi
+
+
+def test_exact_pandas_path_has_full_recall(spark, sf_dir, brute):
+    # the numpy matmul variant is exact — only float tie-break order may
+    # differ, so recall must be 1.0 up to ties; allow one swapped rank-10
+    r = _mean_recall(brute, _topsets(spark, sf_dir, "ann_topk_pandas"))
+    assert r >= 0.98, r
