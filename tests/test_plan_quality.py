@@ -127,3 +127,20 @@ def test_scd2_has_no_global_sort_or_cartesian(spark, sf_dir):
     plan = _formatted(spark, "sink_scd2_history", sf_dir)
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" not in plan  # pure union, no sort
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Hint control: when the optimizer's default is wrong for a known
+    workload, merge/shuffle_hash hints must steer the physical join."""
+    from aics_dask_utils_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+
+    merged = li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
+    assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+
+    hashed = li.join(
+        orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"]
+    )
+    assert "ShuffledHashJoin" in hashed._jdf.queryExecution().executedPlan().toString()
