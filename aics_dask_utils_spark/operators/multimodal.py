@@ -183,6 +183,37 @@ def resize_plane_nn(
     ).withColumnsRenamed({"__out_h": "height", "__out_w": "width"})
 
 
+def channel_features(decoded: DataFrame) -> DataFrame:
+    """Per-channel feature extraction (the stats step of the media
+    pipeline): one row per (image, channel) with the channel's pixel
+    sum and mean, computed by slicing the channel block out of the
+    flat STCZYX layout and folding it JVM-side (sequence+explode over
+    channel indices, slice + aggregate over the block) — no second
+    decode, no Python. Integer pixel sums keep the result exact; the
+    mean is one division at the end."""
+    sh = F.col("shape")
+    dim = {n: F.element_at(sh, i + 1).cast("long") for i, n in enumerate("STCZYX")}
+    block = dim["Z"] * dim["Y"] * dim["X"]
+    cidx = F.explode(F.sequence(F.lit(0).cast("long"), dim["C"] - 1)).alias("c")
+    offset = F.col("c") * block  # s=0, t=0 volume
+    px_sum = F.aggregate(
+        F.slice(F.col("pixels"), (offset + 1).cast("int"), block.cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        decoded.select("path", "shape", "pixels", "channel_names", cidx)
+        .select(
+            "path",
+            F.element_at(F.col("channel_names"), (F.col("c") + 1).cast("int")).alias(
+                "channel"
+            ),
+            px_sum.alias("sum_px"),
+            (px_sum.cast("double") / block).alias("mean_px"),
+        )
+    )
+
+
 def write_planes(
     planes: DataFrame, out_dir: str, encoder: Optional[Callable] = None
 ) -> int:

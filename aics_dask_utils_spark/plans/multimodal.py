@@ -171,3 +171,48 @@ def multimodal_resize_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planes = select_plane(decode_images(binary_df), channel_name="c1")
     return resize_plane_nn(planes, factor=2)
+
+
+@register(
+    "multimodal_channel_features",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, repeat(md5(text), 3) AS px  -- 2 channels x 48 px
+      FROM documents
+    ),
+    ch AS (SELECT unnest(generate_series(0, 1)) AS c)
+    SELECT CAST(doc_id AS VARCHAR) AS path,
+           CASE c WHEN 0 THEN 'c0' ELSE 'c1' END AS channel,
+           s.sum_px,
+           s.sum_px / 48.0 AS mean_px
+    FROM img CROSS JOIN ch,
+    LATERAL (
+      SELECT SUM(ord(substr(px, CAST(c * 48 + i AS INT), 1))) AS sum_px
+      FROM unnest(generate_series(1, 48)) AS t(i)
+    ) s
+    """,
+    doc="per-channel feature extraction (E10,E11, completing the "
+    "decode/feature-extract/resize/frame-sample quartet): channel "
+    "blocks sliced from the flat tensor and folded JVM-side into "
+    "integer pixel sums + means — one row per (image, channel), no "
+    "re-decode, no Python. The oracle folds the same 48 hex chars",
+    tags=("multimodal",),
+)
+def multimodal_channel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from ..operators.multimodal import FAKE_MAGIC, channel_features, decode_images
+
+    shape = (1, 1, 2, 3, 4, 4)
+    names = b"c0,c1"
+    header = (
+        FAKE_MAGIC + struct.pack(">6H", *shape) + struct.pack(">H", len(names)) + names
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    binary_df = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.concat(
+            F.lit(header), F.encode(F.repeat(F.md5("text"), 3), "UTF-8")
+        ).alias("content"),
+    )
+    return channel_features(decode_images(binary_df))
