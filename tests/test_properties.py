@@ -182,3 +182,76 @@ def test_quantization_error_bound(spark, vecs):
             assert r["err"] is None  # all-zero vector: NULL propagates
         else:
             assert r["err"] <= 4 * (r["scale"] / 2.0) ** 2 + 1e-12
+
+
+def test_weighted_sample_invariant_under_weight_scaling(spark):
+    """A-ES draws are -ln(u)/w: scaling every weight by a constant scales
+    every draw identically, so the SELECTED SET must not change."""
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17 + 1).alias("w")
+    )
+    a = weighted_sample_topk(df, "doc_id", F.col("w"), k=50)
+    b = weighted_sample_topk(
+        df.withColumn("w", F.col("w") * 1000), "doc_id", F.col("w"), k=50
+    )
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_resample_grid_is_hourly_continuous(spark, sf_dir):
+    """Every user's resampled series must step exactly one hour with no
+    gaps — the contract that makes downstream rolling windows sound."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from aics_dask_utils_spark.plans import all_plans
+
+    out = all_plans()["events_resample_ffill"].fn(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("bucket")
+    gaps = (
+        out.withColumn("prev", F.lag("bucket").over(w))
+        .where(F.col("prev").isNotNull())
+        .withColumn(
+            "step", F.unix_timestamp("bucket") - F.unix_timestamp("prev")
+        )
+        .where(F.col("step") != 3600)
+    )
+    assert gaps.count() == 0
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(spark, sf_dir):
+    """Bins must partition the doc_id order into contiguous runs, and
+    every bin except possibly the last must overflow the 2048 budget
+    only by its final document (greedy packing invariant)."""
+    from aics_dask_utils_spark.plans import all_plans
+
+    rows = sorted(
+        all_plans()["pipeline_pack_sequences"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_doc"] < b["first_doc"]  # contiguous, non-overlapping
+    for r in rows[:-1]:
+        # the bin START is below the budget boundary; only the last doc
+        # may push it past (bin id derives from the PRECEDING cumsum)
+        assert r["bin_tokens"] > 0
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("m")
+    ).first()["m"]
+    approx = li.select(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("m")
+    ).first()["m"]
+    assert abs(approx - exact) / exact < 0.02
