@@ -259,3 +259,40 @@ def scalar_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(500)
     )
+
+
+@register(
+    "scalar_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="VARIANT semi-structured type (E37, Spark 4): props parsed once "
+    "into the binary variant encoding, fields extracted with typed "
+    "variant_get — at scale VARIANT columns store parsed-once in "
+    "parquet and shredded access skips re-parsing the JSON text per "
+    "query, unlike get_json_object",
+    tags=("scalar", "json"),
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type", F.variant_get("v", "$.k", "bigint").alias("k")
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
