@@ -414,3 +414,41 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@register(
+    "events_cumulative_users",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM {_EV} GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cumulative_users
+    FROM daily
+    """,
+    doc="cumulative distinct users per day (E51): running COUNT(DISTINCT) "
+    "done right — each user reduces to one first-seen row (one shuffle "
+    "on user), days aggregate new arrivals, a running sum over the tiny "
+    "daily relation finishes it. The naive per-day distinct-over-"
+    "expanding-window rescans history quadratically; this is linear",
+    tags=("events", "window"),
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
