@@ -382,3 +382,79 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("max_ship"),
         dsum("l_extendedprice").alias("sum_price"),
     )
+
+
+@register(
+    "sink_cdc_apply",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'U' AS op, 2 AS seq
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL AS o_totalprice, 'D' AS op, 3 AS seq
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    latest AS (
+      SELECT o_orderkey, o_totalprice, op FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                    ORDER BY seq DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(l.op, 'K') AS final_op,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(COALESCE(l.o_totalprice, b.o_totalprice) * 100)
+                    AS BIGINT)) AS cents
+    FROM orders b LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey
+    WHERE COALESCE(l.op, 'K') <> 'D'
+    GROUP BY final_op ORDER BY final_op
+    """,
+    doc="ordered CDC apply (E55 family): a change batch with sequence "
+    "numbers collapses to latest-per-key (one window), deletes drop "
+    "rows, updates override the snapshot via a left join — the "
+    "log-to-table materialization under every replicated lake table. "
+    "One shuffle for the collapse, one for the key join (zero if the "
+    "snapshot is bucketed on the key)",
+    tags=("sink", "join"),
+)
+def sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    upd = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    dele = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    changes = upd.unionByName(dele)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", F.col("o_totalprice").alias("c_price"), "op")
+    )
+    applied = (
+        orders.join(latest, "o_orderkey", "left")
+        .withColumn("final_op", F.coalesce("op", F.lit("K")))
+        .where(F.col("final_op") != "D")
+        .withColumn("price", F.coalesce("c_price", "o_totalprice"))
+    )
+    return (
+        applied.groupBy("final_op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("price") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+        .orderBy("final_op")
+    )
