@@ -166,6 +166,11 @@ def minhash_lsh_pairs(
     s=0.3 -> 0.10. The candidate join shuffles only (band_id, hash)
     keys: linear in corpus size.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) — "
+            "a remainder would silently drop signature slots"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
     band_cols = []

@@ -186,6 +186,8 @@ def bm25_scores(
     """
     from ..functions.deterministic import dsum
 
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     toks = tokens(text_col)
     q = F.array(*[F.lit(t) for t in query_terms])
     # Small corpora arrive as one parquet split; the tokenize/explode

@@ -54,3 +54,21 @@ def test_short_doc_shingles_empty_not_error(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id bigint, text string")
     row = df.select(shingles("text", 3).alias("s")).first()
     assert row["s"] == []
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest as _pytest
+
+    from aics_dask_utils_spark.operators.text import bm25_scores
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(_empty_docs(spark), [])
+
+
+def test_minhash_rejects_nondividing_bands(spark):
+    import pytest as _pytest
+
+    from aics_dask_utils_spark.operators.dedup import minhash_lsh_pairs
+
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(_empty_docs(spark), num_hashes=12, bands=5)
