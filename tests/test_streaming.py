@@ -160,3 +160,33 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path_factory):
         for p in q.recentProgress
     )
     assert dropped == 1  # exactly the late row
+
+
+def test_foreach_batch_restart_is_exactly_once(spark, sf_dir):
+    """Restarting a drained checkpointed stream over the same source
+    must append NOTHING — the checkpoint records consumed files, so a
+    crash-restart (or an operator re-running the job) cannot duplicate
+    landed data. This is the exactly-once-per-batch contract the
+    foreachBatch landing path claims."""
+    import os
+    import shutil
+
+    from aics_dask_utils_spark.streaming import read_events_stream
+    from aics_dask_utils_spark.streaming.ops import run_stream_foreach_batch_parquet
+
+    from pyspark.sql import functions as F
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fb_restart_{tag}"
+    for p in (path, path + "_ckpt"):
+        shutil.rmtree(p, ignore_errors=True)
+
+    sdf = read_events_stream(spark, sf_dir).where(F.col("value") > 50.0)
+    run_stream_foreach_batch_parquet(sdf, path)
+    n_first = spark.read.parquet(path).count()
+    assert n_first > 0
+
+    # restart with the checkpoint intact: same source, no new data
+    sdf2 = read_events_stream(spark, sf_dir).where(F.col("value") > 50.0)
+    run_stream_foreach_batch_parquet(sdf2, path)
+    assert spark.read.parquet(path).count() == n_first
