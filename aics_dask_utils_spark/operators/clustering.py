@@ -65,9 +65,13 @@ def _recompute_centroids(assign: DataFrame) -> DataFrame:
         assign.select("cid", F.posexplode("v"))
         .groupBy("cid", "pos")
         .agg(
-            (
+            # Round each mean to 9 dp: decimal->double conversion differs
+            # in the last bit across engines (int128 vs BigDecimal), and
+            # raw means would leak that drift into the output centroids.
+            F.round(
                 F.sum(F.col("col").cast("decimal(30,12)")).cast("double")
-                / F.count(F.lit(1))
+                / F.count(F.lit(1)),
+                9,
             ).alias("m")
         )
     )

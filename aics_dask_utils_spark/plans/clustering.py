@@ -55,7 +55,7 @@ def _kmeans_ctes(k: int = 4, iters: int = 2, final_assign: bool = False) -> str:
         ctes.append(
             f"""m{i} AS (
       SELECT cid, pos,
-             CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+             ROUND(CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 9) AS m
       FROM x{i} GROUP BY cid, pos
     )"""
         )
