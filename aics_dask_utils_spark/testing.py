@@ -5,8 +5,8 @@ with order-insensitive equality (reference
 ``tests/test_distributed_handler.py:20-39``: handler output vs raw
 executor output via ``set()``) — scaled up to relational results:
 both engines run over the same parquet files; results are canonicalized
-(columns sorted by name, rows sorted by all columns, timestamps to µs,
-floats compared with tolerance) and compared cell-by-cell.
+(columns sorted by name, rows sorted by all columns, timestamps to µs)
+and compared cell-by-cell, bit-exactly by default.
 """
 
 from __future__ import annotations
@@ -107,10 +107,14 @@ def _cell_equal(a, b, rel_tol: float, abs_tol: float) -> bool:
 def assert_frames_match(
     spark_pdf: pd.DataFrame,
     oracle_pdf: pd.DataFrame,
-    rel_tol: float = 1e-9,
-    abs_tol: float = 1e-9,
+    rel_tol: float = 0.0,
+    abs_tol: float = 0.0,
     context: str = "",
 ) -> None:
+    """Default tolerance is ZERO: the driver's gate hashes values, so a
+    plan that is merely 1e-9-close would pass locally and fail there.
+    Every registered plan holds bit-exactly (deterministic decimal sums,
+    6-9dp rounding policy); keep it that way."""
     left = canonicalize(spark_pdf)
     right = canonicalize(oracle_pdf)
     assert list(left.columns) == list(right.columns), (
