@@ -832,3 +832,54 @@ def set_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_note")
     )
+
+
+@register(
+    "agg_quantile_bins",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.50) AS q2,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem
+    )
+    SELECT CASE WHEN l_extendedprice < q1 THEN 0
+                WHEN l_extendedprice < q2 THEN 1
+                WHEN l_extendedprice < q3 THEN 2
+                ELSE 3 END AS bin,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem CROSS JOIN b
+    GROUP BY bin ORDER BY bin
+    """,
+    doc="equal-frequency quantile binning (E22/E52): exact quartile "
+    "edges from one percentile aggregate, broadcast back onto the scan "
+    "as a CASE — the QuantileDiscretizer pattern for feature binning. "
+    "At 100 TB swap the exact percentile for approx_percentile; the "
+    "assignment side is unchanged",
+    tags=("relational", "agg"),
+)
+def agg_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    edges = li.agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("q2"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    binned = li.crossJoin(F.broadcast(edges)).withColumn(
+        "bin",
+        F.when(F.col("l_extendedprice") < F.col("q1"), 0)
+        .when(F.col("l_extendedprice") < F.col("q2"), 1)
+        .when(F.col("l_extendedprice") < F.col("q3"), 2)
+        .otherwise(3),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+        .orderBy("bin")
+    )
