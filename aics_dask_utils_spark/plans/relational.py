@@ -883,3 +883,67 @@ def agg_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "join_interval_bucketed",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS cid, user_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.pid, c.cid, p.user_id,
+           CAST(floor(epoch(p.pts)) - floor(epoch(c.cts)) AS BIGINT) AS gap_s
+    FROM p JOIN c ON p.user_id = c.user_id
+    WHERE c.cts BETWEEN p.pts - INTERVAL 5 MINUTE AND p.pts
+    """,
+    doc="bucketed interval join (E16 at scale): the range predicate "
+    "becomes an EQUI-join — purchases explode to the ~2 time buckets "
+    "their 5-minute lookback can touch, clicks map to their own bucket, "
+    "join on (user, bucket), verify the exact bounds. Shuffle is linear "
+    "in rows x buckets-per-row, where a naive theta join degenerates to "
+    "a per-key nested loop (or a full cartesian without the key). "
+    "Physical no-nested-loop is pinned in test_plan_quality.py",
+    tags=("relational", "join", "events"),
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W_SEC = 300
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.unix_timestamp("ts").alias("p_epoch"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+        F.floor(F.unix_timestamp("ts") / W_SEC).alias("bucket"),
+    )
+    p_buckets = p.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("p_epoch") - W_SEC) / W_SEC),
+                F.floor(F.col("p_epoch") / W_SEC),
+            )
+        ),
+    )
+    joined = p_buckets.join(
+        c,
+        (F.col("user_id") == F.col("c_user")) & (p_buckets["bucket"] == c["bucket"]),
+    ).where(
+        (F.col("cts") >= F.col("pts") - F.expr("interval 5 minutes"))
+        & (F.col("cts") <= F.col("pts"))
+    )
+    return joined.select(
+        "pid",
+        "cid",
+        "user_id",
+        (F.unix_timestamp("pts") - F.unix_timestamp("cts")).alias("gap_s"),
+    )

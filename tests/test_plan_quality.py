@@ -144,3 +144,13 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"]
     )
     assert "ShuffledHashJoin" in hashed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed interval join must plan as an equi-join (hash/SMJ) —
+    never BroadcastNestedLoopJoin or CartesianProduct, which is what a
+    naive range-predicate join degenerates to."""
+    plan = _formatted(spark, "join_interval_bucketed", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
