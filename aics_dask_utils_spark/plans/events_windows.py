@@ -452,3 +452,92 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
     )
+
+
+@register(
+    "events_session_funnel",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts, event_type FROM {_EV}),
+    flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT COUNT(*) AS n_sessions,
+           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS s_view,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                    THEN 1 ELSE 0 END) AS s_view_click,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                     AND t_purchase >= t_click THEN 1 ELSE 0 END) AS s_full_funnel
+    FROM per_session
+    """,
+    doc="session-scoped conversion funnel (E43+E51 composed): gap-based "
+    "sessionization (30-min, lag+cumsum — one window shuffle per user), "
+    "then ordered view->click->purchase progression checked with "
+    "conditional-min timestamps INSIDE each session. The funnel "
+    "analytics every event pipeline ends up needing, without a second "
+    "pass over the events",
+    tags=("events", "window"),
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_type")
+    # Timestamp subtraction vs an interval literal, NOT unix_timestamp
+    # deltas: unix_timestamp truncates to whole seconds, which can flip
+    # a gap within 1s of the 30-min boundary relative to the oracle's
+    # exact µs interval comparison. ts - lag(ts) is exact and works for
+    # both LTZ and NTZ timestamps.
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w_order).isNull()
+            | (
+                F.col("ts") - F.lag("ts").over(w_order)
+                >= F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_run = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("s_view"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull() & (F.col("t_click") >= F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).alias("s_view_click"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") >= F.col("t_view"))
+                & (F.col("t_purchase") >= F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("s_full_funnel"),
+    )
