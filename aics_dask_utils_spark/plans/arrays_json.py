@@ -143,7 +143,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, dim_idx,
-           CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS centroid_val
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 9) AS centroid_val
     FROM unrolled
     WHERE dim_idx <= 4
     GROUP BY label, dim_idx
@@ -161,9 +161,13 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         unrolled.where(F.col("dim_idx") <= 4)
         .groupBy("label", "dim_idx")
         .agg(
-            (
+            # 9dp rounding: the decimal->double conversion differs in the
+            # last bit across engines (int128 vs BigDecimal), visible at
+            # sf0.1 sums — same policy as the k-means centroid means.
+            F.round(
                 F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
-                / F.count(F.lit(1))
+                / F.count(F.lit(1)),
+                9,
             ).alias("centroid_val")
         )
     )

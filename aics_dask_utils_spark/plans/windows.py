@@ -87,14 +87,14 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
-                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_qty,
            CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
-                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
              / LEAST(3, COUNT(*) OVER (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
              AS rolling_avg_qty
     FROM lineitem
@@ -104,7 +104,15 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    # (orderkey, linenumber) is NOT unique in the driver tables; ROWS
+    # frames need a TOTAL order or tied rows make frame contents
+    # engine-dependent. l_quantity breaks the remaining ties.
+    order = [
+        F.col("l_shipdate"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity"),
+    ]
     w = W.partitionBy("l_suppkey").orderBy(*order)
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     roll = w.rowsBetween(-2, W.currentRow)
@@ -181,7 +189,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
                AS sum_last_hour
     FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
-                 epoch(CAST(ts AS TIMESTAMP))::BIGINT AS ts_sec
+                 CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
           FROM events) e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
