@@ -541,3 +541,38 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("s_full_funnel"),
     )
+
+
+@register(
+    "events_daily_growth",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+      FROM {_EV} GROUP BY day
+    )
+    SELECT day, n, total_value,
+           n - LAG(n) OVER (ORDER BY day) AS n_delta,
+           ROUND((n - LAG(n) OVER (ORDER BY day)) * 100.0
+                 / LAG(n) OVER (ORDER BY day), 6) AS pct_change
+    FROM daily
+    """,
+    doc="day-over-day growth (E26/E51): daily aggregate + lag deltas and "
+    "percent change — the reporting staple; the lag window runs over "
+    "the tiny daily relation, never the event stream",
+    tags=("events", "window"),
+)
+def events_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )
+    w = W.orderBy("day")
+    lag_n = F.lag("n").over(w)
+    return daily.select(
+        "day",
+        "n",
+        "total_value",
+        (F.col("n") - lag_n).alias("n_delta"),
+        F.round((F.col("n") - lag_n) * 100.0 / lag_n, 6).alias("pct_change"),
+    )

@@ -255,3 +255,46 @@ def stream_static_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run(agg, "complete")
     return spark.table(name)
+
+
+@register(
+    "stream_update_mode_exec",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n
+    FROM {_EV}
+    GROUP BY event_type
+    """,
+    doc="EXECUTED stream: UPDATE output mode — only groups whose "
+    "aggregate changed in a micro-batch are emitted; each emission "
+    "lands via foreachBatch as an upsert record. With the single "
+    "availableNow micro-batch the emitted state equals the batch "
+    "aggregate, which the oracle verifies; across many batches the "
+    "same sink applies latest-wins by key (E41/E44/E55 composed)",
+    tags=("streaming",),
+)
+def stream_update_mode_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_upd_{tag}"
+    for p in (path, path + "_ckpt"):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # latest-wins per key over the upsert log (single batch: identity)
+    log = spark.read.parquet(path)
+    return log.groupBy("event_type").agg(F.max("n").alias("n"))
