@@ -576,3 +576,49 @@ def events_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - lag_n).alias("n_delta"),
         F.round((F.col("n") - lag_n) * 100.0 / lag_n, 6).alias("pct_change"),
     )
+
+
+@register(
+    "events_pattern_match",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type, 1) OVER w AS prev1,
+             LAG(event_type, 2) OVER w AS prev2
+      FROM {_EV}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts
+    FROM seq
+    WHERE event_type = 'purchase' AND prev1 = 'view' AND prev2 = 'view'
+    """,
+    doc="sequential pattern detection (MATCH_RECOGNIZE-lite, E26 "
+    "composed): find view->view->purchase as three CONSECUTIVE events "
+    "per user — two lag columns over a totally-ordered per-user window "
+    "(event_id breaks ts ties), then a row filter. One shuffle on "
+    "user_id; arbitrary fixed-length patterns are more lag columns, "
+    "not more passes",
+    tags=("events", "window"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    return seq.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("prev1") == "view")
+        & (F.col("prev2") == "view")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
