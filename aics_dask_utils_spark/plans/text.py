@@ -286,3 +286,50 @@ def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_ids")
         )
     )
+
+
+@register(
+    "text_top_bigrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(CASE WHEN len(t) >= 2 THEN list_transform(
+               generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+             ELSE [] END) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 25
+    """,
+    doc="corpus-wide bigram frequencies, top-25 (E38, the n-gram LM "
+    "building block): per-doc bigram arrays (non-distinct, order "
+    "preserved) explode into one count aggregation + TakeOrdered — "
+    "map-side combine keeps the shuffle at distinct-bigram width",
+    tags=("text",),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i.cast("int")),
+                F.element_at(t, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(25)
+    )
