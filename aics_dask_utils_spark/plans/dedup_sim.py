@@ -555,3 +555,40 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
         )
     )
+
+
+@register(
+    "dedup_null_text",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN NULL ELSE text END AS text
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM d
+    )
+    SELECT doc_id, fp,
+           MIN(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+           COUNT(*) OVER (PARTITION BY fp) AS group_size,
+           CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS INT)
+             AS is_dup
+    FROM fp
+    """,
+    doc="NULL-key dedup semantics pinned (E30 edge case): null texts "
+    "fingerprint to NULL, and window PARTITION BY groups all NULLs "
+    "together on both engines — so null documents dedup to one keeper "
+    "(min id) instead of each surviving. The behavior a real corpus "
+    "with missing bodies hits on day one",
+    tags=("dedup",),
+)
+def dedup_null_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("text")
+        ),
+    )
+    return D.exact_dedup(docs)

@@ -296,3 +296,36 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scalar_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_discount, 0.0) AS price_per_disc,
+           TRY_CAST(CASE WHEN l_returnflag = 'A' THEN '42'
+                         ELSE 'not-a-number' END AS BIGINT) AS flag_as_int,
+           CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    doc="error-safe arithmetic (E34/E35, the permissive-typing policy): "
+    "try_divide yields NULL on zero denominators, try_cast NULL on "
+    "malformed strings - errors become NULLs flowing through the plan "
+    "instead of failing a 100 TB job at row 3 billion",
+    tags=("scalar",),
+)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    flag_str = F.when(F.col("l_returnflag") == "A", F.lit("42")).otherwise(
+        F.lit("not-a-number")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0))
+        ).alias("price_per_disc"),
+        flag_str.try_cast("bigint").alias("flag_as_int"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+    )
