@@ -186,3 +186,52 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select(
         "doc_id", "n_tokens", F.round("draw_key", 6).alias("draw")
     )
+
+
+@register(
+    "sample_weighted_per_group",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, lang, n_tokens,
+             -ln(({_H.format(seed="wsgrp", key="doc_id")} + 0.5)
+                 / {HASH_SCALE}.0) / n_tokens AS draw
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, ROUND(draw, 6) AS draw
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY draw, doc_id) AS rn
+      FROM d
+    ) WHERE rn <= 10
+    """,
+    doc="per-stratum weighted sampling without replacement (EXT "
+    "sampling): Efraimidis-Spirakis draws ranked INSIDE each language "
+    "— 10 weight-proportional docs per lang from one window over the "
+    "narrow draw expression; the per-source quota sampler corpus "
+    "mixing needs",
+    tags=("sampling",),
+)
+def sample_weighted_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.sampling import HASH_SCALE as HS
+    from ..operators.sampling import hash48
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    u = (hash48(F.col("doc_id"), "wsgrp").cast("double") + 0.5) / float(HS)
+    d = base.withColumn("draw", -F.log(u) / F.col("n_tokens"))
+    w = W.partitionBy("lang").orderBy("draw", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("doc_id", "lang", "n_tokens", F.round("draw", 6).alias("draw"))
+    )
