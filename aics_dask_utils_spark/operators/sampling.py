@@ -160,9 +160,16 @@ def weighted_sample_topk(
     """
     # u in (0,1): (h + 0.5) / 2^48 — never 0 or 1, so ln is finite.
     u = (hash48(F.col(key), seed).cast("double") + 0.5) / F.lit(float(HASH_SCALE))
-    draw = -F.log(u) / weight.cast("double")
+    w = weight.cast("double")
+    draw = -F.log(u) / w
+    # Zero/NULL weight makes the draw NULL (non-ANSI x/0 -> NULL) and a
+    # plain asc sort puts NULLs FIRST — guaranteeing selection of rows
+    # that by weight-proportional semantics must never be selected. Such
+    # rows have sampling probability 0: filter them out, and keep
+    # nulls_last as belt-and-braces for NaN-weight rows.
     return (
-        df.withColumn("draw_key", draw)
-        .orderBy(F.col("draw_key").asc(), F.col(key).asc())
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("draw_key", draw)
+        .orderBy(F.asc_nulls_last("draw_key"), F.col(key).asc())
         .limit(k)
     )

@@ -371,7 +371,7 @@ _QUALITY_CTES = r"""
     s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM s2 GROUP BY lang, source
     ORDER BY lang, source
     """,
@@ -422,16 +422,44 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_pandas",
-    oracle=None,  # BLAS fold order != sequential fold -> rows-only check
+    oracle=f"""
+    WITH {_UNIT_CTE},
+    q AS (SELECT vec_id AS q_id, u AS qu FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qu, c.u), 6) AS cosine
+      FROM e c CROSS JOIN q WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 10
+    """,
     doc="vectorized exact top-k ANN: one numpy matmul per Arrow batch, "
     "local top-k per partition, global top-k window (E40 throughput "
-    "path); same semantics as ann_topk_brute, ~matmul speed",
+    "path); same semantics as ann_topk_brute. BLAS accumulation order "
+    "differs from a sequential fold only in float low bits (~1e-15), so "
+    "the hash contract rounds cosines to 6dp and re-ranks on the "
+    "rounded score with a neighbor_id tiebreak on BOTH engines; the "
+    "operator over-fetches (k=12) so the rounded re-rank can never "
+    "lose a boundary candidate",
     tags=("similarity", "approx"),
 )
 def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return S.brute_force_topk_pandas(queries, emb, "vec_id", "embedding", k=10)
+    raw = S.brute_force_topk_pandas(queries, emb, "vec_id", "embedding", k=12)
+    rounded = raw.select(
+        "q_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
 
 
 def _simhash_near_oracle(bits: int = 16, bands: int = 4, max_hamming: int = 2) -> str:

@@ -428,9 +428,9 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM first_seen GROUP BY first_day
     )
     SELECT day, new_users,
-           SUM(new_users) OVER (ORDER BY day
+           CAST(SUM(new_users) OVER (ORDER BY day
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cumulative_users
+             AS BIGINT) AS cumulative_users
     FROM daily
     """,
     doc="cumulative distinct users per day (E51): running COUNT(DISTINCT) "
@@ -480,11 +480,11 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sessions GROUP BY user_id, session_id
     )
     SELECT COUNT(*) AS n_sessions,
-           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS s_view,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
-                    THEN 1 ELSE 0 END) AS s_view_click,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
-                     AND t_purchase >= t_click THEN 1 ELSE 0 END) AS s_full_funnel
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s_view_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                     AND t_purchase >= t_click THEN 1 ELSE 0 END) AS BIGINT) AS s_full_funnel
     FROM per_session
     """,
     doc="session-scoped conversion funnel (E43+E51 composed): gap-based "

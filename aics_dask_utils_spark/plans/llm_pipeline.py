@@ -341,7 +341,7 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_arriving,
-           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_admitted
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
     FROM dedup GROUP BY lang ORDER BY lang
     """,
     doc="incremental-ingestion dedup (E30 composed): a new document "
@@ -390,11 +390,12 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     ),
     binned AS (
-      SELECT doc_id, n_tokens, (cum - n_tokens) // 2048 AS bin FROM c
+      SELECT doc_id, n_tokens,
+             CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin FROM c
     )
     SELECT bin,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM binned GROUP BY bin ORDER BY bin

@@ -183,7 +183,7 @@ def multimodal_resize_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch AS (SELECT unnest(generate_series(0, 1)) AS c)
     SELECT CAST(doc_id AS VARCHAR) AS path,
            CASE c WHEN 0 THEN 'c0' ELSE 'c1' END AS channel,
-           s.sum_px,
+           CAST(s.sum_px AS BIGINT) AS sum_px,
            s.sum_px / 48.0 AS mean_px
     FROM img CROSS JOIN ch,
     LATERAL (

@@ -31,8 +31,8 @@ from . import register
     "udf_pandas_scalar",
     oracle="""
     SELECT l_returnflag,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-             AS revenue_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS BIGINT) AS revenue_cents,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -77,7 +77,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_agg",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
            MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_cents
     FROM orders
     GROUP BY o_orderpriority
@@ -154,7 +154,7 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderkey,
            CAST(o.o_totalprice * 100 AS BIGINT) IS NOT NULL AS has_price,
            COUNT(l.l_orderkey) AS n_lines,
-           COALESCE(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)), 0) AS qty_cents
+           CAST(COALESCE(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)), 0) AS BIGINT) AS qty_cents
     FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_totalprice > 450000
     GROUP BY o.o_orderkey, has_price
@@ -253,7 +253,7 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM orders
     GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,

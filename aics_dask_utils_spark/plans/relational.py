@@ -429,29 +429,71 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx",
-    oracle=None,  # sketch-based; engine-specific by design -> rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_median_ok
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     doc="approx_count_distinct (HLL++) + percentile_approx — the 100 TB "
-    "path where exact distinct would shuffle every key (E21,E22)",
+    "path where exact distinct would shuffle every key (E21,E22). "
+    "Sketch estimates are engine-specific, so the CHECKABLE contract is "
+    "the accuracy bound: the plan emits exact sides plus booleans "
+    "asserting |approx-exact|/exact <= 5% (distinct) and the approx "
+    "median landing inside the exact p40-p60 band; the oracle emits the "
+    "exact sides and literal TRUE — any sketch drift hash-mismatches",
     tags=("relational", "agg", "approx"),
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_approx_med"),
+            F.expr("percentile(l_extendedprice, 0.40)").alias("_p40"),
+            F.expr("percentile(l_extendedprice, 0.60)").alias("_p60"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n",
+            (
+                F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_parts_ok"),
+            (
+                (F.col("_approx_med") >= F.col("_p40"))
+                & (F.col("_approx_med") <= F.col("_p60"))
+            ).alias("approx_median_ok"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
 @register(
     "agg_hll_sketch",
-    oracle=None,  # DataSketches binary sketches; engine-specific -> rows-only
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS exact_distinct_parts,
+           TRUE AS union_estimate_ok
+    FROM lineitem
+    """,
     doc="mergeable HLL sketches (E21 scale path): per-group "
     "hll_sketch_agg(user buckets) -> partial-aggregatable binary state, "
     "merged across groups with hll_union_agg for a grand-total distinct "
     "estimate without re-scanning. THE pattern for distinct-counting "
-    "100 TB: sketches combine map-side and union across days/partitions "
-    "(estimate-vs-exact tolerance pinned in tests/test_sketches.py)",
+    "100 TB: sketches combine map-side and union across days/partitions. "
+    "Binary sketches are engine-specific, so the checkable contract is "
+    "the bound: the plan emits the exact distinct plus a boolean "
+    "asserting the unioned estimate lands within 5%; the oracle emits "
+    "exact + literal TRUE (estimate-vs-exact tolerance also pinned in "
+    "tests/test_sketches.py)",
     tags=("relational", "agg", "approx"),
 )
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,11 +502,19 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("l_partkey").alias("sk"),
         F.count(F.lit(1)).alias("n"),
     )
-    return per_flag.agg(
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact"))
+    merged = per_flag.agg(
         F.sum("n").alias("n_rows"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
-            "approx_distinct_parts"
+            "_approx"
         ),
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_rows",
+        F.col("exact").alias("exact_distinct_parts"),
+        (
+            F.abs(F.col("_approx") - F.col("exact")) <= 0.05 * F.col("exact")
+        ).alias("union_estimate_ok"),
     )
 
 
@@ -605,9 +655,9 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
     SELECT o_orderstatus,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-           SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS high,
-           SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END) AS low
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS BIGINT) AS high,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END) AS BIGINT) AS low
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -848,7 +898,7 @@ def set_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN l_extendedprice < q3 THEN 2
                 ELSE 3 END AS bin,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM lineitem CROSS JOIN b
     GROUP BY bin ORDER BY bin
     """,

@@ -163,8 +163,8 @@ def sample_balance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / {HASH_SCALE}.0) / n_tokens AS draw
       FROM t
     )
-    SELECT doc_id, n_tokens, ROUND(draw, 6) AS draw
-    FROM d ORDER BY draw, doc_id LIMIT 50
+    SELECT doc_id, n_tokens, ROUND(d.draw, 6) AS draw
+    FROM d ORDER BY d.draw, doc_id LIMIT 50
     """,
     doc="deterministic weighted sampling WITHOUT replacement "
     "(Efraimidis-Spirakis A-ES): exponential draw -ln(u)/w from a "

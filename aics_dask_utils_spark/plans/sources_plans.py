@@ -403,8 +403,8 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(l.op, 'K') AS final_op,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(COALESCE(l.o_totalprice, b.o_totalprice) * 100)
-                    AS BIGINT)) AS cents
+           CAST(SUM(CAST(ROUND(COALESCE(l.o_totalprice, b.o_totalprice) * 100)
+                    AS BIGINT)) AS BIGINT) AS cents
     FROM orders b LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey
     WHERE COALESCE(l.op, 'K') <> 'D'
     GROUP BY final_op ORDER BY final_op

@@ -114,12 +114,33 @@ def assert_frames_match(
     """Default tolerance is ZERO: the driver's gate hashes values, so a
     plan that is merely 1e-9-close would pass locally and fail there.
     Every registered plan holds bit-exactly (deterministic decimal sums,
-    6-9dp rounding policy); keep it that way."""
+    6-9dp rounding policy); keep it that way.
+
+    Also DTYPE-strict on the int-vs-float axis: the driver's value hash
+    distinguishes ``1000`` (int64) from ``1000.0`` (float64) even though
+    ``math.isclose`` does not.  The classic trigger is DuckDB's
+    ``SUM(INTEGER)`` returning HUGEINT (fetched as float64) while Spark
+    returns int64 — the oracle must ``CAST(SUM(...) AS BIGINT)``.  A
+    column that is integer-dtyped on one engine and float-dtyped on the
+    other fails here before the driver ever sees it."""
     left = canonicalize(spark_pdf)
     right = canonicalize(oracle_pdf)
     assert list(left.columns) == list(right.columns), (
         f"{context}: column mismatch {list(left.columns)} vs {list(right.columns)}"
     )
+    for col in left.columns:
+        l_int = pd.api.types.is_integer_dtype(left[col])
+        r_int = pd.api.types.is_integer_dtype(right[col])
+        l_flt = pd.api.types.is_float_dtype(left[col])
+        r_flt = pd.api.types.is_float_dtype(right[col])
+        if (l_int and r_flt) or (l_flt and r_int):
+            raise AssertionError(
+                f"{context}: col {col!r} dtype skew: spark={left[col].dtype} "
+                f"oracle={right[col].dtype} — the driver's value hash treats "
+                "1000 and 1000.0 as different; CAST the oracle aggregate "
+                "(DuckDB SUM(INTEGER) returns HUGEINT->float64) or align the "
+                "Spark side"
+            )
     assert len(left) == len(right), (
         f"{context}: row count {len(left)} vs oracle {len(right)}"
     )

@@ -16,3 +16,21 @@ PLAN_NAMES = sorted(all_plans())
 @pytest.mark.parametrize("name", PLAN_NAMES)
 def test_plan_matches_oracle(spark, sf_dir, duck, name):
     run_plan_vs_oracle(spark, name, sf_dir, con=duck)
+
+
+def test_gate_is_dtype_strict():
+    """The local gate must reject int64-vs-float64 column skew even when
+    the values compare equal — the driver's value hash distinguishes
+    1000 from 1000.0 (round-1 failure class: DuckDB SUM(INTEGER) ->
+    HUGEINT -> float64 vs Spark int64)."""
+    import pandas as pd
+
+    from aics_dask_utils_spark.testing import assert_frames_match
+
+    ints = pd.DataFrame({"k": ["a", "b"], "v": pd.Series([1000, 7], dtype="int64")})
+    floats = pd.DataFrame(
+        {"k": ["a", "b"], "v": pd.Series([1000.0, 7.0], dtype="float64")}
+    )
+    assert_frames_match(ints, ints.copy(), context="same-dtype")
+    with pytest.raises(AssertionError, match="dtype skew"):
+        assert_frames_match(ints, floats, context="mistyped-oracle")

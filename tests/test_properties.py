@@ -203,6 +203,27 @@ def test_weighted_sample_invariant_under_weight_scaling(spark):
     )
 
 
+def test_weighted_sample_excludes_zero_and_null_weights(spark):
+    """Weight 0 / NULL means sampling probability 0. The naive plan put
+    those rows FIRST (0-division -> NULL draw, asc sorts NULLs first) —
+    guaranteed selection, the exact inverse of the contract."""
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10, F.lit(0))
+        .when(F.col("id") < 20, F.lit(None).cast("long"))
+        .otherwise(F.lit(5))
+        .alias("w"),
+    )
+    picked = {r["doc_id"] for r in
+              weighted_sample_topk(df, "doc_id", F.col("w"), k=30).collect()}
+    assert len(picked) == 30
+    assert all(d >= 20 for d in picked), "zero/NULL-weight rows were selected"
+
+
 def test_resample_grid_is_hourly_continuous(spark, sf_dir):
     """Every user's resampled series must step exactly one hour with no
     gaps — the contract that makes downstream rolling windows sound."""

@@ -1,25 +1,47 @@
-"""Scale-up parity: heavy deterministic pipelines re-verified at sf0.1
-(10x the driver gate). Slow — opt in with SPARK_GRAFT_SLOW=1."""
+"""Scale-up parity at sf0.1 (10x the driver's correctness gate).
+
+The driver BENCHES at sf0.1, so parity evidence must exist at that SF
+every round, not just sf0.001/sf0.01: scale-dependent determinism bugs
+(window-frame ties, cast-rounding, decimal->double drift) only surface
+here. Default-on for the bench's headline subset; the FULL 155-plan
+registry sweep at sf0.1 stays opt-in via SPARK_GRAFT_SLOW=1 (it is the
+verify skill's step 5).
+"""
 
 import os
+import sys
 
 import pytest
 
-from aics_dask_utils_spark.testing import run_plan_vs_oracle
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+
+from aics_dask_utils_spark.plans import all_plans
+from aics_dask_utils_spark.testing import duckdb_connection, run_plan_vs_oracle
 
 SLOW = os.environ.get("SPARK_GRAFT_SLOW") == "1"
+SF01 = "/root/testdata/sf0.1"
 
-HEAVY = [
-    "dedup_minhash_lsh",
-    "pipeline_clean_corpus",
-    "graph_pagerank_nations",
-    "kmeans_embeddings",
-    "text_bm25_search",
-    "pipeline_pack_sequences",
-]
+FULL = sorted(all_plans())
+NON_HEADLINE = [n for n in FULL if n not in HEADLINE]
 
 
-@pytest.mark.skipif(not SLOW, reason="set SPARK_GRAFT_SLOW=1 to run sf0.1 parity")
-@pytest.mark.parametrize("name", HEAVY)
-def test_heavy_plan_parity_at_sf01(spark, name):
-    run_plan_vs_oracle(spark, name, "/root/testdata/sf0.1")
+@pytest.fixture(scope="module")
+def duck01():
+    con = duckdb_connection(SF01)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HEADLINE)
+def test_headline_plan_parity_at_sf01(spark, duck01, name):
+    run_plan_vs_oracle(spark, name, SF01, con=duck01)
+
+
+@pytest.mark.skipif(
+    not SLOW, reason="set SPARK_GRAFT_SLOW=1 for the full registry at sf0.1"
+)
+@pytest.mark.parametrize("name", NON_HEADLINE)
+def test_full_registry_parity_at_sf01(spark, duck01, name):
+    run_plan_vs_oracle(spark, name, SF01, con=duck01)
