@@ -172,12 +172,43 @@ def minhash_lsh_pairs(
             "a remainder would silently drop signature slots"
         )
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # Hash each shingle ONCE into its two 48-bit md5 halves and persist
+    # that narrow (doc_id, h1, h2) relation: it feeds three consumers
+    # (signatures, per-doc set sizes, candidate verification) and the
+    # md5+conv per shingle is the chain's dominant per-row cost.
+    # ReuseExchange only dedups the shuffle WITHIN one stage graph;
+    # persisting dedups the hashing itself across all three (measured
+    # 3.0s -> 1.7s at sf0.1, warm min-of-2).
+    from pyspark.storagelevel import StorageLevel
+
+    ex = _doc_shingles(df, id_col, text_col, k)
+    h = F.md5(F.col("sg"))
+    hashed = ex.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(h, 13, 12), 16, 10).cast("bigint").alias("h2"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    aggs = [
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_PRIME)).alias(
+            f"mh_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*aggs)
     band_cols = []
     for b in range(bands):
         slot = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        # The bucket key only needs band-signature equality, not a
+        # cross-engine-reproducible hash: a struct of the raw slot
+        # values collides exactly when the band signatures agree, and
+        # skips an md5+concat per (doc, band).
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *slot)).alias("bh"))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.struct(
+                    *[s.alias(f"s{r}") for r, s in enumerate(slot)]
+                ).alias("bh"),
+            )
         )
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
@@ -217,23 +248,25 @@ def minhash_lsh_pairs(
     )
     # Verify ONLY the candidates: fan each candidate out to d1's shingles
     # and probe d2's shingle set — cost is |cand| × shingles-per-doc, not
-    # the all-pairs co-shingle join.
-    # NOTE (measured, don't "simplify"): `ex` below is the SAME subtree
-    # as the signature branch, so Spark's ReuseExchange computes the
-    # shingle shuffle once for all three uses. Two rewrites benchmarked
-    # SLOWER at sf0.1: per-row shingle ARRAYS + array_intersect (loses
-    # the shared exchange; nested broadcast builds serialize, 11s), and
-    # narrow HOF signatures via zip_with folds (interpreted + projection
-    # collapse re-evaluates the hash arrays per slot, 20s+ vs 3s).
-    ex = _doc_shingles(df, id_col, text_col, k)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sg"))
-    e1 = ex.alias("e1")
-    e2 = ex.alias("e2")
+    # the all-pairs co-shingle join. Shingle identity is the 96-bit
+    # (h1, h2) md5 pair from the persisted relation — set-equivalent to
+    # the string (shingles are array_distinct'd; md5 collision-free in
+    # practice) and joins on two bigints instead of long strings.
+    # NOTE (measured, don't "simplify"): two rewrites benchmarked SLOWER
+    # at sf0.1: per-row shingle ARRAYS + array_intersect (nested
+    # broadcast builds serialize, 11s), and narrow HOF signatures via
+    # zip_with folds (projection collapse re-evaluates the hash arrays
+    # per slot, 20s+ vs 3s); un-persisted single-pass was 3.4s.
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sg"))
+    e1 = hashed.alias("e1")
+    e2 = hashed.alias("e2")
     inter = (
         cand.join(e1, F.col("d1") == F.col("e1.doc_id"))
         .join(
             e2,
-            (F.col("d2") == F.col("e2.doc_id")) & (F.col("e1.sg") == F.col("e2.sg")),
+            (F.col("d2") == F.col("e2.doc_id"))
+            & (F.col("e1.h1") == F.col("e2.h1"))
+            & (F.col("e1.h2") == F.col("e2.h2")),
         )
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
