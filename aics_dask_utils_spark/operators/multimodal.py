@@ -19,11 +19,13 @@ Design rules for 100 TB of media:
   naturally row-sized units, so parallelism == file count (repartition
   upstream when files >> cores).
 
-The container has no imaging codecs (aicsimageio/PIL), so REAL format
-decode is stubbed: :func:`decode_image` raises ``NotImplementedError``
-for real formats and fully decodes the deterministic ``FAKEIMG`` test
-format. The Spark-side plumbing — schema, batching, slicing, sink — is
-real and tested.
+Codecs are PLUGGABLE: :func:`decode_images` accepts any
+``bytes -> (shape, channel_names, ndarray)`` callable, and the default
+:func:`decode_image` dispatches FAKEIMG to the built-in test codec and
+real formats to the best importable imaging library (aicsimageio, then
+PIL — neither exists in this container, in which case real bytes raise
+``NotImplementedError``). The Spark-side plumbing — schema, batching,
+slicing, sink — is identical for every codec and fully tested.
 """
 
 from __future__ import annotations
@@ -57,10 +59,54 @@ def encode_fake_image(
     return header + struct.pack(">H", len(names)) + names + arr.astype(np.uint8).tobytes()
 
 
+#: A codec adapter: bytes -> (STCZYX shape, channel names, ndarray).
+Decoder = Callable[[bytes], tuple[tuple[int, ...], list[str], np.ndarray]]
+
+
+def _real_codec_adapter() -> Optional[Decoder]:
+    """Best-available real-format decoder, or None when no imaging
+    library is importable (this container has none). Mirrors the
+    reference's production decode (aicsimageio OME-TIFF,
+    ``scripts/test_aics_cluster.py:91-96``): aicsimageio yields the
+    native STCZYX axes; PIL falls back to a 2-D (Y, X) plane lifted
+    into STCZYX with a single channel."""
+    try:
+        from aicsimageio import AICSImage  # noqa: F401  (absent here)
+
+        def _aics(content: bytes):
+            import io
+
+            img = AICSImage(io.BytesIO(content))
+            arr = img.get_image_data("STCZYX")
+            names = [str(c) for c in (img.channel_names or [])] or [
+                f"c{i}" for i in range(arr.shape[2])
+            ]
+            return tuple(arr.shape), names, arr
+
+        return _aics
+    except ImportError:
+        pass
+    try:
+        from PIL import Image  # noqa: F401  (absent here)
+
+        def _pil(content: bytes):
+            import io
+
+            arr = np.asarray(Image.open(io.BytesIO(content)).convert("L"))
+            stczyx = arr[np.newaxis, np.newaxis, np.newaxis, np.newaxis, :, :]
+            return tuple(stczyx.shape), ["c0"], stczyx
+
+        return _pil
+    except ImportError:
+        pass
+    return None
+
+
 def decode_image(content: bytes) -> tuple[tuple[int, ...], list[str], np.ndarray]:
-    """Decode one image. FAKEIMG decodes fully; real formats would
-    dispatch to an imaging library here (not present in this
-    environment)."""
+    """Decode one image: FAKEIMG via the built-in test codec, anything
+    else via the best importable real-format adapter (aicsimageio,
+    then PIL). Raises ``NotImplementedError`` only when the bytes are
+    a real format AND no imaging library exists in the environment."""
     if content[:8] == FAKE_MAGIC:
         shape = struct.unpack(">6H", content[8:20])
         (nlen,) = struct.unpack(">H", content[20:22])
@@ -69,25 +115,38 @@ def decode_image(content: bytes) -> tuple[tuple[int, ...], list[str], np.ndarray
             content[22 + nlen :], dtype=np.uint8, count=int(np.prod(shape))
         )
         return shape, names, pixels.reshape(shape)
+    real = _real_codec_adapter()
+    if real is not None:
+        return real(content)
     raise NotImplementedError(
         "real image codecs (OME-TIFF/PNG/...) are unavailable in this "
-        "environment; only the FAKEIMG test format decodes"
+        "environment; only the FAKEIMG test format decodes. Install "
+        "aicsimageio or PIL, or pass decode_images(..., decoder=...)"
     )
 
 
-def decode_images(binary_df: DataFrame) -> DataFrame:
+def decode_images(binary_df: DataFrame, decoder: Optional[Decoder] = None) -> DataFrame:
     """binaryFile rows -> (path, shape, channel_names, pixels) via
-    Arrow-batched mapInPandas (E10)."""
+    Arrow-batched mapInPandas (E10).
+
+    ``decoder`` injects a codec — any callable
+    ``bytes -> (shape, channel_names, ndarray)`` — so real imaging
+    libraries plug into the SAME distributed path as the test format
+    (decode on executors, flat int32 pixels + shape column out).
+    Default: :func:`decode_image` (FAKEIMG + best importable real
+    codec). The callable is serialized to executors; keep it
+    import-light (import the imaging lib inside the function body)."""
+    decode_one = decoder or decode_image
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"path": [], "shape": [], "channel_names": [], "pixels": []}
             for path, content in zip(pdf["path"], pdf["content"]):
-                shape, names, arr = decode_image(bytes(content))
+                shape, names, arr = decode_one(bytes(content))
                 out["path"].append(path)
                 out["shape"].append(list(shape))
                 out["channel_names"].append(names)
-                out["pixels"].append(arr.ravel().astype(np.int32))
+                out["pixels"].append(np.asarray(arr).ravel().astype(np.int32))
             yield pd.DataFrame(out)
 
     return binary_df.select("path", "content").mapInPandas(

@@ -81,6 +81,43 @@ def test_real_codec_is_stubbed():
         decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
+def test_injected_decoder_routes_through_same_pipeline(spark, tmp_path):
+    """A 'real' codec plugs in as a plain callable and flows through the
+    identical mapInPandas decode -> plane-select path as FAKEIMG —
+    the reference's aicsimageio decode shape
+    (scripts/test_aics_cluster.py:89-101) with the codec injected."""
+    import struct as _struct
+
+    # A fake "real" format: b"RAWF" + >2H (Y, X) + uint8 Y*X payload.
+    d = tmp_path / "raw_images"
+    d.mkdir()
+    rng = np.random.RandomState(7)
+    arrs = {}
+    for i in range(4):
+        arr = rng.randint(0, 255, size=(4, 5), dtype=np.uint8)
+        (d / f"img_{i}.rawf").write_bytes(
+            b"RAWF" + _struct.pack(">2H", *arr.shape) + arr.tobytes()
+        )
+        arrs[f"img_{i}.rawf"] = arr
+
+    def rawf_decoder(content: bytes):
+        assert content[:4] == b"RAWF", "injected decoder got wrong bytes"
+        y, x = _struct.unpack(">2H", content[4:8])
+        plane = np.frombuffer(content[8:], dtype=np.uint8, count=y * x)
+        return (1, 1, 1, 1, y, x), ["c0"], plane.reshape(1, 1, 1, 1, y, x)
+
+    binary = read_binary_files(spark, str(d), glob="*.rawf")
+    decoded = decode_images(binary, decoder=rawf_decoder)
+    planes = select_plane(decoded, channel_name="c0").collect()
+    assert len(planes) == 4
+    for r in planes:
+        expected = arrs[os.path.basename(r["path"])]
+        assert (r["height"], r["width"]) == expected.shape
+        assert np.array_equal(
+            np.array(r["plane"], dtype=np.uint8).reshape(expected.shape), expected
+        )
+
+
 def test_resize_nn_picks_strided_pixels(spark):
     """Regression: the resize lambda must index with the INPUT width.
 
