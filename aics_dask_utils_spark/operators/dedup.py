@@ -375,6 +375,7 @@ def connected_components(
     labels = (
         und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             labels.join(und, labels["node"] == und["a"])
@@ -396,8 +397,104 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # One hop per round: a diameter > max_iter graph would silently
+        # return labels that are only LOCAL minima. Fail loudly; deep
+        # graphs belong to connected_components_star (O(log n) rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter or use "
+            "connected_components_star"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 20
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): the 100 TB-scale variant of :func:`connected_components`.
+
+    Min-label propagation moves one hop per round, so its round count is
+    the graph DIAMETER and a high-degree hub re-sends its whole
+    neighborhood every round. The star operations instead rewire the
+    edge set itself toward the component minimum:
+
+    - large-star: every node ``u`` connects each LARGER neighbor to
+      ``m = min(N(u) + {u})`` — halves long paths (O(log n) rounds);
+    - small-star: ``u`` connects its smaller neighbors and itself to
+      ``m`` — collapses each neighborhood to a star around its min.
+
+    Each round is two groupBy-min shuffles over the CURRENT edge set,
+    which only shrinks; no per-round label join against all nodes.
+    Converged state is a forest of stars: every node's single neighbor
+    is its component min. Same contract as connected_components:
+    returns (doc_id, component = min id), oracle-verifiable against a
+    recursive-CTE reachability query.
+    """
+    orig = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    nodes = (
+        orig.select("u")
+        .union(orig.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Canonical direction larger -> smaller; the star steps preserve it.
+    e = orig.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+
+    def _sig(df: DataFrame):
+        # Order-insensitive convergence signature: one tiny aggregate vs
+        # an exceptAll (an extra full shuffle) per round.
+        return df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v")),
+            F.sum(F.xxhash64("v", "u")),
+        ).first()
+
+    prev = _sig(e)
+    for _ in range(max_iter):
+        # large-star over symmetric neighborhoods: (v, m) for v > u.
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (larger -> smaller) edges: connect each
+        # smaller neighbor and u itself to u's minimum.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mins2.select("u", F.col("mn").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _sig(small)
+        e = small
+        if cur == prev:
+            break
+        prev = cur
+    mapping = e.groupBy("u").agg(F.min("v").alias("component"))
+    return nodes.join(mapping, nodes["u"] == mapping["u"], "left").select(
+        nodes["u"].alias("doc_id"),
+        F.coalesce("component", nodes["u"]).alias("component"),
+    )
 
 
 def simhash_near_pairs(

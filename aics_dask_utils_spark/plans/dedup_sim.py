@@ -334,6 +334,37 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, "d1", "d2")
 
 
+@register(
+    "dedup_components_star",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    und AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    """,
+    doc="connected components via alternating large-star/small-star "
+    "(Kiveris et al. SoCC'14) over the same verified LSH pair graph — "
+    "the 100 TB variant of dedup_minhash_components: rounds scale with "
+    "log(n), not graph diameter, and no high-degree hub re-ships its "
+    "neighborhood every round; each round is two groupBy-min shuffles "
+    "over a shrinking edge set (E30,E31)",
+    tags=("dedup", "iterative"),
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.8)
+    return D.connected_components_star(pairs, "d1", "d2")
+
+
 _QUALITY_CTES = r"""
     q AS (
       SELECT doc_id,

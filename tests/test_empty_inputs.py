@@ -22,10 +22,14 @@ def test_dedup_ops_on_empty_corpus(spark):
 
 
 def test_connected_components_on_empty_edges(spark):
-    from aics_dask_utils_spark.operators.dedup import connected_components
+    from aics_dask_utils_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
 
     edges = spark.createDataFrame([], "d1 bigint, d2 bigint")
     assert connected_components(edges).count() == 0
+    assert connected_components_star(edges).count() == 0
 
 
 def test_pagerank_on_empty_edges(spark):

@@ -224,6 +224,54 @@ def test_weighted_sample_excludes_zero_and_null_weights(spark):
     assert all(d >= 20 for d in picked), "zero/NULL-weight rows were selected"
 
 
+def test_star_components_agree_with_min_label(spark):
+    """large-star/small-star must produce the identical
+    (node, component-min) labelling as min-label propagation on
+    adversarial shapes: a long chain (worst case for propagation), a
+    high-degree hub (worst case for star rewiring), self-contained
+    triangles, and singleton-free disjoint pairs."""
+    from aics_dask_utils_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 140)]          # diameter 40
+    hub = [(500, x) for x in range(501, 560)]              # degree-59 star
+    tri = [(7, 8), (8, 9), (9, 7)]                         # cycle
+    pairs = [(1000 + 2 * i, 1001 + 2 * i) for i in range(20)]
+    edges = spark.createDataFrame(
+        chain + hub + tri + pairs, "d1 bigint, d2 bigint"
+    )
+    a = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(edges, max_iter=50).collect()
+    }
+    b = {
+        (r["doc_id"], r["component"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert a == b
+    # spot-check the labelling itself, not just agreement
+    lab = dict(b)
+    assert all(lab[i] == 100 for i in range(100, 141))
+    assert all(lab[x] == 500 for x in range(500, 560))
+    assert lab[7] == lab[8] == lab[9] == 7
+
+
+def test_min_label_components_raise_instead_of_silently_truncating(spark):
+    """Regression: min-label propagation moves one hop per round; on a
+    graph whose diameter exceeds max_iter it used to RETURN local-minima
+    labels as if converged. It must fail loudly instead."""
+    import pytest as _pytest
+
+    from aics_dask_utils_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 140)]  # diameter 40
+    edges = spark.createDataFrame(chain, "d1 bigint, d2 bigint")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=10)
+
+
 def test_resample_grid_is_hourly_continuous(spark, sf_dir):
     """Every user's resampled series must step exactly one hour with no
     gaps — the contract that makes downstream rolling windows sound."""
