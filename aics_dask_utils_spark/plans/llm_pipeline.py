@@ -430,3 +430,56 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "pipeline_token_budget",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM t
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sel_tokens
+    FROM c WHERE cum <= 15000
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="token-budget corpus selection (EXT, LLM pipeline): rank "
+    "documents by a preference score (here: token count, descending — "
+    "swap in any quality/LM score) and admit greedily until the "
+    "cumulative token budget (15k) is spent; one running-sum window "
+    "over the ranked order, then per-lang stats of the admitted set. "
+    "The 'train on the best N tokens' primitive. At 100 TB the exact "
+    "global rank becomes a two-pass approx-quantile score cutoff; the "
+    "admission expression is unchanged",
+    tags=("text", "pipeline", "sampling"),
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(T.tokens("text")).alias("n_tokens")
+    )
+    w = W.orderBy(F.desc("n_tokens"), "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.where(F.col("cum") <= 15000)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sel_tokens"),
+        )
+        .orderBy("lang")
+    )

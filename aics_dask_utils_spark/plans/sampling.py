@@ -235,3 +235,73 @@ def sample_weighted_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("doc_id", "lang", "n_tokens", F.round("draw", 6).alias("draw"))
     )
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=rf"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ),
+    wts AS (
+      SELECT lang, cnt, ROUND(SQRT(cnt), 6) AS w FROM counts
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) AS tot FROM wts
+    ),
+    quotas AS (
+      SELECT lang, cnt,
+             CAST(FLOOR(400 * w / tot) AS BIGINT) AS quota
+      FROM wts CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT d.lang,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+               ORDER BY {_H.format(seed="tmix", key="d.doc_id")}, d.doc_id)
+               AS rn
+      FROM documents d
+    )
+    SELECT q.lang, q.cnt, q.quota,
+           COUNT(*) AS n_sel
+    FROM ranked r JOIN quotas q ON r.lang = q.lang
+    WHERE r.rn <= q.quota
+    GROUP BY q.lang, q.cnt, q.quota
+    ORDER BY q.lang
+    """,
+    doc="temperature-scaled corpus mixing (EXT sampling): per-language "
+    "quotas proportional to count^(1/2) — the standard temperature "
+    "resampling (tau=2) that upweights low-resource languages relative "
+    "to proportional sampling — then a deterministic content-hash "
+    "ranked draw fills each quota (quota may exceed a tiny stratum; "
+    "the rank filter caps at cnt naturally). sqrt is IEEE-exact and "
+    "the weight total uses the exact-decimal sum, so both engines "
+    "compute identical quotas. Two tiny aggregates broadcast against "
+    "one scan — no data shuffle beyond the per-stratum rank",
+    tags=("sampling",),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.sampling import hash48
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    wts = counts.withColumn("w", F.round(F.sqrt("cnt"), 6))
+    tot = wts.agg(dsum("w").alias("tot"))
+    quotas = wts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "cnt",
+        F.floor(F.lit(400) * F.col("w") / F.col("tot")).cast("bigint").alias("quota"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(hash48(F.col("doc_id"), "tmix"), "doc_id")
+    )
+    ranked = docs.withColumn("rn", rn)
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .where(F.col("rn") <= F.col("quota"))
+        .groupBy("lang", "cnt", "quota")
+        .agg(F.count(F.lit(1)).alias("n_sel"))
+        .orderBy("lang")
+    )
+
