@@ -556,3 +556,71 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means the
+    embedding space, find cosine near-dup pairs ONLY within each learned
+    cluster, group them into duplicate components, and from each
+    component keep the single member LEAST similar to its cluster
+    centroid (the paper's keep rule — the retained example is the most
+    "informative" one, farthest from the semantic mode).
+
+    Returns one row per vector that belongs to a duplicate component:
+    (vid, cid, component, cent_sim, kept). Vectors with no near-dup are
+    untouched (implicitly kept) and not emitted.
+
+    Scale shape: the quantizer trains on broadcast-centroid passes (see
+    ``operators/clustering.py``); the pair search is blocked by learned
+    cell — at corpus scale each cell is a co-partitioned self-join, so
+    the O(n²) cross join never materializes; components run over the
+    (tiny) pair graph only. This is exactly how SemDeDup runs on
+    billion-document corpora: clustering cost is linear, pairing cost is
+    sum of per-cell squares, both embarrassingly partitionable."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions.vectors import as_double_array, vec_dot
+    from .clustering import kmeans_assign, kmeans_centroids
+
+    e = df.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v"))
+    cent = kmeans_centroids(df, id_col, vec_col, k=k, iters=iters)
+    assigned = kmeans_assign(e, cent)
+    nrm = F.sqrt(vec_dot("v", "v"))
+    unit = assigned.withColumn("u", F.transform("v", lambda x: x / nrm)).select(
+        "vid", "cid", "u"
+    )
+    # Similarity of each member to its own (unit-normalized) centroid.
+    with_sim = (
+        unit.join(F.broadcast(cent), "cid")
+        .withColumn("cent_sim", vec_dot("u", "c") / F.sqrt(vec_dot("c", "c")))
+        .drop("c")
+    )
+    a = _spread(with_sim, "vid").select(
+        "cid", F.col("vid").alias("v1"), F.col("u").alias("u1")
+    )
+    b = with_sim.select("cid", F.col("vid").alias("v2"), F.col("u").alias("u2"))
+    pairs = (
+        a.join(F.broadcast(b), "cid")
+        .where(F.col("v1") < F.col("v2"))
+        .where(vec_dot("u1", "u2") >= threshold)
+        .select("v1", "v2")
+    )
+    comp = connected_components(pairs, "v1", "v2")
+    member = comp.join(
+        with_sim, comp["doc_id"] == with_sim["vid"]
+    ).select("vid", "cid", "component", "cent_sim")
+    w = W.partitionBy("component").orderBy("cent_sim", "vid")
+    return (
+        member.withColumn("rn", F.row_number().over(w))
+        .select(
+            "vid", "cid", "component", "cent_sim", (F.col("rn") == 1).alias("kept")
+        )
+        .orderBy("vid")
+    )

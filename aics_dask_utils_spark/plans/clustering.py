@@ -239,3 +239,59 @@ def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("q_id", "neighbor_id", "cosine", "rank")
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_kmeans_ctes(k=4, iters=2, final_assign=True)},
+    uu AS (
+      SELECT vid, cid,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM a3
+    ),
+    ws AS (
+      SELECT uu.vid, uu.cid, uu.u,
+             list_dot_product(uu.u, c.c) / sqrt(list_dot_product(c.c, c.c))
+               AS cent_sim
+      FROM uu JOIN c2 c ON uu.cid = c.cid
+    ),
+    pairs AS (
+      SELECT a.vid AS v1, b.vid AS v2
+      FROM uu a JOIN uu b ON a.cid = b.cid AND a.vid < b.vid
+      WHERE list_dot_product(a.u, b.u) >= 0.4
+    ),
+    und AS (
+      SELECT v1 AS a, v2 AS b FROM pairs
+      UNION
+      SELECT v2 AS a, v1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u2.b FROM reach r JOIN und u2 ON r.b = u2.a
+    ),
+    comp AS (SELECT a AS vid, LEAST(a, MIN(b)) AS component
+             FROM reach GROUP BY a)
+    SELECT vid, cid, component, cent_sim, (rn = 1) AS kept FROM (
+      SELECT ws.vid, ws.cid, comp.component, ws.cent_sim,
+             ROW_NUMBER() OVER (PARTITION BY comp.component
+                 ORDER BY ws.cent_sim, ws.vid) AS rn
+      FROM ws JOIN comp ON ws.vid = comp.vid
+    ) ORDER BY vid
+    """,
+    doc="SemDeDup (Abbas et al. 2023) end to end: k-means the embedding "
+    "space (k=4, 2 Lloyd rounds), cosine near-dup pairs ONLY within "
+    "each learned cluster (the clustering prunes the O(n²) pair space "
+    "to per-cell blocks), connected components over the pair graph, "
+    "and per duplicate-group keep the member LEAST similar to its "
+    "centroid — the paper's keep rule. Trained quantizer, pair graph, "
+    "iterative components, and the keep decision all hash-checked "
+    "against the unrolled recursive-CTE oracle (E12,E19,E31,E40)",
+    tags=("dedup", "similarity", "iterative"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, "vec_id", "embedding", k=4, iters=2, threshold=0.4)
