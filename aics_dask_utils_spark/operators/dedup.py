@@ -624,3 +624,76 @@ def semdedup(
         )
         .orderBy("vid")
     )
+
+
+def remove_repeated_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Repeated-passage REMOVAL with document rewriting (the RefinedWeb
+    / MassiveText cleanup step): chunk every document into fixed
+    ``chunk_tokens``-token passages, keep only the corpus-wide FIRST
+    occurrence of each distinct passage (ordered by doc id, then chunk
+    position), and reassemble each document from its surviving chunks in
+    order. Unlike span-level *flagging* (``text_span_dedup``), this
+    rewrites the text.
+
+    Returns (doc_id, n_chunks, n_kept_chunks, new_text); a document
+    whose every chunk duplicates earlier text survives with new_text ''.
+
+    Scale shape: one explode (linear in corpus tokens), one shuffle on
+    the chunk hash for the global first-occurrence window, one shuffle
+    back on doc id for reassembly — both keyed shuffles linear in chunk
+    count; chunks travel as 16-byte md5 keys plus their text once."""
+    from pyspark.sql.window import Window as W
+
+    from .text import tokens
+
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("bigint")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        n_chunks.alias("n_chunks"),
+    )
+    chunks = base.select(
+        "doc_id",
+        "n_chunks",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice("toks", i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    w = W.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_chunks")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept_chunks", F.lit(0)).alias("n_kept_chunks"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+        .orderBy("doc_id")
+    )

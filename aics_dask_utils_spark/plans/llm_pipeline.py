@@ -483,3 +483,54 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "dedup_repeated_chunks",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+             CAST(ceil(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       / 20.0) AS BIGINT) AS n_chunks
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, idx,
+             array_to_string(toks[idx*20+1 : idx*20+20], ' ') AS chunk
+      FROM (SELECT doc_id, toks,
+                   UNNEST(range(0, n_chunks)) AS idx
+            FROM t)
+    ),
+    kept AS (
+      SELECT doc_id, idx, chunk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                    ORDER BY doc_id, idx) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    ),
+    re AS (
+      SELECT doc_id, COUNT(*) AS n_kept_chunks,
+             string_agg(chunk, ' ' ORDER BY idx) AS new_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(re.n_kept_chunks, 0) AS n_kept_chunks,
+           COALESCE(re.new_text, '') AS new_text
+    FROM t LEFT JOIN re USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="repeated-passage REMOVAL with document rewriting (RefinedWeb/"
+    "MassiveText): 20-token chunks, corpus-wide first occurrence wins "
+    "(ordered by doc id then position), every later duplicate chunk is "
+    "cut and the document reassembled from its surviving chunks in "
+    "order. Unlike text_span_dedup this rewrites the text — the "
+    "rewritten strings themselves are hash-compared. Two linear keyed "
+    "shuffles (chunk-hash window, doc-id reassembly) (E30,E31,E49)",
+    tags=("text", "dedup"),
+)
+def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_repeated_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_chunks(docs, "doc_id", "text", chunk_tokens=20)
