@@ -295,3 +295,124 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, "vec_id", "embedding", k=4, iters=2, threshold=0.4)
+
+
+def _pq_ctes(m: int = 16, d: int = 4, k: int = 16, iters: int = 2, n_q: int = 5) -> str:
+    """CTE chain for product quantization with the subspace index ``s``
+    as a DATA column (one Lloyd chain keyed by s — mirrors the Spark
+    operator, whose plan size is O(iters), not O(m·iters))."""
+    parts = [
+        "raw AS (SELECT vec_id AS vid, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "uu AS (SELECT vid, list_transform(v, "
+        "x -> x / sqrt(list_dot_product(v, v))) AS u FROM raw)",
+        f"""sub AS (
+      SELECT vid, s, u[s*{d}+1 : (s+1)*{d}] AS v
+      FROM (SELECT vid, u, UNNEST(range(0, {m})) AS s FROM uu)
+    )""",
+        f"cc0 AS (SELECT s, vid AS cid, v AS c FROM sub WHERE vid < {k})",
+    ]
+    prev = "cc0"
+    for i in range(1, iters + 2):
+        parts.append(
+            f"""sd{i} AS (
+      SELECT e.vid, e.s, e.v, c.cid,
+             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
+               + list_dot_product(c.c, c.c) AS dist2
+      FROM sub e JOIN {prev} c ON e.s = c.s
+    )"""
+        )
+        parts.append(
+            f"""aa{i} AS (
+      SELECT vid, s, v, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, s
+                    ORDER BY dist2, cid) AS rn
+        FROM sd{i}
+      ) WHERE rn = 1
+    )"""
+        )
+        if i > iters:
+            break
+        parts.append(
+            f"""xx{i} AS (
+      SELECT s, cid, UNNEST(generate_series(1, len(v))) AS pos, UNNEST(v) AS val
+      FROM aa{i}
+    )"""
+        )
+        parts.append(
+            f"""mm{i} AS (
+      SELECT s, cid, pos,
+             ROUND(CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 9) AS m
+      FROM xx{i} GROUP BY s, cid, pos
+    )"""
+        )
+        parts.append(
+            f"cc{i} AS (SELECT s, cid, list(m ORDER BY pos) AS c "
+            f"FROM mm{i} GROUP BY s, cid)"
+        )
+        prev = f"cc{i}"
+    fa = iters + 1
+    parts.append(f"qq AS (SELECT vid AS q_id, u FROM uu WHERE vid < {n_q})")
+    parts.append(
+        f"""qsub AS (
+      SELECT q_id, s, u[s*{d}+1 : (s+1)*{d}] AS qs
+      FROM (SELECT q_id, u, UNNEST(range(0, {m})) AS s FROM qq)
+    )"""
+    )
+    parts.append(
+        f"""lut AS (
+      SELECT q.q_id, c.s, c.cid, list_dot_product(q.qs, c.c) AS dd
+      FROM qsub q JOIN cc{iters} c ON q.s = c.s
+    )"""
+    )
+    parts.append(
+        f"""pd AS (
+      SELECT l.q_id, k2.vid, k2.s, l.dd
+      FROM aa{fa} k2 JOIN lut l ON l.s = k2.s AND l.cid = k2.cid
+      WHERE k2.vid <> l.q_id
+    )"""
+    )
+    parts.append(
+        """scored AS (
+      SELECT q_id, vid,
+             list_reduce([0.0] || list(dd ORDER BY s), (acc, x) -> acc + x)
+               AS approx_cosine
+      FROM pd GROUP BY q_id, vid
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "ann_topk_pq",
+    oracle=f"""
+    WITH {_pq_ctes(m=16, d=4, k=16, iters=2, n_q=5)}
+    SELECT q_id, vid AS neighbor_id, approx_cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY approx_cosine DESC, vid) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="product-quantization ANN (Jégou et al. 2011): 64-dim unit "
+    "vectors split into 16 subspaces AS ROWS (subspace id is data, so "
+    "plan size is O(iters), not O(m)), one Lloyd loop trains all 16 "
+    "codebooks at once keyed by s, corpus encoded to 16 small codes/"
+    "vector, queries scored by asymmetric distance — per-query (s,code) "
+    "dot LUT broadcast, partials folded in subspace order from 0.0 so "
+    "the doubles are bit-identical cross-engine. The compressed-domain "
+    "scan is the 100 TB play: codes are ~2% of vector bytes, and "
+    "scoring never shuffles the raw vectors — one narrow pass + one "
+    "(q_id,vid) aggregation. Codebook training, encoding, and ADC "
+    "scores all hash-matched; recall floor vs exact scan pinned in "
+    "tests/test_ann_recall.py (E40,E54)",
+    tags=("similarity", "iterative"),
+)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(emb["vec_id"] < 5)
+    return pq_topk(
+        emb, queries, "vec_id", "embedding", m=16, codes_k=16, iters=2, k=10,
+        n_dims=64,
+    )

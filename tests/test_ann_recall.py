@@ -45,3 +45,12 @@ def test_exact_pandas_path_has_full_recall(spark, sf_dir, brute):
     # differ, so recall must be 1.0 up to ties; allow one swapped rank-10
     r = _mean_recall(brute, _topsets(spark, sf_dir, "ann_topk_pandas"))
     assert r >= 0.98, r
+
+
+def test_pq_recall_floor(spark, sf_dir, brute):
+    # 16x4-dim codebooks at 16 words = 16x compression; on these
+    # near-random synthetic embeddings ADC recall is ~0.46 — the floor
+    # pins "well above the 10/500 = 0.02 chance level", and any
+    # quantizer/LUT regression drops straight through it.
+    r = _mean_recall(brute, _topsets(spark, sf_dir, "ann_topk_pq"))
+    assert r >= 0.35, r
