@@ -333,3 +333,55 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(25)
     )
+
+
+@register(
+    "text_normalize_nfc",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             'cafe' || chr(769) || ' No' || chr(776) || 'el ' || text AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           length(raw) AS n_cp_raw,
+           length(nfc_normalize(raw)) AS n_cp_nfc,
+           md5(nfc_normalize(raw)) AS nfc_fp,
+           (nfc_normalize(raw) <> raw) AS changed
+    FROM raw ORDER BY doc_id
+    """,
+    doc="Unicode NFC normalization — the canonicalization step every "
+    "multilingual corpus pipeline runs before hashing/dedup (combining "
+    "marks vs precomposed chars hash differently while rendering "
+    "identically). Spark has no built-in normalizer, so this is the "
+    "documented right use of the Python lane: an Arrow-batched "
+    "pandas_udf over unicodedata (zero-copy batches, vectorized str "
+    "path) — never a row-at-a-time UDF. The corpus is ASCII, so a "
+    "deterministic decomposed prefix (combining acute + diaeresis) is "
+    "constructed from doc_id on BOTH engines; the normalized strings' "
+    "md5, code-point counts, and changed flags are hash-compared "
+    "against DuckDB's native nfc_normalize (E9,E32,E39)",
+    tags=("text", "udf"),
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):  # no annotations: postponed-eval hints break inference
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    nfc = pandas_udf(_nfc, "string")
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("café Nöel "), F.col("text"))
+    base = docs.select("doc_id", raw.alias("raw")).withColumn(
+        "nfc", nfc("raw")
+    )
+    return base.select(
+        "doc_id",
+        F.length("raw").alias("n_cp_raw"),
+        F.length("nfc").alias("n_cp_nfc"),
+        F.md5("nfc").alias("nfc_fp"),
+        (F.col("nfc") != F.col("raw")).alias("changed"),
+    ).orderBy("doc_id")
