@@ -458,3 +458,49 @@ def sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("final_op")
     )
+
+
+@register(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="bucketed co-located join (E13/E67, the biggest deletable "
+    "shuffle at 100 TB): lineitem and orders written bucketBy(8, "
+    "orderkey) sortBy(orderkey) as managed tables, read back via "
+    "spark.table (path reads lose bucket metadata), sort-merge joined "
+    "with NO Exchange on either side — the scans themselves are hash-"
+    "distributed, so a standing fact table pays the shuffle once at "
+    "write time and never again. Exchange-free plan asserted in "
+    "tests/test_scale_patterns.py; the aggregate here is value-checked "
+    "against the plain unbucketed oracle",
+    tags=("source", "join"),
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import bucketed_join_ready, write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_t, o_t = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, li_t, ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(orders, o_t, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    joined = bucketed_join_ready(spark, li_t).join(
+        bucketed_join_ready(spark, o_t).hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
