@@ -307,3 +307,105 @@ def binary_meta(df: DataFrame, bin_col: str = "content") -> DataFrame:
         F.sha2(b, 256).alias("sha256_hex"),
         F.lower(F.hex(F.substring(b, 1, 8))).alias("magic_hex"),
     )
+
+
+#: magic prefix of the deterministic fake audio format:
+#:   b"FAKEAUD1" + uint32 BE n_samples + uint8 sample bytes
+#:   (decoded sample value = byte - 100, a signed 8-bit-ish PCM).
+FAKE_AUDIO_MAGIC = b"FAKEAUD1"
+
+AUDIO_SCHEMA = "path string, n_samples int, samples array<int>"
+
+
+def encode_fake_audio(samples: np.ndarray) -> bytes:
+    """Serialize int samples (range [-100, 155]) into FAKEAUD bytes."""
+    arr = np.asarray(samples).astype(np.int32) + 100
+    if arr.min() < 0 or arr.max() > 255:
+        raise ValueError("samples out of FAKEAUD range")
+    return (
+        FAKE_AUDIO_MAGIC
+        + struct.pack(">I", len(arr))
+        + arr.astype(np.uint8).tobytes()
+    )
+
+
+def decode_audio(content: bytes) -> np.ndarray:
+    """Decode FAKEAUD bytes to centered int32 samples. Real audio
+    codecs (wav/flac/mp3 via soundfile/librosa — absent here) plug in
+    through the ``decoder`` argument of :func:`decode_audios`, exactly
+    like the image codec adapter."""
+    if content[:8] != FAKE_AUDIO_MAGIC:
+        raise NotImplementedError(
+            "real audio codecs are unavailable in this environment; only "
+            "FAKEAUD decodes. Pass decode_audios(..., decoder=...)"
+        )
+    (n,) = struct.unpack(">I", content[8:12])
+    return np.frombuffer(content[12 : 12 + n], dtype=np.uint8).astype(np.int32) - 100
+
+
+def decode_audios(binary_df: DataFrame, decoder=None) -> DataFrame:
+    """binaryFile rows -> (path, n_samples, samples) via Arrow-batched
+    mapInPandas — the audio twin of :func:`decode_images`: bytes decode
+    ON EXECUTORS, the signal travels as a flat array<int> column."""
+    decode_one = decoder or decode_audio
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "n_samples": [], "samples": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                arr = decode_one(bytes(content))
+                out["path"].append(path)
+                out["n_samples"].append(len(arr))
+                out["samples"].append(arr.astype(np.int32))
+            yield pd.DataFrame(out)
+
+    return binary_df.select("path", "content").mapInPandas(
+        decode_batch, schema=AUDIO_SCHEMA
+    )
+
+
+def frame_audio(decoded: DataFrame, frame_len: int, hop: int) -> DataFrame:
+    """Split each signal into hop-spaced frames (the STFT-style framing
+    every audio featurizer starts with): one row per frame, cut by
+    sequence+explode+slice column arithmetic — no re-decode, no Python
+    in the framing path. Frames that would run past the end are
+    dropped (count = floor((n - frame_len) / hop) + 1)."""
+    n = F.col("n_samples").cast("long")
+    n_frames = F.floor((n - frame_len) / hop) + 1
+    fr = F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias(
+        "frame_idx"
+    )
+    return decoded.select("path", "samples", fr).select(
+        "path",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.slice(
+            F.col("samples"),
+            (F.col("frame_idx") * hop + 1).cast("int"),
+            frame_len,
+        ).alias("frame"),
+    )
+
+
+def audio_frame_features(framed: DataFrame, frame_len: int) -> DataFrame:
+    """Per-frame signal features: RMS energy, peak amplitude, and
+    zero-crossing count — the classic VAD/silence-trim triple. Integer
+    sums keep the energy exact until one final sqrt; everything is
+    JVM higher-order folds (E60 for the audio axis)."""
+    sq_sum = F.aggregate(
+        F.transform(F.col("frame"), lambda x: (x * x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    zc = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(frame_len - 1)),
+            lambda p: F.element_at(F.col("frame"), p) * F.element_at(F.col("frame"), p + 1) < 0,
+        )
+    )
+    return framed.select(
+        "path",
+        "frame_idx",
+        F.sqrt(sq_sum.cast("double") / F.lit(float(frame_len))).alias("energy_rms"),
+        F.array_max("frame").alias("peak"),
+        zc.cast("bigint").alias("zero_crossings"),
+    )

@@ -216,3 +216,63 @@ def multimodal_channel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return channel_features(decode_images(binary_df))
+
+
+@register(
+    "multimodal_audio_frames",
+    oracle="""
+    WITH au AS (
+      SELECT doc_id, repeat(md5(text), 3) AS px  -- 96 'samples'
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, UNNEST(range(0, 6)) AS frame_idx, px FROM au
+    ),
+    s AS (
+      SELECT doc_id, frame_idx,
+             list_transform(generate_series(frame_idx*16 + 1, frame_idx*16 + 16),
+                            i -> ord(substr(px, CAST(i AS INT), 1)) - 100) AS frame
+      FROM fr
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS path,
+           CAST(frame_idx AS INT) AS frame_idx,
+           sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(frame, x -> CAST(x*x AS BIGINT))),
+                  (acc, x) -> acc + x) AS DOUBLE) / 16.0) AS energy_rms,
+           list_aggregate(frame, 'max') AS peak,
+           CAST(len(list_filter(range(1, 16),
+                  p -> frame[p] * frame[p+1] < 0)) AS BIGINT) AS zero_crossings
+    FROM s
+    """,
+    doc="EXECUTED audio decode->frame->featurize pipeline (E3,E10,E60 "
+    "audio axis): a 96-sample FAKEAUD signal per doc (md5-hex bytes, "
+    "centered to signed PCM at decode), decoded via Arrow-batched "
+    "mapInPandas on executors, framed into six 16-sample windows by "
+    "sequence+explode+slice column arithmetic, then per-frame RMS "
+    "energy / peak / zero-crossing count as JVM folds — the "
+    "VAD/silence-trim triple every audio corpus pipeline runs. Real "
+    "codecs (soundfile/librosa) plug into the same decoder injection "
+    "point as images. The oracle recomputes every frame feature from "
+    "the hex chars",
+    tags=("multimodal",),
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from ..operators.multimodal import (
+        FAKE_AUDIO_MAGIC,
+        audio_frame_features,
+        decode_audios,
+        frame_audio,
+    )
+
+    header = FAKE_AUDIO_MAGIC + struct.pack(">I", 96)
+    docs = load_table(spark, sf_dir, "documents")
+    binary_df = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.concat(
+            F.lit(header), F.encode(F.repeat(F.md5("text"), 3), "UTF-8")
+        ).alias("content"),
+    )
+    framed = frame_audio(decode_audios(binary_df), frame_len=16, hop=16)
+    return audio_frame_features(framed, frame_len=16)

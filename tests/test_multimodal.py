@@ -147,3 +147,53 @@ def test_frame_sample_cuts_time_blocks(spark):
     )
     rows = {r["t"]: r["frame"] for r in sample_frames(df, every_n=2).collect()}
     assert rows == {0: [0, 1, 2, 3], 2: [8, 9, 10, 11]}
+
+
+def test_audio_roundtrip_overlapping_frames(spark):
+    import numpy as np
+
+    from aics_dask_utils_spark.operators.multimodal import (
+        audio_frame_features,
+        decode_audios,
+        encode_fake_audio,
+        frame_audio,
+    )
+
+    sig = np.array([10, -10, 10, -10, 0, 0, 5, 5, -5, -5], dtype=np.int32)
+    df = spark.createDataFrame(
+        [("a", bytearray(encode_fake_audio(sig)))], "path string, content binary"
+    )
+    decoded = decode_audios(df)
+    assert decoded.collect()[0]["samples"] == sig.tolist()
+    # frame_len=4, hop=2: floor((10-4)/2)+1 = 4 frames
+    framed = frame_audio(decoded, frame_len=4, hop=2)
+    frames = {r["frame_idx"]: r["frame"] for r in framed.collect()}
+    assert frames == {
+        0: [10, -10, 10, -10],
+        1: [10, -10, 0, 0],
+        2: [0, 0, 5, 5],
+        3: [5, 5, -5, -5],
+    }
+    feats = {
+        r["frame_idx"]: r for r in audio_frame_features(framed, 4).collect()
+    }
+    assert feats[0]["zero_crossings"] == 3
+    assert feats[0]["energy_rms"] == 10.0
+    assert feats[3]["peak"] == 5
+    assert feats[3]["zero_crossings"] == 1
+
+
+def test_audio_decoder_injection(spark):
+    import numpy as np
+
+    from aics_dask_utils_spark.operators.multimodal import decode_audios
+
+    def fake_wav_decoder(content: bytes) -> np.ndarray:
+        # stands in for soundfile.read: any bytes -> samples
+        return np.frombuffer(content, dtype=np.uint8).astype(np.int32)
+
+    df = spark.createDataFrame(
+        [("w", bytearray(b"\x01\x02\x03"))], "path string, content binary"
+    )
+    row = decode_audios(df, decoder=fake_wav_decoder).collect()[0]
+    assert row["samples"] == [1, 2, 3] and row["n_samples"] == 3
