@@ -75,3 +75,55 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an undirected simple
+    graph, via degree-ordered orientation (Suri & Vassilvitskii 2011):
+    orient every edge from its (degree, id)-smaller endpoint to the
+    larger, then join oriented wedges u→v→w against oriented closers
+    u→w. The orientation is an acyclic total order, so each triangle is
+    enumerated exactly ONCE — and, critically for scale, every node's
+    out-degree is bounded by O(sqrt(|E|)): the wedge join's fan-out is
+    capped even on power-law graphs, where the naive id-ordering makes
+    one celebrity hub produce deg² wedges. The result is identical to
+    naive a<b<c enumeration (any acyclic orientation counts each
+    triangle once); only the intermediate sizes differ — which is the
+    entire point at 100 TB.
+
+    Returns (node, n_triangles) for every node in ≥1 triangle."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnsRenamed(
+        {"a": "node"}
+    )
+    ranked = (
+        und.join(deg.withColumnsRenamed({"node": "a", "deg": "da"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "deg": "db"}), "b")
+    )
+    oriented = ranked.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v").distinct()
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+    )
+    tri = wedges.join(
+        oriented.alias("e3"),
+        (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")),
+    ).select("x", "y", "z")
+    nodes = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return nodes
