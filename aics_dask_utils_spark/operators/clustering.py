@@ -97,7 +97,12 @@ def kmeans_centroids(
         F.col("vid").alias("cid"), F.col("v").alias("c")
     )
     for _ in range(iters):
-        cent = _recompute_centroids(kmeans_assign(e, cent))
+        # k tiny rows; without the checkpoint every later broadcast of
+        # cent re-executes ALL previous rounds (broadcast exchanges are
+        # re-planned per consumer), making the loop quadratic in iters.
+        cent = _recompute_centroids(kmeans_assign(e, cent)).localCheckpoint(
+            eager=True
+        )
     return cent
 
 
@@ -118,7 +123,7 @@ def kmeans_fit_predict(
     assign = None
     for _ in range(iters):
         assign = kmeans_assign(e, cent)
-        cent = _recompute_centroids(assign)
+        cent = _recompute_centroids(assign).localCheckpoint(eager=True)
     sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
     return (
         sizes.join(cent, "cid")

@@ -597,11 +597,14 @@ def semdedup(
         "vid", "cid", "u"
     )
     # Similarity of each member to its own (unit-normalized) centroid.
+    # One row per vector (id, cell, unit vec, centroid sim) — consumed
+    # by the pair join twice, the components loop, and the keep rule.
+    # Checkpoint it so the 2·iters-round Lloyd chain executes ONCE.
     with_sim = (
         unit.join(F.broadcast(cent), "cid")
         .withColumn("cent_sim", vec_dot("u", "c") / F.sqrt(vec_dot("c", "c")))
         .drop("c")
-    )
+    ).localCheckpoint(eager=True)
     a = _spread(with_sim, "vid").select(
         "cid", F.col("vid").alias("v1"), F.col("u").alias("u1")
     )

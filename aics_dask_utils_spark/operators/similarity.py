@@ -197,7 +197,12 @@ def pq_topk(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda i: F.slice("u", i * d + 1, d),
     )
-    subs = e.select("vid", F.posexplode(slices).alias("s", "v"))
+    # The sub-vector relation feeds every Lloyd round and the final
+    # encoding pass; checkpoint it once so the explode+normalize never
+    # re-executes (it is n·m small rows, far cheaper than re-deriving).
+    subs = e.select("vid", F.posexplode(slices).alias("s", "v")).localCheckpoint(
+        eager=False
+    )
 
     cent = subs.where(F.col("vid") < codes_k).select(
         "s", F.col("vid").alias("cid"), F.col("v").alias("c")
@@ -227,12 +232,15 @@ def pq_topk(
                 ).alias("mn")
             )
         )
+        # m·codes_k rows. Without a checkpoint every broadcast of cent
+        # re-executes ALL previous rounds (the broadcast exchange is
+        # re-planned per consumer), turning the loop quadratic.
         cent = dim_means.groupBy("s", "cid").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "mn"))),
                 lambda st: st["mn"],
             ).alias("c")
-        )
+        ).localCheckpoint(eager=True)
 
     qe = with_unit_vector(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("v0")),

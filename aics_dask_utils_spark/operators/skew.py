@@ -19,6 +19,7 @@ Three tiers, cheapest first:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +61,17 @@ def write_bucketed(
     parquet table. Joins/aggregations on ``bucket_cols`` against any
     table bucketed the same way need no shuffle — and with ``sort_cols``
     no sort either."""
+    # A table dir orphaned by a previous session (on-disk warehouse,
+    # fresh in-memory catalog) makes CTAS fail with
+    # LOCATION_ALREADY_EXISTS even in overwrite mode: drop the catalog
+    # entry AND clear the leftover location first.
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         num_buckets, *bucket_cols
     )

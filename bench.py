@@ -63,6 +63,10 @@ HEADLINE = [
     "graph_pagerank_nations",
     "events_resample_ffill",
     "sample_weighted_topk",
+    "dedup_repeated_chunks",
+    "graph_triangle_counts",
+    "multimodal_audio_frames",
+    "text_normalize_nfc",
 ]
 
 
