@@ -622,3 +622,48 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_event_id"),
         F.col("ts").alias("purchase_ts"),
     )
+
+
+@register(
+    "events_ewma",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, value FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           list_reduce(
+             [0.0] || list(value ORDER BY ts, event_id),
+             (acc, x) -> acc * 0.7 + x * 0.3
+           ) AS ewma_value
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    doc="exponentially-weighted moving average per user — the "
+    "inherently ORDER-SENSITIVE recursive time-series feature "
+    "(ewma_t = 0.3·x_t + 0.7·ewma_{t-1}, zero-seeded). Expressed as a "
+    "deterministic left fold over each user's (ts, event_id)-sorted "
+    "series: collect_list + array_sort + F.aggregate — one shuffle on "
+    "user_id, the fold runs JVM-side inside the aggregate, and because "
+    "both engines execute the identical float operation sequence the "
+    "result doubles hash-match bit-exactly with NO rounding. The "
+    "sessionized-feature pattern for per-entity state at 100 TB: "
+    "per-user series are small even when the corpus is not (E24,E27)",
+    tags=("events", "window"),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    series = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    ewma = F.aggregate(
+        series, F.lit(0.0), lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3)
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ewma.alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )

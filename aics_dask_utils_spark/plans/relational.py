@@ -997,3 +997,47 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_timestamp("pts") - F.unix_timestamp("cts")).alias("gap_s"),
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="SALTED equi-join (E13 skew tier 2): the big side spreads each "
+    "join key over 16 sub-keys by hashing a high-cardinality "
+    "discriminator (l_linenumber), the small side replicates 16x — for "
+    "the hot key a single executor cannot hold once AQE's "
+    "partition-splitting is not enough (AQE splits partitions, not "
+    "keys). The salt is pmod(hash(...)), deterministic, and internal: "
+    "the oracle is the PLAIN join — the hash check proves salting is "
+    "result-invariant. Equivalence also asserted at the operator level "
+    "in tests/test_scale_patterns.py",
+    tags=("relational", "join"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, orders, on="l_orderkey", discriminator="l_linenumber", n_salts=16
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
