@@ -154,3 +154,36 @@ def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    # wedge + closer joins are equi-joins on node ids; a nested-loop
+    # anywhere would be quadratic in the edge set
+    plan = _formatted(spark, "graph_triangle_counts", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_scoring_joins_broadcast_lut(spark, sf_dir):
+    # ADC scoring must join the codes against a BROADCAST LUT — the
+    # corpus-codes relation (the 100 TB side) must not shuffle for the
+    # lookup
+    plan = _formatted(spark, "ann_topk_pq", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repeated_chunks_single_explode_two_shuffles(spark, sf_dir):
+    # chunk dedup is one generate (explode) and two keyed exchanges
+    # (chunk-hash window + doc-id reassembly) — no joins beyond the
+    # final doc-id reassembly join, no nested loops
+    plan = _formatted(spark, "dedup_repeated_chunks", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Generate explode") <= 2  # chunks for base + kept
+
+
+def test_salted_join_no_extra_fact_exchange(spark, sf_dir):
+    # the salted join must broadcast the (replicated) small side: the
+    # salting must not introduce a shuffle of the fact table
+    plan = _formatted(spark, "join_skew_salted", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
