@@ -76,3 +76,38 @@ def test_minhash_rejects_nondividing_bands(spark):
 
     with _pytest.raises(ValueError, match="must divide"):
         minhash_lsh_pairs(_empty_docs(spark), num_hashes=12, bands=5)
+
+
+def test_repeated_chunks_on_empty_corpus(spark):
+    from aics_dask_utils_spark.operators.dedup import remove_repeated_chunks
+
+    assert remove_repeated_chunks(_empty_docs(spark)).count() == 0
+
+
+def test_triangle_counts_on_empty_edges(spark):
+    from aics_dask_utils_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert triangle_counts(edges).count() == 0
+
+
+def test_audio_frames_on_empty_binary(spark):
+    from aics_dask_utils_spark.operators.multimodal import (
+        audio_frame_features,
+        decode_audios,
+        frame_audio,
+    )
+
+    df = spark.createDataFrame([], "path string, content binary")
+    framed = frame_audio(decode_audios(df), frame_len=4, hop=2)
+    assert audio_frame_features(framed, 4).count() == 0
+
+
+def test_semdedup_on_pairless_embeddings(spark):
+    # orthogonal vectors: clustering runs, the pair graph is empty, and
+    # the result (only dup-group members are emitted) must be empty
+    from aics_dask_utils_spark.operators.dedup import semdedup
+
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    assert semdedup(emb, k=2, iters=1, threshold=0.9).count() == 0
