@@ -504,3 +504,67 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_Z_INTERLEAVE = "(((na >> 0) & 1) << 0) | (((nb >> 0) & 1) << 1) | (((na >> 1) & 1) << 2) | (((nb >> 1) & 1) << 3) | (((na >> 2) & 1) << 4) | (((nb >> 2) & 1) << 5) | (((na >> 3) & 1) << 6) | (((nb >> 3) & 1) << 7) | (((na >> 4) & 1) << 8) | (((nb >> 4) & 1) << 9) | (((na >> 5) & 1) << 10) | (((nb >> 5) & 1) << 11) | (((na >> 6) & 1) << 12) | (((nb >> 6) & 1) << 13) | (((na >> 7) & 1) << 14) | (((nb >> 7) & 1) << 15) | (((na >> 8) & 1) << 16) | (((nb >> 8) & 1) << 17) | (((na >> 9) & 1) << 18) | (((nb >> 9) & 1) << 19)"
+
+
+@register(
+    "sink_zorder_clustered",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(l_partkey) AS pa, MAX(l_partkey) AS qa,
+             MIN(l_suppkey) AS pb, MAX(l_suppkey) AS qb
+      FROM lineitem
+    ),
+    n AS (
+      SELECT CAST(floor(((l_partkey - pa) * 1023) /
+                 CAST(GREATEST(qa - pa, 1) AS DOUBLE)) AS BIGINT) AS na,
+             CAST(floor(((l_suppkey - pb) * 1023) /
+                 CAST(GREATEST(qb - pb, 1) AS DOUBLE)) AS BIGINT) AS nb
+      FROM lineitem CROSS JOIN b
+    ),
+    z AS (SELECT {_Z_INTERLEAVE} AS zkey FROM n)
+    SELECT COUNT(*) AS n_rows,
+           MIN(zkey) AS min_zkey,
+           MAX(zkey) AS max_zkey,
+           CAST(SUM(zkey) AS BIGINT) AS sum_zkey
+    FROM z
+    """,
+    doc="Z-ORDER clustered write (lakehouse OPTIMIZE ZORDER BY, E5/E67 "
+    "multi-column tier): (l_partkey, l_suppkey) normalized to 10 bits "
+    "each off table min/max stats and Morton-interleaved into one "
+    "clustering key — pure integer bit arithmetic, identical on any "
+    "engine — then repartitionByRange + sortWithinPartitions on the "
+    "key before writing. Rows close in EITHER dimension land close in "
+    "file order, so parquet row-group min/max stats prune scans "
+    "filtered on either column (a single-column sort only skips for "
+    "itself). File z-range disjointness asserted in "
+    "tests/test_sources_sinks.py; the aggregate (count + min/max + "
+    "full-key checksum) hash-proves the key math and losslessness",
+    tags=("sink",),
+)
+def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sinks import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    z = zorder_key("l_partkey", "l_suppkey", b[0], b[1], b[2], b[3], bits=10)
+    path = _tmp(sf_dir, "zorder")
+    (
+        li.withColumn("zkey", z)
+        .repartitionByRange(4, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("zkey").alias("min_zkey"),
+        F.max("zkey").alias("max_zkey"),
+        F.sum("zkey").cast("bigint").alias("sum_zkey"),
+    )

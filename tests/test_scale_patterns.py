@@ -83,3 +83,36 @@ def test_bucketed_groupby_eliminates_exchange(spark, bucketed_tables):
     li = bucketed_join_ready(spark, li_t)
     agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     assert "Exchange hashpartitioning" not in _plan_of(agg)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join pruning (Spark 3.5+ InjectRuntimeFilter):
+    a selective dimension filter materializes a bloom filter that is
+    pushed into the fact side BEFORE the join, so at 100 TB the shuffle
+    carries only rows that might match. The thresholds exist to keep
+    tiny local inputs from qualifying — production defaults
+    (creationSideThreshold 10MB, scan-size threshold 10GB) are the
+    right ones at scale; here they are narrowed to demonstrate the
+    mechanism on sf-scale data."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in optimized.lower(), optimized
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

