@@ -667,3 +667,50 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "asof_join_forward_tolerance",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           CASE WHEN o.o_orderdate IS NOT NULL
+                 AND epoch(o.o_orderdate) - epoch(e.ts) <= 7 * 86400
+                THEN o.o_orderkey END AS asof_o_orderkey,
+           CASE WHEN o.o_orderdate IS NOT NULL
+                 AND epoch(o.o_orderdate) - epoch(e.ts) <= 7 * 86400
+                THEN o.o_orderdate END AS asof_o_orderdate
+    FROM {_EV} e
+    LEFT JOIN LATERAL (
+      SELECT o_orderkey, o_orderdate
+      FROM orders o
+      WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      ORDER BY o_orderdate ASC, o_orderkey ASC
+      LIMIT 1
+    ) o ON TRUE
+    """,
+    doc="FORWARD as-of join with tolerance (pandas merge_asof "
+    "direction='forward', tolerance='7d'): each event matched to the "
+    "EARLIEST following order of the same user, and matches farther "
+    "than 7 days are nulled. Same single-shuffle union+carry as the "
+    "backward form — forward just flips the sort, tolerance is one "
+    "post-carry predicate, so the scale shape is unchanged: no range "
+    "join, no per-row fan-out (E17)",
+    tags=("events", "join"),
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+        direction="forward",
+        tolerance_seconds=7 * 86400,
+    )
