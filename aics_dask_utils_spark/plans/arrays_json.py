@@ -222,3 +222,62 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(dq_err, F.lit(0.0), lambda a, b: a + b), 6
         ).alias("sq_err"),
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH u AS (
+      SELECT UNNEST(generate_series(1, len(embedding))) AS dim_idx,
+             UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      FROM embeddings
+    ),
+    g AS (
+      SELECT dim_idx, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(30,12))) AS s,
+             SUM(CAST(v * v AS DECIMAL(30,12))) AS ss
+      FROM u GROUP BY dim_idx
+    )
+    SELECT CAST(dim_idx AS BIGINT) AS dim_idx, n,
+           ROUND(CAST(s AS DOUBLE) / n, 9) AS mean_val,
+           ROUND(SQRT(GREATEST(
+             CAST(ss AS DOUBLE) / n
+               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0)), 9)
+             AS std_val
+    FROM g ORDER BY dim_idx
+    """,
+    doc="per-dimension corpus mean/std (EXT, E12): the whitening / "
+    "standardization statistics every embedding pipeline computes "
+    "before centering (e.g. ahead of SemDeDup or PCA). posexplode to "
+    "(dim, value), one keyed agg with exact-decimal sum and "
+    "sum-of-squares so the result is partition-order independent, "
+    "variance from the moments in double. At 100 TB: partial "
+    "aggregation makes the shuffle carry |dims| x |partitions| rows "
+    "— nothing scales with corpus size after the map side",
+    tags=("array", "similarity"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select(
+        F.posexplode(as_double_array("embedding")).alias("pos", "v")
+    ).select((F.col("pos") + 1).cast("long").alias("dim_idx"), "v")
+    g = u.groupBy("dim_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(30,12)")).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(30,12)")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    return g.select(
+        "dim_idx",
+        "n",
+        F.round(mean, 9).alias("mean_val"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("ss").cast("double") / F.col("n") - mean * mean,
+                    F.lit(0.0),
+                )
+            ),
+            9,
+        ).alias("std_val"),
+    ).orderBy("dim_idx")

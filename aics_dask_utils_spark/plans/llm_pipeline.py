@@ -38,6 +38,9 @@ from . import register
 #: decontamination plan.
 EVAL_SOURCE = "src0"
 
+#: Stopword list spliced into the quality-gate oracle SQL.
+_SW_GATE = ",".join(f"'{w}'" for w in T.QUALITY_STOPWORDS)
+
 _EMAIL_RE = r"[a-z0-9]+@[a-z0-9.]+"
 _PHONE_RE = r"[0-9]{3}-[0-9]{4}"
 
@@ -534,3 +537,130 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return remove_repeated_chunks(docs, "doc_id", "text", chunk_tokens=20)
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (
+      SELECT doc_id, toks, unnest(range(0, n, 8)) AS start FROM s
+    )
+    SELECT doc_id,
+           CAST(start // 8 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(len(list_slice(toks, start + 1, start + 16)) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 16), ' ')
+             AS chunk_text
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    doc="sliding-window document chunking (EXT, LLM/RAG pipeline): "
+    "each document becomes overlapping 16-token chunks at stride 8 "
+    "(sequence -> posexplode -> slice, all codegen'd array ops, no "
+    "Python). The pretraining/RAG chunker primitive: row-local "
+    "explode, embarrassingly parallel, zero shuffle before the sink "
+    "(the ORDER BY is presentation only). At 100 TB fan-out is "
+    "bounded by stride — output rows ~= 2x token count / chunk size",
+    tags=("text", "pipeline"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    C, S = 16, 8
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", T.tokens("text").alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(S))).alias(
+            "chunk_idx", "start"
+        ),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, F.lit(C))
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "text_quality_gate",
+    oracle=rf"""
+    WITH b AS (
+      SELECT source,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 t -> list_contains([{_SW_GATE}], t))) AS n_sw,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+      FROM documents
+    ),
+    f AS (
+      SELECT source, n_tokens,
+             (n_tokens < 30) AS f_short,
+             (n_sw::DOUBLE / n_tokens < 0.04) AS f_sw,
+             ((n_chars - n_tokens + 1)::DOUBLE / n_tokens < 3.0
+              OR (n_chars - n_tokens + 1)::DOUBLE / n_tokens > 4.8) AS f_tok,
+             (n_punct::DOUBLE / n_chars > 0.03) AS f_punct
+      FROM b
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT (f_short OR f_sw OR f_tok OR f_punct)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_short,
+           CAST(SUM(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+           CAST(SUM(CASE WHEN f_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_token_len,
+           CAST(SUM(CASE WHEN f_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_punct,
+           CAST(SUM(CASE WHEN NOT (f_short OR f_sw OR f_tok OR f_punct)
+                    THEN n_tokens ELSE 0 END) AS BIGINT) AS admitted_tokens
+    FROM f GROUP BY source ORDER BY source
+    """,
+    doc="composite Gopher/C4-style quality GATE (EXT, LLM pipeline): "
+    "four document filters (min length, stopword floor, mean-token-"
+    "length band, punctuation cap) evaluated in one codegen'd pass, "
+    "aggregated per source into admit counts + per-rule reject "
+    "counts + admitted token mass. Unlike text_quality (scores only) "
+    "this is the admit/reject decision with reasons — what a corpus "
+    "curation run reports. One map pass + one tiny keyed agg; the "
+    "100 TB plan is scan-bound, shuffle carries |sources| rows",
+    tags=("text", "pipeline"),
+)
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_features(docs.select("source", "text"), "text")
+    f_short = F.col("n_tokens") < 30
+    f_sw = F.col("stopword_ratio") < 0.04
+    f_tok = (F.col("mean_token_len") < 3.0) | (F.col("mean_token_len") > 4.8)
+    f_punct = F.col("punct_ratio") > 0.03
+    admit = ~(f_short | f_sw | f_tok | f_punct)
+
+    def cnt(c):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(admit).alias("n_admitted"),
+            cnt(f_short).alias("n_fail_short"),
+            cnt(f_sw).alias("n_fail_stopword"),
+            cnt(f_tok).alias("n_fail_token_len"),
+            cnt(f_punct).alias("n_fail_punct"),
+            F.sum(F.when(admit, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("admitted_tokens"),
+        )
+        .orderBy("source")
+    )
