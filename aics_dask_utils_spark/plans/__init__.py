@@ -144,6 +144,7 @@ def all_plans() -> dict[str, QuerySpec]:
     from . import graph  # noqa: F401
     from . import sampling  # noqa: F401
     from . import llm_pipeline  # noqa: F401
+    from . import sketches  # noqa: F401
 
     missing = [n for n in PRIORITY_WINDOW if n not in REGISTRY]
     if missing:
