@@ -112,6 +112,13 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
         .alias("e")
     ).select("e.u", "e.v").distinct()
+    # The oriented edge relation feeds THREE consumers (both wedge
+    # sides and the closing-edge probe). ReuseExchange dedups only the
+    # shuffle; persisting skips re-running the upstream build (edge
+    # self-join + two degree joins + two distincts) per consumer.
+    from pyspark.storagelevel import StorageLevel
+
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
     wedges = oriented.alias("e1").join(
         oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
     ).select(

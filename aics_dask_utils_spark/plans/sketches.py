@@ -192,3 +192,69 @@ def agg_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM est, exact
         """
     )
+
+
+@register(
+    "events_sliding_distinct_hll",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM e),
+    ex AS (
+      SELECT d.day, COUNT(DISTINCT e.user_id) AS exact_w7
+      FROM days d JOIN e ON e.day >= d.day - 6 AND e.day <= d.day
+      GROUP BY d.day
+    ),
+    daily AS (
+      SELECT day, COUNT(DISTINCT user_id) AS day_users FROM e GROUP BY day
+    )
+    SELECT daily.day, day_users, exact_w7, TRUE AS w7_ok
+    FROM daily JOIN ex ON daily.day = ex.day
+    ORDER BY daily.day
+    """,
+    doc="7-day sliding distinct users via windowed HLL union (E65 x "
+    "E42): per-day hll_sketch_agg states, then hll_union_agg as a "
+    "WINDOW aggregate over a 6-PRECEDING frame — the production "
+    "sliding-MAU/WAU pattern. Sliding distinct is NOT decomposable "
+    "(yesterday's users overlap today's), so the exact form rescans "
+    "the window every day; sketches make it one tiny state merge per "
+    "frame. At 100 TB the daily sketch build is the only full scan; "
+    "the slide touches |days| KB-sized states. Contract: exact "
+    "windowed distinct (via a day-range join, contract-side only) + "
+    "boolean pinning the estimate within 5%; oracle = exact + TRUE",
+    tags=("sketch", "events", "window", "approx"),
+)
+def events_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_sk_events")
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+          FROM _sk_events
+        ),
+        daily AS (
+          SELECT day, hll_sketch_agg(user_id) AS sk,
+                 COUNT(DISTINCT user_id) AS day_users
+          FROM e GROUP BY day
+        ),
+        est AS (
+          SELECT day, day_users,
+                 hll_sketch_estimate(hll_union_agg(sk) OVER
+                   (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                   AS est_w7
+          FROM daily
+        ),
+        ex AS (
+          SELECT d.day, COUNT(DISTINCT e.user_id) AS exact_w7
+          FROM (SELECT DISTINCT day FROM e) d
+          JOIN e ON e.day >= date_sub(d.day, 6) AND e.day <= d.day
+          GROUP BY d.day
+        )
+        SELECT est.day, day_users, exact_w7,
+               abs(est_w7 - exact_w7) <= 0.05 * exact_w7 AS w7_ok
+        FROM est JOIN ex ON est.day = ex.day
+        ORDER BY est.day
+        """
+    )
