@@ -67,6 +67,11 @@ HEADLINE = [
     "graph_triangle_counts",
     "multimodal_audio_frames",
     "text_normalize_nfc",
+    "text_chunk_sliding",
+    "text_quality_gate",
+    "embedding_dim_stats",
+    "agg_theta_users",
+    "events_sliding_distinct_hll",
 ]
 
 

@@ -187,3 +187,35 @@ def test_salted_join_no_extra_fact_exchange(spark, sf_dir):
     # salting must not introduce a shuffle of the fact table
     plan = _formatted(spark, "join_skew_salted", sf_dir)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_chunker_is_narrow_before_sort(spark, sf_dir):
+    # the chunker is a row-local explode: no Exchange may appear below
+    # the presentation sort — fan-out happens where the data lives
+    plan = _formatted(spark, "text_chunk_sliding", sf_dir)
+    # only the final sort's range exchange — no hash shuffle anywhere
+    assert plan.count("rangepartitioning") == 1, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Generate" in plan  # posexplode stayed a generator, not a join
+
+
+def test_quality_gate_single_agg_pass(spark, sf_dir):
+    # one scan, one partial+final agg pair keyed by source — the gate
+    # must not re-scan documents per rule
+    plan = _formatted(spark, "text_quality_gate", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "partial_sum" in plan  # map-side combine before the keyed shuffle
+
+
+def test_dim_stats_partial_agg(spark, sf_dir):
+    # shuffle must carry |dims| x |partitions| partial rows, not the
+    # exploded (row x dim) relation
+    plan = _formatted(spark, "embedding_dim_stats", sf_dir)
+    assert "partial_sum" in plan or "partial" in plan, plan
+
+
+def test_theta_sketch_single_scan_partial_agg(spark, sf_dir):
+    # both filtered sketches build in ONE events pass (FILTER clauses),
+    # with ObjectHashAggregate partials merging map-side
+    plan = _formatted(spark, "agg_theta_users", sf_dir)
+    assert "ObjectHashAggregate" in plan, plan
