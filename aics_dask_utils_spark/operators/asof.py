@@ -42,14 +42,19 @@ def asof_join(
     ``direction='backward'`` (default) matches the latest right row with
     right.ts <= left.ts (ties among right rows: LARGEST tiebreak wins);
     ``direction='forward'`` matches the earliest right row with
-    right.ts >= left.ts (ties: SMALLEST tiebreak wins). Both run the
-    same single-shuffle union+carry — forward just flips the sort.
+    right.ts >= left.ts (ties: SMALLEST tiebreak wins);
+    ``direction='nearest'`` picks whichever of the two is closer in
+    time (an exact gap tie goes backward, the pandas rule). All run
+    the same single-shuffle union+carry — forward flips the sort,
+    nearest carries both directions over one keyed partitioning.
     ``tolerance_seconds`` (pandas merge_asof's ``tolerance``) nulls the
     payloads of matches farther than the bound — applied AFTER the
     carry, so it costs one scalar predicate, not a different join.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     lcols = left.columns
     l = left.select(
         F.col(left_on).alias("__key"),
@@ -70,27 +75,73 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
     )
-    if direction == "backward":
-        order = [F.asc("__ts"), F.asc("__tag"), F.asc("__tb")]
+    order_b = [F.asc("__ts"), F.asc("__tag"), F.asc("__tb")]
+    # Descending ts: rows at-or-after the current left row precede
+    # it, so last(ignorenulls) carries the NEAREST following right
+    # row; __tb desc makes the smallest tiebreak win among ts-ties.
+    order_f = [F.desc("__ts"), F.asc("__tag"), F.desc("__tb")]
+
+    def _window(order):
+        return (
+            W.partitionBy("__key")
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+
+    u = l.unionByName(r)
+    if direction in ("backward", "forward"):
+        w = _window(order_b if direction == "backward" else order_f)
+        carried = u.select(
+            "*",
+            F.last("__rts", ignorenulls=True).over(w).alias("__matched_ts"),
+            *[
+                F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+                for c in payload_cols
+            ],
+        )
+        out = carried.where(F.col("__tag") == 1)
     else:
-        # Descending ts: rows at-or-after the current left row precede
-        # it, so last(ignorenulls) carries the NEAREST following right
-        # row; __tb desc makes the smallest tiebreak win among ts-ties.
-        order = [F.desc("__ts"), F.asc("__tag"), F.desc("__tb")]
-    w = (
-        W.partitionBy("__key")
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = l.unionByName(r).select(
-        "*",
-        F.last("__rts", ignorenulls=True).over(w).alias("__matched_ts"),
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in payload_cols
-        ],
-    )
-    out = carried.where(F.col("__tag") == 1)
+        # nearest (pandas merge_asof direction='nearest'): carry BOTH
+        # directions over the same keyed partitioning — one shuffle,
+        # two per-partition sorts — then pick the closer match per
+        # row; an exact gap tie goes to the backward match (pandas
+        # rule). No range join, no fan-out: still the single-shuffle
+        # scale shape.
+        wb, wf = _window(order_b), _window(order_f)
+        carried = u.select(
+            "*",
+            F.last("__rts", ignorenulls=True).over(wb).alias("__ts_b"),
+            F.last("__rts", ignorenulls=True).over(wf).alias("__ts_f"),
+            *[
+                F.last(f"__p_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+                for c in payload_cols
+            ],
+            *[
+                F.last(f"__p_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+                for c in payload_cols
+            ],
+        )
+        rows = carried.where(F.col("__tag") == 1)
+        gap_b = F.unix_timestamp("__ts") - F.unix_timestamp("__ts_b")
+        gap_f = F.unix_timestamp("__ts_f") - F.unix_timestamp("__ts")
+        use_b = F.col("__ts_b").isNotNull() & (
+            F.col("__ts_f").isNull() | (gap_b <= gap_f)
+        )
+        out = rows.select(
+            *lcols,
+            "__key",
+            "__ts",
+            "__tag",
+            F.when(use_b, F.col("__ts_b"))
+            .otherwise(F.col("__ts_f"))
+            .alias("__matched_ts"),
+            *[
+                F.when(use_b, F.col(f"__b_{c}"))
+                .otherwise(F.col(f"__f_{c}"))
+                .alias(f"asof_{c}")
+                for c in payload_cols
+            ],
+        )
     if tolerance_seconds is not None:
         # unix_timestamp, not cast: TIMESTAMP_NTZ refuses a bigint cast;
         # the session tz is pinned UTC so the epoch math is deterministic.

@@ -714,3 +714,57 @@ def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
         tolerance_seconds=7 * 86400,
     )
+
+
+@register(
+    "asof_join_nearest",
+    oracle=f"""
+    WITH m AS (
+      SELECT e.event_id, e.user_id, e.ts, e.event_type,
+             b.o_orderkey AS b_key, b.o_orderdate AS b_ts,
+             f.o_orderkey AS f_key, f.o_orderdate AS f_ts
+      FROM {_EV} e
+      LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+      ) b ON TRUE
+      LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1
+      ) f ON TRUE
+    )
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                  OR epoch(ts) - epoch(b_ts) <= epoch(f_ts) - epoch(ts))
+                THEN b_key ELSE f_key END AS asof_o_orderkey,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                  OR epoch(ts) - epoch(b_ts) <= epoch(f_ts) - epoch(ts))
+                THEN b_ts ELSE f_ts END AS asof_o_orderdate
+    FROM m
+    """,
+    doc="NEAREST as-of join (pandas merge_asof direction='nearest'): "
+    "each event matched to the time-closest order of the same user in "
+    "EITHER direction; an exact gap tie goes to the prior order (the "
+    "pandas rule). Both direction carries run over ONE keyed shuffle "
+    "(two per-partition sorts, no range join, no fan-out) — the scale "
+    "shape is identical to the backward form (E17)",
+    tags=("events", "join"),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+        direction="nearest",
+    )
