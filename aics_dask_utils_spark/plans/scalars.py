@@ -329,3 +329,53 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_str.try_cast("bigint").alias("flag_as_int"),
         F.col("l_quantity").cast("bigint").alias("qty_int"),
     )
+
+
+@register(
+    "scalar_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=2' AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           regexp_extract(url, 'https://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url, '\\.([a-z]+)\\.[a-z]+/', 1) AS subdomain_sld
+    FROM u ORDER BY doc_id
+    """,
+    doc="URL parsing (E32 extension, web-corpus curation): a "
+    "deterministic URL is synthesized per document on BOTH engines "
+    "(the corpus has no URL column), then host / path / query-param "
+    "extraction runs via parse_url on the Spark side — the JVM "
+    "java.net.URI fast path, inside codegen — against regexp "
+    "extraction in the oracle. The canonical-host primitive under "
+    "domain-level dedup and per-site quality rollups. Pure map, "
+    "zero shuffle before the presentation sort",
+    tags=("scalar", "text"),
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract("url", r"\.([a-z]+)\.[a-z]+/", 1).alias(
+            "subdomain_sld"
+        ),
+    ).orderBy("doc_id")
