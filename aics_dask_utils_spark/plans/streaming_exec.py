@@ -298,3 +298,63 @@ def stream_update_mode_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     # latest-wins per key over the upsert log (single batch: identity)
     log = spark.read.parquet(path)
     return log.groupBy("event_type").agg(F.max("n").alias("n"))
+
+
+@register(
+    "stream_hll_rollup_exec",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS users_ok
+    FROM {_EV}
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="EXECUTED stream: per-day distinct users via hll_sketch_agg "
+    "running INSIDE the streaming aggregation (E41/E44 x E65). "
+    "COUNT(DISTINCT) is unsupported on streams — the state store "
+    "cannot hold every key — so the mergeable sketch IS the streaming "
+    "distinct-count path: per-micro-batch partials merge into ~KB of "
+    "state per day. The drained state table is estimated batch-side "
+    "and pinned within 5% of the exact batch distinct (sparse-mode "
+    "HLL at these cardinalities is exact, so the boolean is stable); "
+    "oracle = exact + TRUE",
+    tags=("streaming", "sketch", "approx"),
+)
+def stream_hll_rollup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+    from ..streaming import run_stream_to_memory
+
+    sdf = read_events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 day")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.expr("hll_sketch_agg(user_id)").alias("sk"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    name = run_stream_to_memory(agg, "complete")
+    est = spark.table(name).select(
+        "day",
+        "n_events",
+        F.expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").alias("est_users"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("users_ok"),
+        )
+        .orderBy("day")
+    )
