@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.deterministic import dsum
 
@@ -134,3 +135,55 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return nodes
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection),
+    ``iters`` rounds over an undirected simple graph.
+
+    label_0(v) = v; label_{i+1}(v) = the label carrying the maximum
+    total incident edge weight among v's neighbors, ties broken by the
+    SMALLEST label — a total, deterministic rule, so the iteration is
+    engine-reproducible with pure integer arithmetic (no float drift
+    at all, unlike PageRank). Self-loops are dropped; directed input
+    edges are symmetrized with weights summed per unordered pair.
+
+    Scale shape: per round one edges-x-labels equi-join (shuffle on
+    the neighbor key) + one (node, label) aggregation + one per-node
+    argmax window — all linear in |E|. Labels are checkpointed per
+    round so the plan does not grow with the iteration count (the
+    kmeans/pagerank lesson). Returns (node, label)."""
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("w")
+    ).where(F.col("a") != F.col("b"))
+    und = (
+        e.union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        scored = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(und["a"].alias("node"), "label")
+            .agg(F.sum("w").alias("tw"))
+        )
+        win = W.partitionBy("node").orderBy(F.desc("tw"), F.asc("label"))
+        labels = (
+            scored.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

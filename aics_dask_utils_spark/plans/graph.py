@@ -146,3 +146,69 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "node")
         .limit(20)
     )
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    ctes = [_EDGE_CTE.strip()]
+    ctes.append(
+        """und AS (
+      SELECT a, b, SUM(w) AS w FROM (
+        SELECT src AS a, dst AS b, w FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS a, src AS b, w FROM edges WHERE src <> dst
+      ) GROUP BY a, b
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)"""
+    )
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""s{i} AS (
+      SELECT u.a AS node, l.label, SUM(u.w) AS tw
+      FROM und u JOIN l{i - 1} l ON u.b = l.node GROUP BY u.a, l.label
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                 ORDER BY tw DESC, label ASC) AS rn
+        FROM s{i}) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, label FROM l{iters} ORDER BY node"
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="weighted label-propagation community detection (3 synchronous "
+    "rounds) over the nation trade graph: each node adopts the label "
+    "with maximum total incident edge weight among its neighbors, "
+    "ties to the smallest label — a total deterministic rule in pure "
+    "INTEGER arithmetic, so the whole iteration hash-matches the "
+    "unrolled-CTE oracle with zero float-drift concern. Per round: "
+    "one edges-x-labels shuffle join + one (node,label) agg + a "
+    "per-node argmax window, all linear in |E|; labels checkpointed "
+    "per round so the plan stays flat (E62 family)",
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return label_propagation(edges, iters=3).orderBy("node")
