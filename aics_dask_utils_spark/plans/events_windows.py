@@ -768,3 +768,62 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="o_orderkey",
         direction="nearest",
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+      FROM {_EV}
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS t FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type, p.n,
+           ROUND(p.n::DOUBLE / t.t, 9) AS prob
+    FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
+    ORDER BY p.prev_type, p.next_type
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences (E26/E51 family): lag over a totally-ordered per-user "
+    "window yields (prev, next) pairs, one keyed agg counts them, and "
+    "row probabilities come from a per-prev total — the "
+    "behavioral-model primitive behind next-event prediction and "
+    "anomaly scoring. One user-keyed shuffle for the window, then "
+    "|types|^2-sized relations; integer ratio to 9dp so the doubles "
+    "hash-match",
+    tags=("events", "window", "agg"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(tot, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 9).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -664,3 +664,60 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, lang,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           ROUND(QUANTILE_CONT(n_tokens, 0.5), 6) AS median_tokens,
+           ROUND(QUANTILE_CONT(n_tokens, 0.95), 6) AS p95_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY source ORDER BY source
+    """,
+    doc="dataset-card statistics (EXT, LLM pipeline): the per-source "
+    "summary every released corpus ships — doc/lang counts, token and "
+    "char mass, token-length min/median/p95/max — in ONE pass over "
+    "documents (single keyed agg, map-side partials; percentiles are "
+    "the only non-decomposable piece and swap to KLL sketches at "
+    "100 TB, see agg_kll_price_quantiles). Integer sums cast BIGINT, "
+    "interpolated percentiles rounded to 6dp for cross-engine hashes",
+    tags=("text", "pipeline", "agg"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "lang",
+        F.size(T.tokens("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias(
+                "median_tokens"
+            ),
+            F.round(F.percentile("n_tokens", F.lit(0.95)), 6).alias(
+                "p95_tokens"
+            ),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
