@@ -111,3 +111,46 @@ def test_semdedup_on_pairless_embeddings(spark):
     rows = [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(8)]
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     assert semdedup(emb, k=2, iters=1, threshold=0.9).count() == 0
+
+
+def test_label_propagation_on_empty_edges(spark):
+    from aics_dask_utils_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([], "src int, dst int, w bigint")
+    assert label_propagation(edges, iters=2).count() == 0
+
+
+def test_label_propagation_self_loops_only(spark):
+    # a graph of only self-loops has no neighbors: no nodes survive
+    # the symmetrize step, so the result is empty, not an error
+    from aics_dask_utils_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 1, 5), (2, 2, 3)], "src int, dst int, w bigint")
+    assert label_propagation(edges, iters=2).count() == 0
+
+
+def test_asof_nearest_empty_right(spark):
+    # nearest direction with no right rows: every left row keeps NULL
+    # payloads (both direction carries find nothing)
+    import datetime
+
+    from aics_dask_utils_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, datetime.datetime(2024, 1, 1))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame([], "k long, rts timestamp, payload long")
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_ts="ts",
+        right_ts="rts", payload_cols=["payload"], direction="nearest",
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_payload"] is None
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest as _pytest
+
+    from aics_dask_utils_spark.operators.asof import asof_join
+
+    with _pytest.raises(ValueError, match="backward|forward|nearest"):
+        asof_join(None, None, "a", "b", "c", "d", [], direction="sideways")

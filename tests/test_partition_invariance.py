@@ -15,6 +15,11 @@ PLANS = [
     "graph_pagerank_nations",
     "agg_stats",
     "text_bm25_search",
+    "embedding_dim_stats",
+    "graph_label_propagation",
+    "events_markov_transitions",
+    "text_chunk_sliding",
+    "events_sliding_distinct_hll",
 ]
 
 
