@@ -159,9 +159,13 @@ def pq_topk(
     iters: int = 2,
     k: int = 10,
     n_dims: int = 64,
+    refine: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011) with asymmetric
-    distance computation, fully deterministic:
+    distance computation, fully deterministic. With ``refine=N`` the
+    ADC top-N shortlist per query is re-ranked by EXACT cosine on the
+    raw unit vectors (FAISS IndexRefine), returning (q_id,
+    neighbor_id, cosine, rank) instead of the approximate score:
 
     1. unit-normalize, split each vector into ``m`` subspaces — as ROWS
        ``(vid, s, subvector)``, not plan width, so ``m`` scales without
@@ -268,8 +272,33 @@ def pq_topk(
     )
     scored_q = partials.groupBy("q_id", "vid").agg(approx.alias("approx_cosine"))
     w = W.partitionBy("q_id").orderBy(F.desc("approx_cosine"), F.col("vid"))
+    if refine is None:
+        return (
+            scored_q.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "q_id", F.col("vid").alias("neighbor_id"), "approx_cosine", "rank"
+            )
+        )
+    # Shortlist-then-refine (the FAISS IndexRefine pattern): ADC picks
+    # the top `refine` candidates per query in the compressed domain,
+    # then ONLY those shortlist rows fetch their raw unit vectors for
+    # an exact cosine re-rank to top k. At 100 TB the exact pass
+    # touches refine x |queries| vectors — thousands, not billions —
+    # so recall approaches exact while the scan stays compressed.
+    short = (
+        scored_q.withColumn("arank", F.row_number().over(w))
+        .where(F.col("arank") <= refine)
+        .select("q_id", "vid")
+    )
+    ref = (
+        short.join(e, "vid")
+        .join(F.broadcast(qe), "q_id")
+        .select("q_id", "vid", vec_dot("u", "qu").alias("cosine"))
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("vid"))
     return (
-        scored_q.withColumn("rank", F.row_number().over(w))
+        ref.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
-        .select("q_id", F.col("vid").alias("neighbor_id"), "approx_cosine", "rank")
+        .select("q_id", F.col("vid").alias("neighbor_id"), "cosine", "rank")
     )

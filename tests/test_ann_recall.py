@@ -54,3 +54,13 @@ def test_pq_recall_floor(spark, sf_dir, brute):
     # quantizer/LUT regression drops straight through it.
     r = _mean_recall(brute, _topsets(spark, sf_dir, "ann_topk_pq"))
     assert r >= 0.35, r
+
+
+def test_pq_refine_recovers_recall(spark, sf_dir, brute):
+    # exact re-rank of the ADC top-50 shortlist must beat raw PQ and
+    # clear a high floor: any brute-force top-10 neighbor missed means
+    # the shortlist never contained it
+    raw = _mean_recall(brute, _topsets(spark, sf_dir, "ann_topk_pq"))
+    refined = _mean_recall(brute, _topsets(spark, sf_dir, "ann_topk_pq_refine"))
+    assert refined >= raw, (refined, raw)
+    assert refined >= 0.8, refined
