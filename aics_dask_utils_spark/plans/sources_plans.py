@@ -568,3 +568,40 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("zkey").alias("max_zkey"),
         F.sum("zkey").cast("bigint").alias("sum_zkey"),
     )
+
+
+@register(
+    "source_text_roundtrip",
+    oracle=r"""
+    WITH t AS (SELECT text FROM documents WHERE lang = 'en')
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+             AS BIGINT) AS total_tokens,
+           MIN(md5(text)) AS min_line_md5
+    FROM t
+    """,
+    doc="text-lines round trip (E2, completing the format matrix: "
+    "parquet/CSV/JSON/ORC/binary/text): the English documents written "
+    "as one raw line each (spark.write.text), re-read with "
+    "spark.read.text — the raw-corpus ingestion path (Common Crawl "
+    "WET, one-doc-per-line dumps). Line counts, char/token mass, and "
+    "a content digest hash-match the parquet original, proving the "
+    "round trip is byte-lossless. Text scans split by line offset at "
+    "100 TB exactly like CSV",
+    tags=("source",),
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    path = _tmp(sf_dir, "text")
+    # one document per line; the synthetic corpus has no newlines
+    docs.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path).withColumnRenamed("value", "text")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(F.size(T.tokens("text"))).cast("long").alias("total_tokens"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_line_md5"),
+    )
