@@ -276,3 +276,80 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     framed = frame_audio(decode_audios(binary_df), frame_len=16, hop=16)
     return audio_frame_features(framed, frame_len=16)
+
+
+@register(
+    "multimodal_image_dedup",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, repeat(md5(lang || source), 3) AS px FROM documents
+    ),
+    pix AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 96),
+                            i -> ord(substr(px, CAST(i AS INT), 1))) AS ps
+      FROM img
+    ),
+    m AS (
+      SELECT doc_id, ps,
+             CAST(list_reduce(ps, (a, b) -> a + b) AS DOUBLE) / 96 AS mean
+      FROM pix
+    ),
+    ah AS (
+      SELECT doc_id,
+             array_to_string(list_transform(ps,
+               p -> CASE WHEN p >= mean THEN '1' ELSE '0' END), '') AS ahash
+      FROM m
+    )
+    SELECT ahash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+    FROM ah GROUP BY ahash ORDER BY keep_id
+    """,
+    doc="image dedup via decoded-pixel average hash (E10 x E30): "
+    "FAKEIMG tensors (pixel payload keyed by lang+source, so real "
+    "duplicate groups exist) are decoded on executors via mapInPandas, "
+    "each image reduced to a 96-bit aHash (pixel >= image mean) with "
+    "JVM fold/transform — no second Python pass — then exact-dedup "
+    "grouped keep-min-id. The media-dedup recipe at 100 TB: decode "
+    "once, hash to bytes, shuffle ONLY (hash, id) — pixels never "
+    "leave the executor that decoded them. Oracle recomputes the "
+    "identical hash from the hex chars",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from ..operators.multimodal import FAKE_MAGIC, decode_images
+
+    shape = (1, 1, 2, 3, 4, 4)  # 96 pixels
+    names = b"c0,c1"
+    header = (
+        FAKE_MAGIC + struct.pack(">6H", *shape) + struct.pack(">H", len(names)) + names
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    binary_df = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.concat(
+            F.lit(header),
+            F.encode(F.repeat(F.md5(F.concat("lang", "source")), 3), "UTF-8"),
+        ).alias("content"),
+    )
+    decoded = decode_images(binary_df)
+    px = F.col("pixels")
+    mean = (
+        F.aggregate(px, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+        / F.size(px)
+    )
+    ah = decoded.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.concat_ws(
+            "",
+            F.transform(
+                px, lambda p: F.when(p >= mean, F.lit("1")).otherwise(F.lit("0"))
+            ),
+        ).alias("ahash"),
+    )
+    return (
+        ah.groupBy("ahash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .orderBy("keep_id")
+    )
