@@ -123,6 +123,28 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "stream_static_join_exec",  # E64
     "sink_sorted_clustered",  # E67
     "kmeans_embeddings",  # iterative clustering
+    # -- positions 51+: round-2 additions, ordered most-novel first so
+    #    they are checked next if the driver's window exceeds 50 --
+    "agg_topk_sketch",  # E65 mergeable frequent-items
+    "agg_theta_users",  # E65 theta set algebra
+    "agg_kll_price_quantiles",  # E65 mergeable quantiles
+    "events_sliding_distinct_hll",  # E65 x E42 windowed sketch union
+    "stream_hll_rollup_exec",  # E41 x E65 streaming distinct
+    "text_chunk_sliding",  # E66 chunker
+    "text_quality_gate",  # E39 composite gate
+    "embedding_dim_stats",  # E12 whitening stats
+    "asof_join_nearest",  # E17 nearest direction
+    "graph_label_propagation",  # E62 community detection
+    "events_markov_transitions",  # E26/E51 transition matrix
+    "pipeline_dataset_card",  # corpus summary
+    "ann_topk_pq_refine",  # E40 shortlist re-rank
+    "scalar_url_parse",  # E32 URL parsing
+    "source_text_roundtrip",  # E2 text-lines format
+    "multimodal_image_dedup",  # E10 x E30 media dedup
+    # re-check with their new in-plan bound contracts (r1 had them as
+    # unverifiable no_oracle rows)
+    "agg_approx",
+    "agg_hll_sketch",
 )
 
 
