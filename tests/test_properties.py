@@ -324,3 +324,84 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("m")
     ).first()["m"]
     assert abs(approx - exact) / exact < 0.02
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=0, max_size=25
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
+    """Differential oracle: the single-shuffle union+carry formulation
+    must reproduce pandas merge_asof exactly — including equal-ts
+    tiebreaks (backward: last right row in (ts, rid) order; forward:
+    first; nearest: gap ties go backward) — on arbitrary inputs."""
+    import datetime
+
+    import pandas as pd
+
+    from aics_dask_utils_spark.operators.asof import asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + datetime.timedelta(seconds=s)
+
+    lpdf = pd.DataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(left)],
+        columns=["lid", "k", "ts"],
+    )
+    rpdf = pd.DataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(right)],
+        columns=["rid", "k", "rts"],
+    ).astype({"rid": "int64", "k": "int64", "rts": "datetime64[ns]"})
+    # merge_asof requires sort by the on-key; sorting right by
+    # (rts, rid) pins equal-ts ties: backward takes the LAST such row
+    # (= max rid, our tiebreak rule), forward the FIRST (= min rid)
+    lsort = lpdf.sort_values(["ts", "lid"]).reset_index(drop=True)
+    rsort = rpdf.sort_values(["rts", "rid"]).reset_index(drop=True)
+    expected_df = pd.merge_asof(
+        lsort,
+        rsort,
+        left_on="ts",
+        right_on="rts",
+        left_by="k",
+        right_by="k",
+        direction=direction,
+    )
+    expected = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in expected_df.itertuples()
+    }
+
+    lf = spark.createDataFrame(lpdf)
+    rf = (
+        spark.createDataFrame(rpdf)
+        if len(rpdf)
+        else spark.createDataFrame([], "rid long, k long, rts timestamp")
+    )
+    got_rows = asof_join(
+        lf,
+        rf,
+        left_on="k",
+        right_on="k",
+        left_ts="ts",
+        right_ts="rts",
+        payload_cols=["rid"],
+        tiebreak="rid",
+        direction=direction,
+    ).collect()
+    got = {
+        int(r["lid"]): (None if r["asof_rid"] is None else int(r["asof_rid"]))
+        for r in got_rows
+    }
+    assert got == expected
