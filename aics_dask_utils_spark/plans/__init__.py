@@ -129,6 +129,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_theta_users",  # E65 theta set algebra
     "agg_kll_price_quantiles",  # E65 mergeable quantiles
     "events_sliding_distinct_hll",  # E65 x E42 windowed sketch union
+    "events_sliding_topk_sketch",  # E65 x E42 sliding frequent items
     "stream_hll_rollup_exec",  # E41 x E65 streaming distinct
     "text_chunk_sliding",  # E66 chunker
     "text_quality_gate",  # E39 composite gate

@@ -258,3 +258,66 @@ def events_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY est.day
         """
     )
+
+
+@register(
+    "events_sliding_topk_sketch",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM e),
+    ex AS (
+      SELECT d.day, e.event_type AS item, COUNT(*) AS est_count
+      FROM days d JOIN e ON e.day >= d.day - 2 AND e.day <= d.day
+      GROUP BY d.day, e.event_type
+    )
+    SELECT day, item, est_count, TRUE AS count_exact
+    FROM ex ORDER BY day, item
+    """,
+    doc="3-day sliding frequent-items via windowed sketch combine "
+    "(E65 x E42): per-day approx_top_k_accumulate states merged by "
+    "approx_top_k_combine OVER a 2-PRECEDING frame — the trending-"
+    "items pattern (sliding heavy hitters are as non-decomposable as "
+    "sliding distinct; the sketch slide touches |days| KB states, "
+    "never re-scans). Tracked budget (10) exceeds |event types| (5), "
+    "so DataSketches counts are provably exact: the contract emits "
+    "every item's windowed estimate, asserts equality with the exact "
+    "sliding count in-plan, and the oracle recomputes exact + TRUE — "
+    "no reliance on tie order inside the sketch's ranking",
+    tags=("sketch", "events", "window", "approx"),
+)
+def events_sliding_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_sk_events")
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+          FROM _sk_events
+        ),
+        daily AS (
+          SELECT day, approx_top_k_accumulate(event_type, 10) AS st
+          FROM e GROUP BY day
+        ),
+        slid AS (
+          SELECT day, approx_top_k_combine(st) OVER
+                   (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cs
+          FROM daily
+        ),
+        est AS (
+          SELECT day, inline(approx_top_k_estimate(cs, 10)) FROM slid
+        ),
+        ex AS (
+          SELECT d.day, e.event_type AS item, COUNT(*) AS n
+          FROM (SELECT DISTINCT day FROM e) d
+          JOIN e ON e.day >= date_sub(d.day, 2) AND e.day <= d.day
+          GROUP BY d.day, e.event_type
+        )
+        SELECT est.day, est.item,
+               CAST(est.count AS BIGINT) AS est_count,
+               est.count = ex.n AS count_exact
+        FROM est JOIN ex ON est.day = ex.day AND est.item = ex.item
+        ORDER BY est.day, est.item
+        """
+    )
