@@ -287,3 +287,54 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="grouped-map applyInArrow (E46, Spark 4): whole groups arrive as "
+    "pyarrow Tables with NO pandas conversion — the zero-copy grouped "
+    "path for Arrow-native Python (numpy/polars). Each group reduces to "
+    "one summary row in exact integer cents; pairs with udf_map_in_arrow "
+    "to complete the Arrow UDF matrix (map + grouped-map). Grouped "
+    "Python is a keyed shuffle then per-group batches — same scale "
+    "shape as applyInPandas, minus the pandas copy",
+    tags=("udf",),
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def summarize(table: "pa.Table") -> "pa.Table":
+        import numpy as np
+        import pyarrow as pa
+
+        price = table.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype("int64")
+        flag = table.column("l_returnflag")[0].as_py()
+        return pa.table(
+            {
+                "l_returnflag": pa.array([flag]),
+                "n": pa.array([len(cents)], type=pa.int64()),
+                "cents": pa.array([int(cents.sum())], type=pa.int64()),
+                "max_cents": pa.array([int(cents.max())], type=pa.int64()),
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .applyInArrow(
+            summarize, "l_returnflag string, n long, cents long, max_cents long"
+        )
+        .orderBy("l_returnflag")
+    )
