@@ -721,3 +721,134 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_rag_index",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (SELECT doc_id, unnest(range(0, n, 8)) AS start, toks FROM s),
+    ch AS (
+      SELECT doc_id * 1000 + start // 8 AS ck,
+             array_to_string(list_slice(toks, start + 1, start + 16), ' ')
+               AS ctext
+      FROM c
+    ),
+    hv AS (SELECT ck, md5(ctext) AS h FROM ch),
+    vec AS (
+      SELECT ck,
+             list_transform(range(0, 8),
+               i -> CAST(('0x' || substr(h, CAST(i * 4 + 1 AS INT), 4))
+                          AS BIGINT) / 32767.5 - 1) AS v
+      FROM hv
+    ),
+    un AS (
+      SELECT ck, v,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM vec
+    ),
+    cells AS (
+      SELECT ck, u,
+             (CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END) AS cell
+      FROM un
+    ),
+    q AS (
+      SELECT ck AS qk, u AS qu, cell FROM cells
+      WHERE ck % 1000 = 0 AND ck < 3000
+    ),
+    scored AS (
+      SELECT q.qk, c2.ck AS nk, list_dot_product(q.qu, c2.u) AS cosine
+      FROM q JOIN cells c2 ON q.cell = c2.cell AND c2.ck <> q.qk
+    )
+    SELECT qk AS q_chunk, nk AS neighbor_chunk, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qk
+                  ORDER BY cosine DESC, nk) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY q_chunk, rank
+    """,
+    doc="END-TO-END RAG indexing capstone (EXT): chunk documents "
+    "(16-token stride-8), embed each chunk (deterministic md5-derived "
+    "8-dim vector standing in for a model embedding — the Spark-side "
+    "plumbing is what's under test), unit-normalize, bucket by "
+    "sign-hyperplane cell (the LSH/IVF blocking that replaces the "
+    "O(n^2) cross join), probe 3 query chunks cell-locally, exact "
+    "cosine top-3 per query. ONE lazy plan: Catalyst fuses chunk -> "
+    "embed -> index -> probe; the only shuffle is the cell join. At "
+    "100 TB the embed step becomes a Pandas-UDF model call and the "
+    "cell key becomes learned IVF (ann_topk_learned_ivf) — identical "
+    "plan shape (E66 x E40 composed)",
+    tags=("text", "pipeline", "similarity"),
+)
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..functions.vectors import vec_dot, with_unit_vector
+
+    C, S = 16, 8
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", T.tokens("text").alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    ch = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(S))).alias(
+            "chunk_idx", "start"
+        ),
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("ck"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1, F.lit(C)), " "
+        ).alias("ctext"),
+    )
+    h = F.md5("ctext")
+    vec = ch.select(
+        "ck",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.conv(h.substr(i * 4 + 1, F.lit(4)), 16, 10).cast(
+                "bigint"
+            )
+            / 32767.5
+            - 1,
+        ).alias("v"),
+    )
+    un = with_unit_vector(vec, "v", "u")
+    cells = un.select(
+        "ck",
+        "u",
+        (
+            F.when(F.col("v")[0] > 0, 4).otherwise(0)
+            + F.when(F.col("v")[1] > 0, 2).otherwise(0)
+            + F.when(F.col("v")[2] > 0, 1).otherwise(0)
+        ).alias("cell"),
+    )
+    q = cells.where((F.col("ck") % 1000 == 0) & (F.col("ck") < 3000)).select(
+        F.col("ck").alias("qk"), F.col("u").alias("qu"), "cell"
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell")
+        .where(F.col("ck") != F.col("qk"))
+        .select("qk", F.col("ck").alias("nk"), vec_dot("qu", "u").alias("cosine"))
+    )
+    w = W.partitionBy("qk").orderBy(F.desc("cosine"), F.col("nk"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("qk").alias("q_chunk"),
+            F.col("nk").alias("neighbor_chunk"),
+            "cosine",
+            "rank",
+        )
+        .orderBy("q_chunk", "rank")
+    )
