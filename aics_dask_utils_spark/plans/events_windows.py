@@ -816,9 +816,13 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    # per-prev totals as a window over the tiny pair relation — a
+    # groupBy+self-join here would re-evaluate the whole user-window
+    # subtree for the second consumer (one extra fact shuffle)
     return (
-        pairs.join(tot, "prev_type")
+        pairs.withColumn(
+            "t", F.sum("n").over(W.partitionBy("prev_type"))
+        )
         .select(
             "prev_type",
             "next_type",

@@ -219,3 +219,31 @@ def test_theta_sketch_single_scan_partial_agg(spark, sf_dir):
     # with ObjectHashAggregate partials merging map-side
     plan = _formatted(spark, "agg_theta_users", sf_dir)
     assert "ObjectHashAggregate" in plan, plan
+
+
+def test_rag_index_single_cell_join_broadcast(spark, sf_dir):
+    # the probe joins the tiny query side broadcast against the cell
+    # relation — no shuffle join, no cartesian
+    plan = _formatted(spark, "pipeline_rag_index", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_markov_single_user_shuffle(spark, sf_dir):
+    # one hashpartitioning exchange on user_id for the lag window; the
+    # pair/total aggs ride AQE-coalesced exchanges after it
+    plan = _formatted(spark, "events_markov_transitions", sf_dir)
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1, plan
+
+
+def test_sliding_hll_no_raw_rescan_per_window(spark, sf_dir):
+    # the slide must run over per-day sketch states (Window over the
+    # daily agg), not re-aggregate raw events per frame: exactly one
+    # scan feeds the sketch branch plus one for the exact contract side
+    plan = _formatted(spark, "events_sliding_distinct_hll", sf_dir)
+    # sketch branch: one scan; exact contract side: a day-range join
+    # that rescans events twice (days + probe) — 3 scans total, and
+    # the SLIDE itself must be a Window over daily states, never a
+    # per-frame re-aggregation of raw events
+    assert plan.count("Location: InMemoryFileIndex") <= 3, plan
+    assert "Window" in plan, plan
