@@ -173,3 +173,35 @@ def weighted_sample_topk(
         .orderBy(F.asc_nulls_last("draw_key"), F.col(key).asc())
         .limit(k)
     )
+
+
+#: Inverse-CDF thresholds for Poisson(1): u < _POIS_CDF[k] -> weight k.
+POISSON1_CDF = (
+    0.36787944117144233,  # P(X <= 0)
+    0.7357588823428847,   # P(X <= 1)
+    0.9196986029286058,   # P(X <= 2)
+    0.9810118431238462,   # P(X <= 3)
+    0.9963401531726563,   # P(X <= 4)
+)
+
+
+def poisson_bootstrap_weight(key: Column, replicate: Column, seed: str = "boot") -> Column:
+    """Deterministic Poisson(1) bootstrap weight for (row, replicate).
+
+    The Poisson bootstrap (Chamandy et al., Google 2012) is THE way to
+    bootstrap on sharded data: instead of resampling n rows with
+    replacement (which needs global coordination), each row gets an
+    independent Poisson(1) multiplicity per replicate — computable
+    row-locally from a content hash, no shuffle, and the replicate
+    totals are ordinary partial-aggregable sums. Weight is the
+    inverse-CDF of a 48-bit uniform over ``seed|replicate#key`` —
+    bit-reproducible in any engine with md5."""
+    u = (
+        hash48(F.concat_ws("#", replicate.cast("string"), key.cast("string")), seed)
+        .cast("double")
+        + 0.5
+    ) / float(HASH_SCALE)
+    w = F.lit(5)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < POISSON1_CDF[k], F.lit(k)).otherwise(w)
+    return w

@@ -144,6 +144,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "multimodal_image_dedup",  # E10 x E30 media dedup
     "udf_apply_in_arrow",  # E46 Spark-4 zero-copy grouped map
     "pipeline_rag_index",  # E66 x E40 RAG capstone
+    "sample_bootstrap_ci",  # E53 Poisson-bootstrap uncertainty
     # re-check with their new in-plan bound contracts (r1 had them as
     # unverifiable no_oracle rows)
     "agg_approx",

@@ -305,3 +305,71 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
 
+
+
+def _bootstrap_oracle() -> str:
+    from ..operators.sampling import POISSON1_CDF
+
+    u = (
+        "(CAST(('0x' || substr(md5(concat_ws('|', 'boot', "
+        "CAST(b AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR))), 1, 12)) "
+        f"AS BIGINT) + 0.5) / {float(HASH_SCALE)!r}"
+    )
+    cases = " ".join(
+        f"WHEN u < {POISSON1_CDF[k]!r} THEN {k}" for k in range(len(POISSON1_CDF))
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    rep AS (
+      SELECT doc_id, n_tokens, unnest(range(0, 8)) AS b FROM t
+    ),
+    uu AS (SELECT doc_id, n_tokens, b, {u} AS u FROM rep),
+    ww AS (
+      SELECT b, n_tokens, CASE {cases} ELSE 5 END AS w FROM uu
+    )
+    SELECT CAST(b AS BIGINT) AS b,
+           CAST(SUM(w) AS BIGINT) AS rep_docs,
+           CAST(SUM(w * n_tokens) AS BIGINT) AS rep_tokens
+    FROM ww GROUP BY b ORDER BY b
+    """
+
+
+@register(
+    "sample_bootstrap_ci",
+    oracle=_bootstrap_oracle(),
+    doc="Poisson-bootstrap replicate totals (Chamandy et al. 2012 — "
+    "the sharded-data bootstrap): every (row, replicate) gets an "
+    "independent Poisson(1) multiplicity from a content hash, so 8 "
+    "bootstrap resamples of the corpus token count compute in ONE "
+    "row-local pass with ordinary partial-aggregable sums — no "
+    "resampling shuffle, no global coordination; the spread of "
+    "rep_tokens IS the uncertainty estimate. Deterministic inverse-CDF "
+    "weights, bit-reproduced by the oracle (EXT, sampling/statistics)",
+    tags=("sampling", "agg"),
+)
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import poisson_bootstrap_weight
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    rep = docs.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"),
+    )
+    w = poisson_bootstrap_weight(F.col("doc_id"), F.col("b"))
+    return (
+        rep.select(F.col("b").cast("long").alias("b"), "n_tokens", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("rep_docs"),
+            F.sum(F.col("w") * F.col("n_tokens")).cast("long").alias("rep_tokens"),
+        )
+        .orderBy("b")
+    )
