@@ -20,6 +20,7 @@ PLANS = [
     "events_markov_transitions",
     "text_chunk_sliding",
     "events_sliding_distinct_hll",
+    "sample_bootstrap_ci",
 ]
 
 
