@@ -190,3 +190,61 @@ def test_foreach_batch_restart_is_exactly_once(spark, sf_dir):
     sdf2 = read_events_stream(spark, sf_dir).where(F.col("value") > 50.0)
     run_stream_foreach_batch_parquet(sdf2, path)
     assert spark.read.parquet(path).count() == n_first
+
+
+def test_streaming_hll_merges_across_micro_batches(spark, tmp_path_factory):
+    """Cross-micro-batch sketch mergeability: three overlapping batches
+    of user ids must union to the exact distinct count — the state
+    store merges per-batch HLL partials, it does not overwrite them."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path_factory.mktemp("hll_src")
+
+    def write_file(users, name, mtime):
+        rows = [(dt.datetime(2020, 1, 1, 10), int(u)) for u in users]
+        tmp = str(src) + f"_{name}_tmp"
+        spark.createDataFrame(rows, "ts timestamp, user_id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(str(src), f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # overlapping ranges: merging must dedup the overlap (distinct=200)
+    write_file(range(0, 100), "b1", 1_600_000_000)
+    write_file(range(50, 150), "b2", 1_600_000_100)
+    write_file(range(100, 200), "b3", 1_600_000_200)
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    agg = sdf.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "expected multiple micro-batches"
+    est = spark.table(name).select(
+        F.expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").alias("est")
+    ).collect()
+    assert len(est) == 1
+    # HLL at 200 distinct is in sparse (exact) mode
+    assert est[0]["est"] == 200
