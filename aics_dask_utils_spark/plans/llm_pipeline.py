@@ -823,6 +823,12 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     un = with_unit_vector(vec, "v", "u")
+    # the cell relation feeds BOTH probe sides (tiny query filter and
+    # the corpus side); persisting computes the chunk->hash->normalize
+    # chain once instead of once per consumer (the minhash/triangle
+    # precedent — ReuseExchange cannot help, there is no exchange here)
+    from pyspark.storagelevel import StorageLevel
+
     cells = un.select(
         "ck",
         "u",
@@ -831,7 +837,7 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("v")[1] > 0, 2).otherwise(0)
             + F.when(F.col("v")[2] > 0, 1).otherwise(0)
         ).alias("cell"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     q = cells.where((F.col("ck") % 1000 == 0) & (F.col("ck") < 3000)).select(
         F.col("ck").alias("qk"), F.col("u").alias("qu"), "cell"
     )

@@ -72,6 +72,8 @@ HEADLINE = [
     "embedding_dim_stats",
     "agg_theta_users",
     "events_sliding_distinct_hll",
+    "graph_label_propagation",
+    "pipeline_rag_index",
 ]
 
 
