@@ -131,6 +131,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_sliding_distinct_hll",  # E65 x E42 windowed sketch union
     "events_sliding_topk_sketch",  # E65 x E42 sliding frequent items
     "stream_hll_rollup_exec",  # E41 x E65 streaming distinct
+    "stream_topk_rollup_exec",  # E41 x E65 streaming frequent items
     "text_chunk_sliding",  # E66 chunker
     "text_quality_gate",  # E39 composite gate
     "embedding_dim_stats",  # E12 whitening stats

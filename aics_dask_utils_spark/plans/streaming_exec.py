@@ -358,3 +358,51 @@ def stream_hll_rollup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "stream_topk_rollup_exec",
+    oracle=f"""
+    SELECT event_type AS item,
+           COUNT(*) AS est_count,
+           TRUE AS count_exact
+    FROM {_EV}
+    GROUP BY event_type ORDER BY item
+    """,
+    doc="EXECUTED stream: frequent-items sketch INSIDE the streaming "
+    "aggregation (E41 x E65): approx_top_k_accumulate runs as the "
+    "streaming agg state — per-micro-batch partials merge in the "
+    "state store, the same mergeability the batch rollup exploits "
+    "across days. Exact GROUP BY over an unbounded high-cardinality "
+    "stream would grow state per key; the sketch caps state at the "
+    "tracked-item budget. Budget (10) exceeds |event types| (5), so "
+    "the drained estimate is provably exact — asserted in-plan "
+    "against the batch counts; oracle = exact + TRUE",
+    tags=("streaming", "sketch", "approx"),
+)
+def stream_topk_rollup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+    from ..streaming import run_stream_to_memory
+
+    sdf = read_events_stream(spark, sf_dir)
+    agg = sdf.groupBy().agg(
+        F.expr("approx_top_k_accumulate(event_type, 10)").alias("st")
+    )
+    name = run_stream_to_memory(agg, "complete")
+    est = spark.table(name).selectExpr(
+        "inline(approx_top_k_estimate(st, 10))"
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("item"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        est.join(exact, est["item"] == exact["item"])
+        .select(
+            exact["item"],
+            F.col("count").cast("long").alias("est_count"),
+            (F.col("count") == F.col("n")).alias("count_exact"),
+        )
+        .orderBy("item")
+    )
