@@ -700,3 +700,116 @@ def remove_repeated_chunks(
         )
         .orderBy("doc_id")
     )
+
+
+def srp_signs(bits: int = 16, dims: int = 64) -> list[list[float]]:
+    """Deterministic Rademacher (+-1) hyperplanes for sign-random-
+    projection LSH, derived from md5 so Spark, the DuckDB oracle, and
+    any future engine inject the IDENTICAL constants — no RNG, no
+    seed-state drift. Tiny (bits x dims), computed driver-side once."""
+    import hashlib
+
+    out = []
+    for j in range(bits):
+        row = []
+        for d in range(dims):
+            h = int(hashlib.md5(f"srp|{j}|{d}".encode()).hexdigest()[:12], 16)
+            row.append(1.0 if h < (1 << 47) else -1.0)
+        out.append(row)
+    return out
+
+
+def srp_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Cosine near-dup pairs via sign-random-projection LSH (Charikar
+    2002): each unit vector sketches to ``bits`` sign bits of dot
+    products against fixed Rademacher hyperplanes; vectors sharing ANY
+    ``bits/bands``-bit band become candidates; candidates verify by
+    exact cosine >= threshold.
+
+    The embedding-space sibling of MinHash (sets) and SimHash (token
+    bags): P(bit match) = 1 - angle/pi, so banding concentrates
+    near-duplicates into shared buckets. Scale shape identical to the
+    text LSH: sketching is one narrow pass (bits x dims multiply-adds
+    per row), the band join shuffles (band, key) pairs — linear in the
+    corpus — and only hash-colliding candidates pay the exact-cosine
+    verification. No label/cluster column needed (contrast
+    ``embedding_near_dup_pairs``, which requires a precomputed
+    blocking column)."""
+    from ..functions.vectors import vec_dot, with_unit_vector
+
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    r = bits // bands
+    signs = srp_signs(bits, _first_dim(df, vec_col))
+
+    unit = with_unit_vector(df, vec_col, "__u").select(
+        F.col(id_col).alias("vid"), "__u"
+    )
+    bit_cols = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    "__u",
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for j in range(bits)
+    ]
+    sk = F.lit(0)
+    for j in range(bits):
+        sk = sk + bit_cols[j] * F.lit(1 << j)
+    sketched = unit.select("vid", "__u", sk.alias("sketch"))
+    from pyspark.storagelevel import StorageLevel
+
+    sketched = sketched.persist(StorageLevel.MEMORY_AND_DISK)
+    mask = (1 << r) - 1
+    banded = sketched.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sketch", b * r)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vid", "bk.band", "bk.key")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("v1"), F.col("b.vid").alias("v2"))
+        .distinct()
+    )
+    u1 = sketched.select(F.col("vid").alias("v1"), F.col("__u").alias("u1"))
+    u2 = sketched.select(F.col("vid").alias("v2"), F.col("__u").alias("u2"))
+    return (
+        cand.join(u1, "v1")
+        .join(u2, "v2")
+        .withColumn("cosine", vec_dot("u1", "u2"))
+        .where(F.col("cosine") >= threshold)
+        .select("v1", "v2", "cosine")
+    )
+
+
+def _first_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first row (driver-side, once)."""
+    row = df.select(F.size(vec_col).alias("n")).first()
+    return int(row["n"])

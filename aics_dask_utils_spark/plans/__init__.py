@@ -146,6 +146,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "udf_apply_in_arrow",  # E46 Spark-4 zero-copy grouped map
     "pipeline_rag_index",  # E66 x E40 RAG capstone
     "sample_bootstrap_ci",  # E53 Poisson-bootstrap uncertainty
+    "dedup_srp_lsh",  # E31 cosine LSH without blocking column
     # re-check with their new in-plan bound contracts (r1 had them as
     # unverifiable no_oracle rows)
     "agg_approx",

@@ -651,3 +651,68 @@ def dedup_null_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return D.exact_dedup(docs)
+
+
+def _srp_oracle(bits: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
+    from ..operators.dedup import srp_signs
+
+    signs = srp_signs(bits, 64)
+    bit_terms = " + ".join(
+        "(CASE WHEN list_dot_product(u, ["
+        + ",".join(f"{x:.1f}" for x in signs[j])
+        + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    r = bits // bands
+    mask = (1 << r) - 1
+    bands_lit = "[" + ",".join(str(b) for b in range(bands)) + "]"
+    return f"""
+    WITH raw AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    uu AS (
+      SELECT vid,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM raw
+    ),
+    sk AS (SELECT vid, u, {bit_terms} AS sketch FROM uu),
+    banded AS (
+      SELECT vid, t.band, (sketch >> (t.band * {r})) & {mask} AS key
+      FROM sk CROSS JOIN unnest({bands_lit}) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vid AS v1, b.vid AS v2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.vid < b.vid
+    )
+    SELECT v1, v2, list_dot_product(ua.u, ub.u) AS cosine
+    FROM cand
+    JOIN sk ua ON ua.vid = v1
+    JOIN sk ub ON ub.vid = v2
+    WHERE list_dot_product(ua.u, ub.u) >= {threshold}
+    ORDER BY v1, v2
+    """
+
+
+@register(
+    "dedup_srp_lsh",
+    oracle=_srp_oracle(),
+    doc="sign-random-projection LSH (Charikar 2002) cosine near-dup "
+    "pairs over embeddings — the embedding-space sibling of MinHash "
+    "(sets) and SimHash (token bags), and unlike "
+    "dedup_embedding_cosine it needs NO precomputed blocking column: "
+    "16 sign bits against fixed md5-derived Rademacher hyperplanes "
+    "(identical constants injected into both engines), 4-bit bands, "
+    "candidates = any shared band, exact-cosine verify at 0.4. "
+    "Sketching is one narrow pass; the band join shuffles (band, key) "
+    "pairs linear in the corpus; only colliding candidates pay the "
+    "verification dot product (E31,E40)",
+    tags=("dedup", "similarity"),
+)
+def dedup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import srp_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_lsh_pairs(emb, "vec_id", "embedding").orderBy("v1", "v2")
