@@ -147,6 +147,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "pipeline_rag_index",  # E66 x E40 RAG capstone
     "sample_bootstrap_ci",  # E53 Poisson-bootstrap uncertainty
     "dedup_srp_lsh",  # E31 cosine LSH without blocking column
+    "sink_dynamic_partition_overwrite",  # E5 partition-level update
     # re-check with their new in-plan bound contracts (r1 had them as
     # unverifiable no_oracle rows)
     "agg_approx",

@@ -605,3 +605,55 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(T.tokens("text"))).cast("long").alias("total_tokens"),
         F.min(F.md5(F.col("text").cast("binary"))).alias("min_line_md5"),
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle=r"""
+    WITH final AS (
+      SELECT lang, doc_id,
+             CASE WHEN lang = 'en' THEN upper(text) ELSE text END AS text
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MIN(md5(text)) AS min_md5
+    FROM final GROUP BY lang ORDER BY lang
+    """,
+    doc="dynamic partition overwrite (E5/E63 extension — the "
+    "partitioned-table UPDATE pattern): the corpus lands partitioned "
+    "by lang, then a REVISED English slice is written with "
+    "partitionOverwriteMode=dynamic — ONLY the lang=en partition is "
+    "replaced, every other partition's files are untouched (no "
+    "read-modify-write of the whole table). The read-back per-lang "
+    "stats hash-match an oracle computing the expected post-overwrite "
+    "state; a content digest proves the en rows are the revised ones "
+    "and the others are the originals. At 100 TB this is how daily "
+    "re-processing replaces one day/language without rewriting the "
+    "standing table",
+    tags=("source",),
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    path = _tmp(sf_dir, "dyn_overwrite")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    revised = docs.where(F.col("lang") == "en").withColumn(
+        "text", F.upper(F.col("text"))
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        revised.write.mode("overwrite").partitionBy("lang").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+        )
+        .orderBy("lang")
+    )
