@@ -813,3 +813,47 @@ def _first_dim(df: DataFrame, vec_col: str) -> int:
     """Vector dimensionality from the first row (driver-side, once)."""
     row = df.select(F.size(vec_col).alias("n")).first()
     return int(row["n"])
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: C(A in B) = |A∩B| / |A|.
+
+    Jaccard misses subset duplication — a short document wholly quoted
+    inside a long one scores |A|/|B| ≈ 0 on Jaccard but 1.0 on
+    containment. This is the Broder containment measure used for
+    quote/boilerplate/sub-document detection. Same pair-generation
+    shape as :func:`ngram_jaccard_pairs` (shingle equi-join + group
+    count — never a cross join); only the normalization differs, so
+    the scale profile is identical."""
+    ex = _doc_shingles(df, id_col, text_col, k)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sg"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sg") == F.col("b.sg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sg").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sg").alias("n2"))
+    c1 = F.col("inter").cast("double") / F.col("n1")
+    c2 = F.col("inter").cast("double") / F.col("n2")
+    return (
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .withColumn("c1_in_2", c1)
+        .withColumn("c2_in_1", c2)
+        .withColumn("containment", F.greatest(c1, c2))
+        .where(F.col("containment") >= threshold)
+        .select("d1", "d2", "inter", "n1", "n2", "c1_in_2", "c2_in_1", "containment")
+    )

@@ -716,3 +716,33 @@ def dedup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return srp_lsh_pairs(emb, "vec_id", "embedding").orderBy("v1", "v2")
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    cont AS (
+      SELECT d1, d2, inter, n1, n2,
+             inter::DOUBLE / n1 AS c1_in_2,
+             inter::DOUBLE / n2 AS c2_in_1,
+             GREATEST(inter::DOUBLE / n1, inter::DOUBLE / n2) AS containment
+      FROM jac
+    )
+    SELECT d1, d2, inter, n1, n2, c1_in_2, c2_in_1, containment
+    FROM cont WHERE containment >= 0.5
+    ORDER BY d1, d2
+    """,
+    doc="asymmetric shingle CONTAINMENT pairs (Broder): |A∩B|/|A| "
+    "catches subset duplication Jaccard misses — a short document "
+    "quoted whole inside a long one is ~0 Jaccard but 1.0 "
+    "containment; the quote/boilerplate/sub-document detector. Same "
+    "shingle equi-join pair generation as dedup_ngram_jaccard (never "
+    "a cross join), only the normalization differs (E31)",
+    tags=("dedup",),
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_containment_pairs(docs, threshold=0.5).orderBy("d1", "d2")
