@@ -149,6 +149,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_srp_lsh",  # E31 cosine LSH without blocking column
     "sink_dynamic_partition_overwrite",  # E5 partition-level update
     "dedup_shingle_containment",  # E31 asymmetric containment
+    "events_rfm_segments",  # E25/E51 RFM quartile grid
     # re-check with their new in-plan bound contracts (r1 had them as
     # unverifiable no_oracle rows)
     "agg_approx",

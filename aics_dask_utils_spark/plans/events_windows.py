@@ -831,3 +831,64 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS monetary
+      FROM {_EV} WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             NTILE(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
+             NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f,
+             NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS mq
+      FROM m
+    )
+    SELECT r, f, mq,
+           COUNT(*) AS n_users,
+           MIN(user_id) AS sample_user
+    FROM scored GROUP BY r, f, mq ORDER BY r, f, mq
+    """,
+    doc="RFM segmentation (E25/E51 family — the classic customer-"
+    "analytics quartile grid): per-user recency/frequency/monetary "
+    "from purchase events, NTILE(4) on each axis with a total "
+    "deterministic order (metric, then user_id), then segment "
+    "occupancy counts. One user-keyed agg + three windows over the "
+    "small per-user relation + a tiny segment agg — the fact scan "
+    "dominates at 100 TB, everything downstream is |users|-sized",
+    tags=("events", "window", "agg"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    m = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        dsum("value").alias("monetary"),
+    )
+    scored = m.select(
+        "user_id",
+        F.ntile(4).over(W.orderBy(F.desc("last_ts"), F.asc("user_id"))).alias("r"),
+        F.ntile(4).over(W.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("mq"),
+    )
+    return (
+        scored.groupBy("r", "f", "mq")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").alias("sample_user"),
+        )
+        .orderBy("r", "f", "mq")
+    )
