@@ -150,6 +150,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sink_dynamic_partition_overwrite",  # E5 partition-level update
     "dedup_shingle_containment",  # E31 asymmetric containment
     "events_rfm_segments",  # E25/E51 RFM quartile grid
+    "text_bigram_lm_score",  # E38/E39 bigram conditional LM
     # re-check with their new in-plan bound contracts (r1 had them as
     # unverifiable no_oracle rows)
     "agg_approx",

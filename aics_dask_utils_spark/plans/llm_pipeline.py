@@ -858,3 +858,85 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_chunk", "rank")
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    uni AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    vs AS (SELECT COUNT(*) AS v FROM uni),
+    tl AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS prev, t[i + 1] AS nxt
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM tl WHERE len(t) >= 2)
+    ),
+    bc AS (SELECT prev, nxt, COUNT(*) AS cb FROM bg GROUP BY prev, nxt)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(ROUND(-LN((bc.cb + 1.0) / (uni.cnt + vs.v)), 6)
+                         AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+               AS avg_neg_logprob
+    FROM bg
+    JOIN bc ON bg.prev = bc.prev AND bg.nxt = bc.nxt
+    JOIN uni ON bg.prev = uni.term
+    CROSS JOIN vs
+    GROUP BY bg.doc_id
+    """,
+    doc="corpus-trained add-1 BIGRAM LM scoring: per-doc mean negative "
+    "conditional log-probability -ln P(w|prev) — one Markov order up "
+    "from text_unigram_lm_score, the stronger KenLM-style fluency "
+    "proxy (word-salad scores high even when its unigrams are "
+    "common). Bigram and unigram count relations are corpus-small -> "
+    "broadcast onto the bigram stream; per-position logprobs rounded "
+    "6dp then decimal-summed, order-independent and engine-exact "
+    "(E38/E39)",
+    tags=("text",),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vs = uni.agg(F.count(F.lit(1)).alias("v")).withColumn("j", F.lit(1))
+    t = docs.select("doc_id", T.tokens("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    ).where(F.col("n") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("prev"),
+                    F.element_at("toks", i + 1).alias("nxt"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.nxt")
+    bc = bg.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("cb"))
+    logp = F.round(
+        -F.log((F.col("cb") + 1.0) / (F.col("cnt") + F.col("v"))), 6
+    ).cast("decimal(30,6)")
+    return (
+        bg.join(F.broadcast(bc), ["prev", "nxt"])
+        .join(
+            F.broadcast(uni.withColumnRenamed("term", "prev")), "prev"
+        )
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(vs), "j")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(logp).cast("double") / F.count(F.lit(1))).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
