@@ -151,6 +151,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_shingle_containment",  # E31 asymmetric containment
     "events_rfm_segments",  # E25/E51 RFM quartile grid
     "text_bigram_lm_score",  # E38/E39 bigram conditional LM
+    "stream_session_state_exec",  # E43 x E45 custom session state machine
     # re-check with their new in-plan bound contracts (r1 had them as
     # unverifiable no_oracle rows)
     "agg_approx",

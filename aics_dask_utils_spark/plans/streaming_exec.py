@@ -406,3 +406,58 @@ def stream_topk_rollup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+@register(
+    "stream_session_state_exec",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts FROM {_EV}),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="EXECUTED stream: session windows as a CUSTOM "
+    "applyInPandasWithState machine (E43 x E45) — per-user state "
+    "carries the open session, closed sessions emit immediately, the "
+    "open session re-emits its latest version in update mode and the "
+    "read-back keeps the last emission per (user, start). Same "
+    "semantics as F.session_window (verified: the oracle IS the batch "
+    "session query), but as the escape-hatch skeleton for session "
+    "logic the built-in cannot express (per-session caps, absolute "
+    "timeouts, carryover payloads)",
+    tags=("streaming", "window"),
+)
+def stream_session_state_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import run_stream_to_memory
+    from ..streaming.ops import custom_session_windows
+
+    sdf = custom_session_windows(read_events_stream(spark, sf_dir))
+    name = run_stream_to_memory(sdf, "update")
+    return (
+        spark.table(name)
+        .groupBy("user_id", "session_start")
+        .agg(
+            F.max("session_end").alias("session_end"),
+            F.max("n_events").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )

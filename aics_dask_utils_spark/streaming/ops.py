@@ -15,6 +15,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampNTZType,
+    TimestampType,
 )
 
 from ..functions.deterministic import dsum
@@ -201,3 +202,80 @@ def run_stream_foreach_batch_parquet(sdf: DataFrame, path: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+_SESS_STATE_SCHEMA = StructType(
+    [
+        StructField("start", TimestampType()),
+        StructField("last", TimestampType()),
+        StructField("n", LongType()),
+    ]
+)
+_SESS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+#: Session gap in seconds for the custom state machine.
+SESSION_GAP_S = 1800
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    ts = sorted(t for p in pdfs for t in p["ts"])
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = None
+    out = []
+    for t in ts:
+        if start is None:
+            start, last, n = t, t, 1
+        elif (t - last).total_seconds() >= SESSION_GAP_S:
+            out.append((start, last, n))  # closed session
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    if start is not None:
+        state.update((start, last, int(n)))
+        out.append((start, last, n))  # open session: latest version
+    gap = pd.Timedelta(seconds=SESSION_GAP_S)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(out),
+            "session_start": [s for s, _, _ in out],
+            "session_end": [e + gap for _, e, _ in out],
+            "n_events": [int(c) for _, _, c in out],
+        }
+    )
+
+
+def custom_session_windows(events: DataFrame) -> DataFrame:
+    """Session windows as a CUSTOM state machine via
+    applyInPandasWithState (E43 x E45): per-user state carries the open
+    session (start, last, count); each batch's rows extend or close it,
+    closed sessions emit immediately, the open session re-emits its
+    latest version (update mode — downstream takes the last emission
+    per (user, session_start)). Identical semantics to
+    ``F.session_window`` with a 30-min gap, but as the escape-hatch
+    formulation: this is the skeleton for session logic Spark's
+    built-in CANNOT express (per-session caps, inactivity + absolute
+    timeouts, carryover payloads). State is one tiny row per open
+    session per user, evicted by the watermark at scale."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -248,3 +248,65 @@ def test_streaming_hll_merges_across_micro_batches(spark, tmp_path_factory):
     assert len(est) == 1
     # HLL at 200 distinct is in sparse (exact) mode
     assert est[0]["est"] == 200
+
+
+def test_custom_session_state_spans_micro_batches(spark, tmp_path_factory):
+    """A session crossing the batch boundary must continue, not split:
+    the open-session state carries (start, last, n) across batches."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.streaming.ops import custom_session_windows
+
+    src = tmp_path_factory.mktemp("sess_src")
+
+    def write_file(rows, name, mtime):
+        tmp = str(src) + f"_{name}_tmp"
+        spark.createDataFrame(
+            rows, "ts timestamp, user_id long, event_id long, event_type string, value double, props string"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(str(src), f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t = lambda h, m: dt.datetime(2020, 1, 1, h, m)
+    # batch 1: 10:00, 10:10 (one open session)
+    write_file([(t(10, 0), 1, 1, "view", 0.0, ""), (t(10, 10), 1, 2, "view", 0.0, "")], "b1", 1_600_000_000)
+    # batch 2: 10:20 continues the SAME session (gap < 30 min);
+    # 12:00 starts a new one (gap >= 30 min)
+    write_file([(t(10, 20), 1, 3, "view", 0.0, ""), (t(12, 0), 1, 4, "view", 0.0, "")], "b2", 1_600_000_100)
+
+    sdf = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_id long, event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = custom_session_windows(sdf)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(name)
+        .groupBy("user_id", "session_start")
+        .agg(F.max("n_events").alias("n"))
+        .collect()
+    )
+    got = {(r["session_start"].hour, r["session_start"].minute): r["n"] for r in final}
+    # ONE session starting 10:00 with 3 events (spanning both batches),
+    # one starting 12:00 with 1 event — never a split at 10:20
+    assert got == {(10, 0): 3, (12, 0): 1}, got
