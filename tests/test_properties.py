@@ -405,3 +405,73 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
         for r in got_rows
     }
     assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunker_covers_every_token_with_bounded_overlap(spark, texts):
+    """Sliding 16/8 chunking invariants on arbitrary corpora: chunk
+    starts are exactly 0,8,16,... below the token count; every token
+    position is covered by >= 1 chunk and <= 2 chunks (stride = C/2);
+    reassembling chunk 0 + tails of later chunks yields the original
+    token sequence."""
+    import aics_dask_utils_spark.plans  # noqa: F401  (registers plans)
+    from aics_dask_utils_spark.plans import REGISTRY
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("documents_prop")
+
+    # reuse the plan's Spark logic by rebuilding it over this tiny df
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators.text import tokens as toks_fn
+
+    C, S = 16, 8
+    t = (
+        df.where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", toks_fn("text").alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    c = t.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(S))).alias(
+            "chunk_idx", "start"
+        ),
+    ).withColumn(
+        "chunk", F.slice(F.col("toks"), F.col("start") + 1, F.lit(C))
+    )
+    got = c.collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(texts):
+        n = len(toks)
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert [r["start"] for r in chunks] == list(range(0, n, S))
+        cover = [0] * n
+        for r in chunks:
+            for j in range(r["start"], min(r["start"] + C, n)):
+                cover[j] += 1
+        assert all(1 <= c_ <= 2 for c_ in cover), cover
+        # reassembly: chunk 0 + the last S tokens of each later chunk
+        rebuilt = list(chunks[0]["chunk"])
+        for r in chunks[1:]:
+            rebuilt.extend(r["chunk"][C - S:] if len(r["chunk"]) > C - S else [])
+        assert rebuilt == toks
