@@ -152,6 +152,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_rfm_segments",  # E25/E51 RFM quartile grid
     "text_bigram_lm_score",  # E38/E39 bigram conditional LM
     "stream_session_state_exec",  # E43 x E45 custom session state machine
+    "multimodal_scene_cuts",  # E60 x E26 shot-boundary detection
     # re-check with their new in-plan bound contracts (r1 had them as
     # unverifiable no_oracle rows)
     "agg_approx",

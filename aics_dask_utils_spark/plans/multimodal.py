@@ -353,3 +353,75 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
         .orderBy("keep_id")
     )
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, repeat(md5(text), 3) AS px FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, f,
+             list_transform(generate_series(1, 16),
+               i -> ord(substr(px, CAST(f * 16 + i AS INT), 1))) AS frame
+      FROM img CROSS JOIN unnest([0, 1, 2, 3, 4, 5]) AS t(f)
+    ),
+    m AS (
+      SELECT doc_id, f,
+             CAST(list_reduce(frame, (a, b) -> a + b) AS DOUBLE) / 16 AS fm
+      FROM fr
+    ),
+    d AS (
+      SELECT doc_id, fm,
+             fm - LAG(fm) OVER (PARTITION BY doc_id ORDER BY f) AS diff
+      FROM m
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_frames,
+           CAST(SUM(CASE WHEN ABS(diff) > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           ROUND(MAX(ABS(diff)), 6) AS max_jump
+    FROM d GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="video scene-cut detection (E60 x E26): decode -> per-frame "
+    "explode (sample_frames) -> per-frame mean via JVM fold -> lag "
+    "diff over the per-video time window -> cuts where the jump "
+    "exceeds threshold. The shot-boundary primitive of every video "
+    "curation pipeline, composed from the SAME executor-side decode "
+    "path as the image ops (pixels never leave the decoding executor; "
+    "only per-frame scalars shuffle to the per-video window). Oracle "
+    "recomputes frames from the hex payload",
+    tags=("multimodal", "window"),
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.multimodal import decode_images, sample_frames
+
+    frames = sample_frames(decode_images(_fake_video(spark, sf_dir)), every_n=1)
+    m = frames.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "t",
+        (
+            F.aggregate(
+                F.col("frame"), F.lit(0).cast("long"), lambda a, x: a + x
+            ).cast("double")
+            / F.size("frame")
+        ).alias("fm"),
+    )
+    d = m.withColumn(
+        "diff",
+        F.col("fm") - F.lag("fm").over(W.partitionBy("doc_id").orderBy("t")),
+    )
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.when(F.abs(F.col("diff")) > 5.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cuts"),
+            F.round(F.max(F.abs(F.col("diff"))), 6).alias("max_jump"),
+        )
+        .orderBy("doc_id")
+    )
