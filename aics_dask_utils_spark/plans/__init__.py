@@ -153,6 +153,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_bigram_lm_score",  # E38/E39 bigram conditional LM
     "stream_session_state_exec",  # E43 x E45 custom session state machine
     "multimodal_scene_cuts",  # E60 x E26 shot-boundary detection
+    "sample_epoch_shuffle",  # EXT resumable epoch permutations
+    "pipeline_curriculum_buckets",  # EXT curriculum staging
+    "agg_key_skew_profile",  # EXT shuffle-key skew pre-flight
     # re-check with their new in-plan bound contracts (r1 had them as
     # unverifiable no_oracle rows)
     "agg_approx",

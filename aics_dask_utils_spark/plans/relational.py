@@ -1041,3 +1041,40 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_key_skew_profile",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(QUANTILE_CONT(cnt, 0.99), 6) AS p99_cnt,
+           ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS mean_cnt,
+           ROUND(MAX(cnt) / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*)), 6)
+             AS skew_ratio
+    FROM g
+    """,
+    doc="join/agg key skew diagnostics (EXT, ops tooling): group-size "
+    "distribution of a prospective shuffle key — key count, max and "
+    "p99 group size, and max/mean skew ratio. THE pre-flight check "
+    "before shuffling 100 TB on a key: a skew_ratio in the hundreds "
+    "says salt it (join_skew_salted) or let AQE split it. One keyed "
+    "partial-agg pass + a tiny single-row summary",
+    tags=("relational", "agg"),
+)
+def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    mean_cnt = F.sum("cnt").cast("double") / F.count(F.lit(1))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99_cnt"),
+        F.round(mean_cnt, 6).alias("mean_cnt"),
+        F.round(F.max("cnt") / mean_cnt, 6).alias("skew_ratio"),
+    )

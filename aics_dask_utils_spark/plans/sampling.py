@@ -373,3 +373,121 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b")
     )
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT e.epoch, d.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.epoch
+               ORDER BY {_H.format(seed="ep' || CAST(e.epoch AS VARCHAR) || '", key="d.doc_id")}, d.doc_id
+             ) AS pos
+      FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+    )
+    SELECT epoch, pos, doc_id FROM ranked WHERE pos <= 10
+    ORDER BY epoch, pos
+    """,
+    doc="deterministic multi-epoch shuffle (EXT, sampling): each "
+    "training epoch orders the corpus by a DIFFERENT content-hash "
+    "permutation (seed = epoch id) — reproducible shuffling with no "
+    "RNG state, the property data loaders need for resumable, "
+    "bit-replayable epochs. The hash is a narrow scan-side "
+    "expression; at 100 TB the ordering becomes the range-partitioned "
+    "sort key of the epoch's shard files (sink_sorted_clustered), "
+    "same expression. Checked: first 10 positions of 3 epochs",
+    tags=("sampling",),
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.sparkSession.range(3).select(F.col("id").cast("int").alias("epoch"))
+    # per-epoch seed: md5('ep<epoch>|doc_id') — hash48 takes a literal
+    # seed, so the epoch-dependent seed is built inline (oracle mirrors)
+    keyed = docs.crossJoin(F.broadcast(epochs)).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.concat(F.lit("ep"), F.col("epoch").cast("string")),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    w = W.partitionBy("epoch").orderBy("h", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 10)
+        .select("epoch", "pos", "doc_id")
+        .orderBy("epoch", "pos")
+    )
+
+
+@register(
+    "pipeline_curriculum_buckets",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+             LEAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))::DOUBLE
+                   / 100.0, 1.0) AS score
+      FROM documents
+    ),
+    staged AS (
+      SELECT doc_id, n_tokens, score,
+             NTILE(4) OVER (ORDER BY score, doc_id) AS stage
+      FROM q
+    )
+    SELECT stage,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens,
+           ROUND(MIN(score), 6) AS min_score,
+           ROUND(MAX(score), 6) AS max_score
+    FROM staged GROUP BY stage ORDER BY stage
+    """,
+    doc="curriculum staging (EXT, LLM pipeline): rank the corpus by a "
+    "difficulty/quality score (here the length-based score component; "
+    "swap in any model score) with a total deterministic order, NTILE "
+    "into 4 curriculum stages, report per-stage token mass and score "
+    "band — the 'train easy-to-hard' data-ordering primitive. At "
+    "100 TB the exact global ntile becomes approx-quantile stage "
+    "cutoffs + the same bucketing expression; each stage then lands "
+    "as its own sorted shard set",
+    tags=("sampling", "text", "pipeline"),
+)
+def pipeline_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.least(
+            F.size(tokens("text")).cast("double") / 100.0, F.lit(1.0)
+        ).alias("score"),
+    )
+    staged = q.withColumn(
+        "stage", F.ntile(4).over(W.orderBy("score", "doc_id"))
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("stage_tokens"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("stage")
+    )
