@@ -156,6 +156,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sample_epoch_shuffle",  # EXT resumable epoch permutations
     "pipeline_curriculum_buckets",  # EXT curriculum staging
     "agg_key_skew_profile",  # EXT shuffle-key skew pre-flight
+    "events_attribution_linear",  # E51 multi-touch attribution
     # re-check with their new in-plan bound contracts (r1 had them as
     # unverifiable no_oracle rows)
     "agg_approx",

@@ -892,3 +892,67 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "mq")
     )
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts AS pts, event_id AS pid, value
+      FROM {_EV} WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts AS cts, event_id AS cid
+      FROM {_EV} WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.pid, p.user_id, p.value, c.cid
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 2 HOUR
+    )
+    SELECT pid, user_id,
+           COUNT(*) AS n_touches,
+           ROUND(MAX(value) / COUNT(*), 6) AS credit_per_touch,
+           MIN(cid) AS first_click
+    FROM j GROUP BY pid, user_id ORDER BY pid
+    """,
+    doc="linear multi-touch attribution (E51 family — the marketing-"
+    "analytics credit model): each purchase's value splits equally "
+    "across the same user's clicks in the preceding 2-hour window. "
+    "The purchase-click match is an EQUI-join on user_id with a time-"
+    "range residual — SortMergeJoin, never a nested loop (same "
+    "discipline as join_interval_bucketed); per-purchase credit is "
+    "one keyed agg. At 100 TB both sides shuffle once on user_id and "
+    "the residual prunes in-stream",
+    tags=("events", "join", "agg"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        "value",
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("cuser"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 2 HOUR")),
+    )
+    return (
+        j.groupBy("pid", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.max("value") / F.count(F.lit(1)), 6).alias(
+                "credit_per_touch"
+            ),
+            F.min("cid").alias("first_click"),
+        )
+        .orderBy("pid")
+    )
