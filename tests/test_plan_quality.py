@@ -247,3 +247,25 @@ def test_sliding_hll_no_raw_rescan_per_window(spark, sf_dir):
     # per-frame re-aggregation of raw events
     assert plan.count("Location: InMemoryFileIndex") <= 3, plan
     assert "Window" in plan, plan
+
+
+def test_attribution_join_is_equi_not_nested_loop(spark, sf_dir):
+    # purchase-click matching must plan as an equi-join on user_id with
+    # the time-range as residual — never a nested loop over purchases
+    plan = _formatted(spark, "events_attribution_linear", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_skew_profile_partial_aggregates(spark, sf_dir):
+    # the group-size pass must combine map-side: the shuffle carries one
+    # row per (partition, key), never raw fact rows
+    plan = _formatted(spark, "agg_key_skew_profile", sf_dir)
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_scene_cuts_single_decode(spark, sf_dir):
+    # frames explode from ONE decode pass (one mapInPandas); per-frame
+    # scalars shuffle to the per-video window — pixels never reshuffle
+    plan = _formatted(spark, "multimodal_scene_cuts", sf_dir)
+    assert plan.count("MapInPandas") == 2, plan  # tree line + detail line
