@@ -23,6 +23,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def _epoch_us(col: str) -> F.Column:
+    """Microsecond epoch of a DATE/TIMESTAMP/TIMESTAMP_NTZ column.
+
+    Gap math must NOT go through ``unix_timestamp`` (whole-second
+    truncation): events.ts carries microseconds, and a sub-second right
+    side — or an event landing inside the same second as the
+    backward/forward midpoint — would make the nearest-direction choice
+    or the tolerance cut diverge from the fractional-``epoch()`` oracle
+    and pandas. The cast to TIMESTAMP is exact (session tz pinned UTC;
+    TIMESTAMP_NTZ/DATE both widen losslessly)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -122,8 +135,8 @@ def asof_join(
             ],
         )
         rows = carried.where(F.col("__tag") == 1)
-        gap_b = F.unix_timestamp("__ts") - F.unix_timestamp("__ts_b")
-        gap_f = F.unix_timestamp("__ts_f") - F.unix_timestamp("__ts")
+        gap_b = _epoch_us("__ts") - _epoch_us("__ts_b")
+        gap_f = _epoch_us("__ts_f") - _epoch_us("__ts")
         use_b = F.col("__ts_b").isNotNull() & (
             F.col("__ts_f").isNull() | (gap_b <= gap_f)
         )
@@ -143,12 +156,10 @@ def asof_join(
             ],
         )
     if tolerance_seconds is not None:
-        # unix_timestamp, not cast: TIMESTAMP_NTZ refuses a bigint cast;
-        # the session tz is pinned UTC so the epoch math is deterministic.
-        gap = F.abs(
-            F.unix_timestamp("__ts") - F.unix_timestamp("__matched_ts")
+        gap = F.abs(_epoch_us("__ts") - _epoch_us("__matched_ts"))
+        keep = F.col("__matched_ts").isNotNull() & (
+            gap <= int(tolerance_seconds) * 1_000_000
         )
-        keep = F.col("__matched_ts").isNotNull() & (gap <= tolerance_seconds)
         out = out.select(
             *lcols,
             "__matched_ts",

@@ -747,7 +747,16 @@ def srp_lsh_pairs(
     if bits % bands:
         raise ValueError(f"bits={bits} not divisible by bands={bands}")
     r = bits // bands
-    signs = srp_signs(bits, _first_dim(df, vec_col))
+    dims = _first_dim(df, vec_col)
+    if dims <= 0:
+        # Empty relation or NULL first vector: no pairs — return an
+        # empty frame with the contract schema instead of building
+        # zero-dim hyperplanes (or crashing on first()==None).
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"v1 {id_type}, v2 {id_type}, cosine double"
+        )
+    signs = srp_signs(bits, dims)
 
     unit = with_unit_vector(df, vec_col, "__u").select(
         F.col(id_col).alias("vid"), "__u"
@@ -810,9 +819,13 @@ def srp_lsh_pairs(
 
 
 def _first_dim(df: DataFrame, vec_col: str) -> int:
-    """Vector dimensionality from the first row (driver-side, once)."""
+    """Vector dimensionality from the first row (driver-side, once).
+    Returns 0 for an empty relation or a NULL/empty first vector so
+    callers can short-circuit to an empty result."""
     row = df.select(F.size(vec_col).alias("n")).first()
-    return int(row["n"])
+    if row is None or row["n"] is None:
+        return 0
+    return max(int(row["n"]), 0)
 
 
 def shingle_containment_pairs(

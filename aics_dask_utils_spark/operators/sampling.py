@@ -130,7 +130,7 @@ def balance_strata(
     """
     counts = df.groupBy(strata).agg(F.count("*").alias("_cnt"))
     mn = counts.agg(F.min("_cnt").alias("_mn"))
-    ratios = counts.crossJoin(mn)
+    ratios = counts.crossJoin(F.broadcast(mn))
     joined = df.join(F.broadcast(ratios), strata)
     h = hash48(F.col(key), seed)
     return joined.where(h * F.col("_cnt") < F.col("_mn") * F.lit(HASH_SCALE)).drop(

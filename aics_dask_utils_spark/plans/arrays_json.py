@@ -55,27 +55,56 @@ def array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_slice_sort",
     oracle="""
-    SELECT vec_id,
-           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
-           list_sort(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS head8_sorted,
-           len(list_distinct(list_transform(embedding,
-               x -> CAST(ROUND(CAST(x AS DOUBLE), 1) AS DOUBLE)))) AS n_distinct_1dp
-    FROM embeddings
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
+             list_sort(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)))
+               AS head8_sorted,
+             len(list_distinct(list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE), 1) AS DOUBLE)))) AS n_distinct_1dp
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(i AS BIGINT) AS dim_idx,
+           head4[i] AS head4_val,
+           head8_sorted[i] AS head8_sorted_val,
+           n_distinct_1dp
+    FROM s CROSS JOIN unnest(generate_series(1, 8)) AS t(i)
+    ORDER BY vec_id, dim_idx
     """,
     doc="slice / sort_array / array_distinct (E36); floats rounded before "
-    "the distinct so both engines bucket identically",
+    "the distinct so both engines bucket identically. Output is one row "
+    "per (vec_id, dim 1..8) — head4_val NULL past position 4 — because "
+    "ARRAY-typed final columns are banned registry-wide (driver "
+    "canonicalizer can't sort list cells)",
     tags=("array",),
 )
 def array_slice_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = as_double_array("embedding")
-    return emb.select(
+    s = emb.select(
         "vec_id",
         F.slice(dbl, 1, 4).alias("head4"),
         F.sort_array(F.slice(dbl, 1, 8)).alias("head8_sorted"),
         F.size(
             F.array_distinct(F.transform(dbl, lambda x: F.round(x, 1)))
         ).alias("n_distinct_1dp"),
+    )
+    return (
+        s.select(
+            "vec_id",
+            "head4",
+            "head8_sorted",
+            "n_distinct_1dp",
+            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("i"),
+        )
+        .select(
+            "vec_id",
+            F.col("i").cast("long").alias("dim_idx"),
+            F.try_element_at("head4", F.col("i")).alias("head4_val"),
+            F.try_element_at("head8_sorted", F.col("i")).alias("head8_sorted_val"),
+            "n_distinct_1dp",
+        )
+        .orderBy("vec_id", "dim_idx")
     )
 
 

@@ -67,12 +67,16 @@ def _kmeans_ctes(k: int = 4, iters: int = 2, final_assign: bool = False) -> str:
 
 
 def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    # One row per (cluster, dimension): ARRAY-typed final columns are
+    # banned registry-wide (the driver canonicalizer can't sort list
+    # cells), so the trained centroid ships exploded, not as DOUBLE[].
     return f"""
     WITH {_kmeans_ctes(k, iters)}
-    SELECT z.cid, z.n_vecs, c.c AS centroid
+    SELECT z.cid, z.n_vecs, CAST(m.pos AS BIGINT) AS dim_idx,
+           m.m AS centroid_val
     FROM (SELECT cid, COUNT(*) AS n_vecs FROM a{iters} GROUP BY cid) z
-    JOIN c{iters} c USING (cid)
-    ORDER BY z.cid
+    JOIN m{iters} m USING (cid)
+    ORDER BY z.cid, dim_idx
     """
 
 
@@ -82,12 +86,27 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
     doc="deterministic k-means over embeddings (k=4, 2 Lloyd iterations): "
     "broadcast-cross-join assignment (dot-product identity), exact-"
     "decimal per-dim mean update — an iterative ML trainer whose "
-    "centroid doubles hash-match the unrolled SQL oracle (E12,E40)",
+    "centroid doubles hash-match the unrolled SQL oracle, one row per "
+    "(cluster, dimension) so no ARRAY column reaches the driver "
+    "(E12,E40)",
     tags=("similarity", "iterative"),
 )
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_fit_predict(emb, "vec_id", "embedding", k=4, iters=2)
+    from pyspark.sql import functions as F
+
+    fitted = kmeans_fit_predict(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4, iters=2
+    )
+    return (
+        fitted.select("cid", "n_vecs", F.posexplode("centroid"))
+        .select(
+            "cid",
+            "n_vecs",
+            (F.col("pos") + 1).cast("long").alias("dim_idx"),
+            F.col("col").alias("centroid_val"),
+        )
+        .orderBy("cid", "dim_idx")
+    )
 
 
 @register(

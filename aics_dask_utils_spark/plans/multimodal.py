@@ -16,6 +16,14 @@ from ..sources import load_table
 from . import register
 
 
+def _csv(col) -> F.Column:
+    """ARRAY-typed final columns are banned registry-wide (the driver's
+    canonicalizer sort_values over list cells raises `unhashable type`),
+    so plans serialize int arrays to CSV strings; the DuckDB oracle
+    mirrors with array_to_string(list, ',')."""
+    return F.concat_ws(",", F.transform(F.col(col), lambda x: x.cast("string")))
+
+
 @register(
     "multimodal_binary_meta",
     oracle="""
@@ -45,8 +53,8 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(doc_id AS VARCHAR) AS path,
            CAST(4 AS INT) AS height, CAST(4 AS INT) AS width,
-           list_transform(generate_series(65, 80),
-                          i -> ord(substr(px, CAST(i AS INT), 1))) AS plane
+           array_to_string(list_transform(generate_series(65, 80),
+                          i -> ord(substr(px, CAST(i AS INT), 1))), ',') AS plane_csv
     FROM img
     """,
     doc="EXECUTED decode->slice pipeline (E3,E10,E11): each doc's md5 hex "
@@ -56,7 +64,9 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "z=middle) with column arithmetic — the oracle computes the same "
     "16-px plane from the hex chars. Real codecs slot into decode_image; "
     "the Spark-side plumbing (binary cells, Arrow batches, flat-tensor "
-    "slicing) is what's under test",
+    "slicing) is what's under test. The plane ships as a CSV string "
+    "(concat_ws <-> array_to_string): ARRAY-typed final columns are "
+    "banned registry-wide — the driver's canonicalizer can't sort them",
     tags=("multimodal",),
 )
 def multimodal_decode_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,7 +84,8 @@ def multimodal_decode_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(header), F.encode(F.repeat(F.md5("text"), 3), "UTF-8")
         ).alias("content"),
     )
-    return select_plane(decode_images(binary_df), channel_name="c1")
+    planes = select_plane(decode_images(binary_df), channel_name="c1")
+    return planes.select("path", "height", "width", _csv("plane").alias("plane_csv"))
 
 
 def _fake_video(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,8 +118,8 @@ def _fake_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts AS (SELECT unnest(generate_series(0, 5, 2)) AS t)
     SELECT CAST(doc_id AS VARCHAR) AS path,
            CAST(t AS INT) AS t,
-           list_transform(generate_series(t * 16 + 1, t * 16 + 16),
-                          i -> ord(substr(px, CAST(i AS INT), 1))) AS frame
+           array_to_string(list_transform(generate_series(t * 16 + 1, t * 16 + 16),
+                          i -> ord(substr(px, CAST(i AS INT), 1))), ',') AS frame_csv
     FROM img CROSS JOIN ts
     """,
     doc="EXECUTED video frame sampling (E10,E11): a 6-frame FAKEIMG "
@@ -122,7 +133,8 @@ def _fake_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_images, sample_frames
 
-    return sample_frames(decode_images(_fake_video(spark, sf_dir)), every_n=2)
+    frames = sample_frames(decode_images(_fake_video(spark, sf_dir)), every_n=2)
+    return frames.select("path", "t", _csv("frame").alias("frame_csv"))
 
 
 @register(
@@ -134,10 +146,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(doc_id AS VARCHAR) AS path,
            CAST(2 AS INT) AS height, CAST(2 AS INT) AS width,
-           list_transform(generate_series(0, 3),
+           array_to_string(list_transform(generate_series(0, 3),
                           i -> ord(substr(px,
                                 CAST(64 + (i // 2) * 8 + (i % 2) * 2 + 1 AS INT),
-                                1))) AS plane
+                                1))), ',') AS plane_csv
     FROM img
     """,
     doc="decode -> plane-select -> nearest-neighbor 2x downsample "
@@ -170,7 +182,10 @@ def multimodal_resize_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     planes = select_plane(decode_images(binary_df), channel_name="c1")
-    return resize_plane_nn(planes, factor=2)
+    resized = resize_plane_nn(planes, factor=2)
+    return resized.select(
+        "path", "height", "width", _csv("plane").alias("plane_csv")
+    )
 
 
 @register(

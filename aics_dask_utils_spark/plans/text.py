@@ -249,7 +249,8 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS token_id
       FROM ex GROUP BY term
     )
-    SELECT e.doc_id, array_agg(v.token_id ORDER BY e.pos) AS token_ids
+    SELECT e.doc_id,
+           string_agg(v.token_id, ',' ORDER BY e.pos) AS token_ids_csv
     FROM ex e JOIN vocab v ON e.term = v.term
     GROUP BY e.doc_id
     """,
@@ -258,7 +259,9 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frequency (ties alphabetical), each document re-encoded as its "
     "position-ordered id sequence. The vocab is a tiny aggregate "
     "broadcast onto the posexplode; order restoration is a (pos,id) "
-    "struct sort inside the group, not a window",
+    "struct sort inside the group, not a window. The sequence ships "
+    "as a CSV string (concat_ws <-> string_agg): ARRAY final columns "
+    "are banned registry-wide",
     tags=("text",),
 )
 def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,10 +283,13 @@ def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.join(F.broadcast(vocab), "term")
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
-                lambda s: s["token_id"],
-            ).alias("token_ids")
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+            ).alias("token_ids_csv")
         )
     )
 

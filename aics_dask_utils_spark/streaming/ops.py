@@ -228,6 +228,31 @@ def _session_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
+    gap = pd.Timedelta(seconds=SESSION_GAP_S)
+
+    def _emit(rows):
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(rows),
+                "session_start": [s for s, _, _ in rows],
+                "session_end": [e + gap for _, e, _ in rows],
+                "n_events": [int(c) for _, _, c in rows],
+            }
+        )
+
+    if state.hasTimedOut:
+        # Event-time timeout: the watermark passed last+gap, so the open
+        # session can never be extended — emit its final version and
+        # EVICT the state (without this, open-session state would live
+        # forever; at 100 TB that is an unbounded state store).
+        start, last, n = state.get
+        state.remove()
+        yield from _emit([(start, last, n)])
+        return
+
+    # Buffer-and-reorder: rows within one batch sort by event time, so
+    # intra-batch disorder is fully handled. Cross-batch late events
+    # (admitted by the 1-hour watermark) are merged below.
     ts = sorted(t for p in pdfs for t in p["ts"])
     if state.exists:
         start, last, n = state.get
@@ -237,23 +262,35 @@ def _session_fn(
     for t in ts:
         if start is None:
             start, last, n = t, t, 1
-        elif (t - last).total_seconds() >= SESSION_GAP_S:
-            out.append((start, last, n))  # closed session
-            start, last, n = t, t, 1
+        elif t >= last:
+            # in-order: extend or close-and-open
+            if (t - last).total_seconds() >= SESSION_GAP_S:
+                out.append((start, last, n))  # closed session
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        elif (start - t).total_seconds() < SESSION_GAP_S:
+            # late event belonging to (or directly preceding) the open
+            # session: merge, extending the session backward if needed;
+            # `last` never moves backwards. The open session re-emits
+            # under its corrected start (update mode: downstream keeps
+            # the last emission per key).
+            start, n = min(start, t), n + 1
         else:
-            last, n = t, n + 1
+            # late event a full gap before the open session: it can
+            # only belong to an already-closed (already-emitted)
+            # session, which update-mode output cannot amend — emit it
+            # as its own immediately-closed singleton session (best
+            # effort; documented limitation).
+            out.append((t, t, 1))
     if start is not None:
         state.update((start, last, int(n)))
+        # Evict once event time passes last+gap: no row admitted by the
+        # watermark can extend the session after that.
+        timeout_ms = int(last.timestamp() * 1000) + SESSION_GAP_S * 1000
+        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         out.append((start, last, n))  # open session: latest version
-    gap = pd.Timedelta(seconds=SESSION_GAP_S)
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id] * len(out),
-            "session_start": [s for s, _, _ in out],
-            "session_end": [e + gap for _, e, _ in out],
-            "n_events": [int(c) for _, _, c in out],
-        }
-    )
+    yield from _emit(out)
 
 
 def custom_session_windows(events: DataFrame) -> DataFrame:
@@ -267,7 +304,17 @@ def custom_session_windows(events: DataFrame) -> DataFrame:
     formulation: this is the skeleton for session logic Spark's
     built-in CANNOT express (per-session caps, inactivity + absolute
     timeouts, carryover payloads). State is one tiny row per open
-    session per user, evicted by the watermark at scale."""
+    session per user, EVICTED by an event-time timeout at last+gap
+    (the watermark alone does not evict applyInPandasWithState state).
+
+    Out-of-order handling: rows sort by event time within each batch;
+    a cross-batch late event admitted by the 1-hour watermark merges
+    into the open session (extending it backward) when it lands within
+    the gap of the session start. A late event a full gap OLDER than
+    the open session belongs to an already-emitted closed session,
+    which update-mode output cannot amend — it emits as its own
+    singleton session (documented best-effort bound; tighten the
+    watermark relative to the gap to exclude the case entirely)."""
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy("user_id")
@@ -276,6 +323,6 @@ def custom_session_windows(events: DataFrame) -> DataFrame:
             outputStructType=_SESS_OUT_SCHEMA,
             stateStructType=_SESS_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

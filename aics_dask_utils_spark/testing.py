@@ -38,8 +38,14 @@ def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 def _normalize_cell(v):
     """Make heterogeneous cells sortable/comparable across engines:
-    Decimal -> float, list/ndarray -> tuple (hashable, lexicographically
-    sortable), date -> Timestamp."""
+    Decimal -> float, date -> Timestamp.
+
+    List/ndarray cells are REFUSED: the driver's canonicalizer runs a
+    raw pandas ``sort_values`` over every column and list cells raise
+    ``TypeError: unhashable type`` there (round-2 failure class). The
+    local gate must fail the same way, not tuple-normalize the problem
+    away — plans serialize arrays (concat_ws <-> array_to_string) or
+    explode them to rows before the final select."""
     import datetime
     import decimal
 
@@ -47,8 +53,13 @@ def _normalize_cell(v):
 
     if isinstance(v, decimal.Decimal):
         return float(v)
-    if isinstance(v, (list, np.ndarray)):
-        return tuple(_normalize_cell(x) for x in v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise TypeError(
+            "list-typed result cell: the driver's canonicalizer cannot "
+            "sort ARRAY/STRUCT/MAP cells (unhashable in sort_values). "
+            "Serialize the column (concat_ws <-> array_to_string) or "
+            "explode it to rows before the plan's final select."
+        )
     if isinstance(v, np.generic):
         return v.item()
     if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
@@ -153,6 +164,26 @@ def assert_frames_match(
                 )
 
 
+def assert_scalar_schema(schema, context: str = "") -> None:
+    """Registry-wide complex-type lint: no plan's FINAL schema may carry
+    ArrayType/StructType/MapType — the driver's canonicalizer sorts raw
+    pandas cells and crashes on unhashable list cells (round-2 failure
+    class: ``multimodal_decode_slice``, ``kmeans_embeddings``). Arrays
+    are fine mid-plan; serialize or explode before the last select."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{context}: complex-typed final columns {bad} — the driver's "
+        "canonicalizer cannot sort ARRAY/STRUCT/MAP cells; serialize "
+        "(concat_ws <-> array_to_string) or explode to rows"
+    )
+
+
 def run_plan_vs_oracle(
     spark,
     name: str,
@@ -164,7 +195,9 @@ def run_plan_vs_oracle(
     from .plans import all_plans
 
     spec = all_plans()[name]
-    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    sdf = spec.fn(spark, sf_dir)
+    assert_scalar_schema(sdf.schema, context=name)
+    spark_pdf = sdf.toPandas()
     if spec.oracle is None:
         assert len(spark_pdf) >= 0  # rows-only check, mirrors the driver
         return spark_pdf

@@ -147,6 +147,28 @@ def test_asof_nearest_empty_right(spark):
     assert len(out) == 1 and out[0]["asof_payload"] is None
 
 
+def test_srp_lsh_on_empty_embeddings(spark):
+    # empty relation: first() returns None — must yield an empty pairs
+    # frame with the contract schema, not a TypeError or zero-dim
+    # hyperplanes
+    from aics_dask_utils_spark.operators.dedup import srp_lsh_pairs
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = srp_lsh_pairs(emb)
+    assert out.columns == ["v1", "v2", "cosine"]
+    assert out.count() == 0
+
+
+def test_srp_lsh_on_null_first_vector(spark):
+    # NULL first embedding: size() is NULL — same empty-pairs contract
+    from aics_dask_utils_spark.operators.dedup import srp_lsh_pairs
+
+    emb = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id bigint, embedding array<double>"
+    )
+    assert srp_lsh_pairs(emb).count() == 0
+
+
 def test_asof_rejects_bad_direction(spark):
     import pytest as _pytest
 

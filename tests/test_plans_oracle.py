@@ -34,3 +34,28 @@ def test_gate_is_dtype_strict():
     assert_frames_match(ints, ints.copy(), context="same-dtype")
     with pytest.raises(AssertionError, match="dtype skew"):
         assert_frames_match(ints, floats, context="mistyped-oracle")
+
+
+def test_gate_rejects_array_cells():
+    """The local gate must refuse list-typed result cells the way the
+    driver does (round-2 failure class: the driver's raw sort_values
+    raises `unhashable type: 'list'`; the old local gate tuple-normalized
+    lists and passed, masking 6 plans)."""
+    import pandas as pd
+
+    from aics_dask_utils_spark.testing import assert_frames_match
+
+    arr = pd.DataFrame({"k": ["a"], "v": [[1, 2, 3]]})
+    with pytest.raises(TypeError, match="list-typed result cell"):
+        assert_frames_match(arr, arr.copy(), context="array-output")
+
+
+def test_schema_lint_rejects_complex_types(spark):
+    """A deliberately ARRAY-returning plan must fail the registry lint
+    before it ever reaches the driver."""
+    from aics_dask_utils_spark.testing import assert_scalar_schema
+
+    df = spark.range(3).selectExpr("id", "array(id, id + 1) AS a")
+    with pytest.raises(AssertionError, match="complex-typed final columns"):
+        assert_scalar_schema(df.schema, context="synthetic-array-plan")
+    assert_scalar_schema(spark.range(1).schema, context="scalar-ok")
