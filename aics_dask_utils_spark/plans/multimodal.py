@@ -440,3 +440,70 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sink_row_files_digest",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, repeat(md5(text), 3) AS px FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(16 AS BIGINT) AS byte_len,
+           sha256(substr(px, 65, 16)) AS sha256_hex
+    FROM img
+    ORDER BY doc_id
+    """,
+    doc="EXECUTED per-row file sink read-back (E6, the reference's "
+    "one-PNG-per-row write, scripts/test_aics_cluster.py:97-101): each "
+    "doc's FAKEIMG tensor decodes on executors, the selected c1/mid-Z "
+    "plane writes as one file per row via foreachPartition "
+    "(write_planes), the directory re-scans through the binaryFile "
+    "source, and each file's (byte_len, sha256) digests are "
+    "hash-matched against an oracle recomputing them from the md5-hex "
+    "pixel payload — proving the executor-side sink wrote exactly the "
+    "sliced bytes. Files write locally per executor in this harness; "
+    "at scale the same foreachPartition body targets object storage",
+    tags=("multimodal", "sink"),
+)
+def sink_row_files_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import struct
+
+    from ..operators.multimodal import (
+        FAKE_MAGIC,
+        decode_images,
+        select_plane,
+        write_planes,
+    )
+    from ..sources import read_binary_files
+
+    shape = (1, 1, 2, 3, 4, 4)
+    names = b"c0,c1"
+    header = (
+        FAKE_MAGIC + struct.pack(">6H", *shape) + struct.pack(">H", len(names)) + names
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    binary_df = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.concat(
+            F.lit(header), F.encode(F.repeat(F.md5("text"), 3), "UTF-8")
+        ).alias("content"),
+    )
+    planes = select_plane(decode_images(binary_df), channel_name="c1")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/spark_graft_planes_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_planes(planes, out_dir)
+    back = read_binary_files(spark, out_dir, glob="*.plane.bin")
+    return (
+        back.select(
+            F.regexp_extract("path", r"(\d+)\.plane\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.length("content").cast("long").alias("byte_len"),
+            F.sha2("content", 256).alias("sha256_hex"),
+        )
+        .orderBy("doc_id")
+    )

@@ -657,3 +657,50 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("lang")
     )
+
+
+def _seq_values_sql(n: int = 12) -> str:
+    rows = ",".join(
+        f"({i}, 'item{i}', {i * 0.25!r})" for i in range(n)
+    )
+    return f"(VALUES {rows}) v(id, name, val)"
+
+
+@register(
+    "source_sequences_roundtrip",
+    oracle=f"""
+    SELECT CAST(id AS BIGINT) AS item_id,
+           name,
+           CAST(val AS DOUBLE) AS val,
+           CAST(val AS DOUBLE) * 2 AS doubled,
+           CAST(length(name) AS INT) AS name_len
+    FROM {_seq_values_sql(12)}
+    ORDER BY item_id
+    """,
+    doc="in-memory sequences -> table round trip (E4): three aligned "
+    "Python sequences zipped into a DataFrame via from_sequences (the "
+    "reference's multi-iterable client.map zip, "
+    "/root/reference/aics_dask_utils/distributed_handler.py:135-140, "
+    "as a relation), then transformed relationally — the oracle is the "
+    "same rows as SQL VALUES. 0.25-step doubles are binary-exact so "
+    "the hash match is bit-strict",
+    tags=("source",),
+)
+def source_sequences_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import from_sequences
+
+    n = 12
+    df = from_sequences(
+        spark,
+        list(range(n)),
+        [f"item{i}" for i in range(n)],
+        [i * 0.25 for i in range(n)],
+        schema="item_id long, name string, val double",
+    )
+    return df.select(
+        "item_id",
+        "name",
+        "val",
+        (F.col("val") * 2).alias("doubled"),
+        F.length("name").alias("name_len"),
+    ).orderBy("item_id")

@@ -269,3 +269,26 @@ def test_scene_cuts_single_decode(spark, sf_dir):
     # scalars shuffle to the per-video window — pixels never reshuffle
     plan = _formatted(spark, "multimodal_scene_cuts", sf_dir)
     assert plan.count("MapInPandas") == 2, plan  # tree line + detail line
+
+
+def test_window_critical_plans_inside_driver_window():
+    """The driver only checks the FIRST 50 plans in queries() order.
+    Every plan with an outstanding driver failure or a new contract must
+    sit inside that window — a fixed-but-unverified plan parked at
+    position 51+ would silently never be re-checked (the round-2 lesson:
+    34 additions rode positions 51-84 unchecked for a full round)."""
+    from aics_dask_utils_spark.plans import (
+        PRIORITY_WINDOW,
+        WINDOW_CRITICAL,
+        all_plans,
+    )
+
+    order = list(all_plans())
+    first_50 = set(order[:50])
+    missing = sorted(WINDOW_CRITICAL - first_50)
+    assert not missing, (
+        f"WINDOW_CRITICAL plans below the 50-slot driver cut: {missing}"
+    )
+    assert len(PRIORITY_WINDOW) == len(set(PRIORITY_WINDOW)), "window has dups"
+    unregistered = [n for n in PRIORITY_WINDOW if n not in order]
+    assert not unregistered, f"window names not registered: {unregistered}"
