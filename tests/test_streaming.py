@@ -310,3 +310,103 @@ def test_custom_session_state_spans_micro_batches(spark, tmp_path_factory):
     # ONE session starting 10:00 with 3 events (spanning both batches),
     # one starting 12:00 with 1 event — never a split at 10:20
     assert got == {(10, 0): 3, (12, 0): 1}, got
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in to unit-test _session_fn's state
+    machine (merge/evict paths) without running a stream."""
+
+    def __init__(self, value=None, timed_out=False, watermark_ms=0):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self._wm = watermark_ms
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _run_session_fn(batch_ts, state):
+    import pandas as pd
+
+    from aics_dask_utils_spark.streaming.ops import _session_fn
+
+    pdfs = [pd.DataFrame({"ts": batch_ts})] if batch_ts else []
+    (out,) = list(_session_fn((1,), iter(pdfs), state))
+    return out
+
+
+def test_session_fn_late_event_merges_into_open_session():
+    # open session 10:00-10:10 (2 events); a late 9:50 event (within the
+    # 30-min gap of start) must merge and extend the session backward,
+    # never move `last` backwards
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2020, 1, 1, h, m)
+    state = _FakeGroupState(value=(t(10, 0), t(10, 10), 2))
+    out = _run_session_fn([t(9, 50)], state)
+    assert len(out) == 1
+    assert out["session_start"][0] == t(9, 50)
+    assert state.get == (t(9, 50), t(10, 10), 3)
+    assert state.timeout_ms is not None  # eviction armed
+
+
+def test_session_fn_very_late_event_emits_singleton():
+    # a late event a full gap BEFORE the open session start belongs to
+    # an already-emitted closed session: emitted as its own singleton,
+    # open session untouched
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2020, 1, 1, h, m)
+    state = _FakeGroupState(value=(t(10, 0), t(10, 10), 2))
+    out = _run_session_fn([t(9, 0)], state)
+    assert len(out) == 2
+    starts = sorted(out["session_start"])
+    assert starts == [t(9, 0), t(10, 0)]
+    singleton = out[out["session_start"] == t(9, 0)].iloc[0]
+    assert singleton["n_events"] == 1
+    assert state.get == (t(10, 0), t(10, 10), 2)
+
+
+def test_session_fn_timeout_evicts_state():
+    # event-time timeout: final version emits, state removed — open
+    # sessions cannot accumulate forever in the state store
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2020, 1, 1, h, m)
+    state = _FakeGroupState(value=(t(10, 0), t(10, 10), 2), timed_out=True)
+    out = _run_session_fn([], state)
+    assert len(out) == 1
+    assert out["n_events"][0] == 2
+    assert state.removed
+
+
+def test_session_fn_timeout_never_below_watermark():
+    # setTimeoutTimestamp must stay above the current watermark even
+    # when last+gap already passed it (Spark rejects timeouts <= wm)
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2020, 1, 1, h, m)
+    wm_ms = int(dt.datetime(2020, 1, 1, 12, 0).timestamp() * 1000)
+    state = _FakeGroupState(watermark_ms=wm_ms)
+    _run_session_fn([t(10, 0)], state)
+    assert state.timeout_ms == wm_ms + 1
