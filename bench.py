@@ -98,6 +98,14 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             assert n >= 0
         timings[name] = round(best, 4)
+        # Plans that persist() intermediates (LSH shingles, oriented
+        # edges, ...) create a NEW cached relation per invocation and
+        # never unpersist — across 45 queries x 3 runs the stale blocks
+        # squeeze the executor heap and billed the round-2 TPC-H block
+        # ~1.5-2x (verified: an isolated session reproduces round-1
+        # times; see docs/bench_drift_r3.md). Clearing BETWEEN queries
+        # keeps each query's own warm-up persist semantics intact.
+        spark.catalog.clearCache()
 
     # Reference-workload micro-bench: the reference's one measurable
     # workload is a 10,000-element two-iterable batched_map
