@@ -1078,3 +1078,160 @@ def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_cnt, 6).alias("mean_cnt"),
         F.round(F.max("cnt") / mean_cnt, 6).alias("skew_ratio"),
     )
+
+
+@register(
+    "agg_regression_per_group",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS DECIMAL(10,0)) AS x,
+             CAST(o_totalprice AS DECIMAL(20,4)) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sx2
+      FROM t GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sx2 - sx * sx), 9) AS slope,
+           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sx2 - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 9) AS intercept
+    FROM s
+    ORDER BY o_orderpriority
+    """,
+    doc="deterministic per-group OLS regression (E22 extension, the "
+    "distributed model-fit primitive): totalprice ~ days-since-epoch "
+    "per order priority. Built-in regr_slope/regr_agg accumulate "
+    "doubles in partition order and are NOT reproducible across "
+    "engines or partitionings, so the moments (n, sum x, sum y, "
+    "sum xy, sum x2) accumulate as EXACT decimals — one keyed shuffle "
+    "with map-side partials, same cost as any grouped agg — and the "
+    "closed-form slope/intercept derive in double at the end, "
+    "bit-identical on any engine and any partition count. At 100 TB "
+    "this is how you fit millions of per-key trend lines in one pass",
+    tags=("relational", "agg"),
+)
+def agg_regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+        .cast("decimal(10,0)")
+        .alias("x"),
+        F.col("o_totalprice").cast("decimal(20,4)").alias("y"),
+    )
+    s = t.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 9).alias("intercept"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "agg_mutual_info",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, COUNT(*) AS c
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+    ml AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nl FROM c GROUP BY lang),
+    ms AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM c GROUP BY source),
+    terms AS (
+      SELECT c.lang, c.source,
+             (CAST(c.c AS DOUBLE) / t.n)
+               * ln(CAST(c.c AS DOUBLE) * t.n / (CAST(ml.nl AS DOUBLE) * ms.ns))
+               AS mi_term,
+             ((CAST(c.c AS DOUBLE) - CAST(ml.nl AS DOUBLE) * ms.ns / t.n)
+              * (CAST(c.c AS DOUBLE) - CAST(ml.nl AS DOUBLE) * ms.ns / t.n))
+               / (CAST(ml.nl AS DOUBLE) * ms.ns / t.n) AS chi_term
+      FROM c
+      JOIN ml USING (lang)
+      JOIN ms USING (source)
+      CROSS JOIN tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(list_reduce([0.0] || list(mi_term ORDER BY lang, source),
+                             (a, x) -> a + x), 6) AS mi_nats,
+           ROUND(list_reduce([0.0] || list(chi_term ORDER BY lang, source),
+                             (a, x) -> a + x), 6) AS chi2
+    FROM terms
+    """,
+    doc="mutual information + chi-square between two categorical "
+    "columns (lang x source), the feature-association primitive of "
+    "corpus balancing and drift detection. One keyed count shuffle "
+    "(map-side combined) collapses the data to the |langs|x|sources| "
+    "pair grid; marginals come from broadcast-sized aggregates of that "
+    "grid, and the double contributions fold in a pinned (lang, "
+    "source) order so the summation is engine- and "
+    "partitioning-independent (the collect is over the tiny grid, "
+    "never the data)",
+    tags=("relational", "agg"),
+)
+def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    ml = c.groupBy("lang").agg(F.sum("c").cast("long").alias("nl"))
+    ms = c.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    tot = c.agg(F.sum("c").cast("long").alias("n"))
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    e = F.col("nl").cast("double") * F.col("ns") / nd
+    terms = (
+        c.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            ((cd / nd) * F.log(cd * nd / (F.col("nl").cast("double") * F.col("ns"))))
+            .alias("mi_term"),
+            (((cd - e) * (cd - e)) / e).alias("chi_term"),
+        )
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "source", "mi_term"))),
+                lambda s: s["mi_term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("mi_raw"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "source", "chi_term"))),
+                lambda s: s["chi_term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("chi_raw"),
+    )
+    return folded.select(
+        "n_pairs",
+        F.round("mi_raw", 6).alias("mi_nats"),
+        F.round("chi_raw", 6).alias("chi2"),
+    )

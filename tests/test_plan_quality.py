@@ -292,3 +292,25 @@ def test_window_critical_plans_inside_driver_window():
     assert len(PRIORITY_WINDOW) == len(set(PRIORITY_WINDOW)), "window has dups"
     unregistered = [n for n in PRIORITY_WINDOW if n not in order]
     assert not unregistered, f"window names not registered: {unregistered}"
+
+
+def test_regression_agg_is_one_keyed_pass(spark, sf_dir):
+    # the OLS moments must accumulate with map-side partials (one keyed
+    # shuffle over group rows, not fact rows), and the slope/intercept
+    # derivation adds no extra exchange
+    plan = _formatted(spark, "agg_regression_per_group", sf_dir)
+    assert "partial_sum" in plan
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan  # group shuffle + output sort only
+
+
+def test_mutual_info_marginals_broadcast(spark, sf_dir):
+    # marginals and the total join back onto the tiny pair grid as
+    # broadcasts; nothing may plan a cartesian over data rows and the
+    # collect_list fold runs over the grid, not the corpus
+    plan = _formatted(spark, "agg_mutual_info", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "partial_count" in plan or "partial_sum" in plan
