@@ -956,3 +956,46 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid")
     )
+
+
+@register(
+    "agg_two_level_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+    FROM {_EV}
+    GROUP BY 1 ORDER BY month
+    """,
+    doc="two-level rollup / re-aggregation (E20/E23 maintenance "
+    "pattern): daily partial aggregate states (count, exact-decimal "
+    "sum, min, max) MERGE into monthly aggregates — the monthly result "
+    "is computed from the daily partials, never from the raw rows, and "
+    "hash-matches an oracle that aggregates raw->monthly directly. "
+    "This is the pre-aggregation contract that makes 100 TB dashboards "
+    "tractable: the raw scan happens once into ~365 daily rows/key, "
+    "every coarser granularity re-aggregates the tiny partial "
+    "relation; correctness of the merge (sum-of-sums, min-of-mins, "
+    "count-of-counts, day-count = COUNT(*) over daily rows) is exactly "
+    "what this plan proves",
+    tags=("events", "agg"),
+)
+def agg_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("d_n"),
+        F.sum(F.col("value").cast("decimal(30,12)")).alias("d_sum"),
+        F.min("value").alias("d_min"),
+        F.max("value").alias("d_max"),
+    )
+    monthly = daily.groupBy(F.trunc("day", "month").alias("month")).agg(
+        F.sum("d_n").cast("long").alias("n_events"),
+        F.sum("d_sum").cast("double").alias("sum_value"),
+        F.min("d_min").alias("min_value"),
+        F.max("d_max").alias("max_value"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return monthly.orderBy("month")

@@ -321,3 +321,55 @@ def events_sliding_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY est.day, est.item
         """
     )
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    oracle="""
+    SELECT p_brand, CAST(n AS BIGINT) AS n_exact, TRUE AS cms_ok
+    FROM (
+      SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand
+      ORDER BY n DESC, p_brand LIMIT 5
+    ) ORDER BY n_exact DESC, p_brand
+    """,
+    doc="count-min-sketch heavy-hitter verification (E65, the 5th "
+    "sketch type): one pass builds a CMS over p_brand "
+    "(count_min_sketch agg — mergeable, map-side combined, KB-sized "
+    "state), the top-5 brands come from an exact keyed count, and for "
+    "each the plan asserts the CMS point-query obeys its guarantee "
+    "exact <= est <= exact + eps*N (eps=1e-4). The sketch binary and "
+    "the 25-row brand relation are the ONLY driver-side materials "
+    "(documented queries-only collect, like similarity.py); at 100 TB "
+    "the same one-pass CMS answers ad-hoc 'how often does X occur' "
+    "without a second scan. Oracle = exact top-5 + literal TRUE",
+    tags=("sketch", "agg"),
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    eps, conf, seed = 1e-4, 0.99, 42
+    part = load_table(spark, sf_dir, "part")
+    brand_counts = (
+        part.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    exact = sorted(brand_counts, key=lambda r: (-r["n"], r["p_brand"]))[:5]
+    n_total = sum(r["n"] for r in brand_counts)
+    sk_row = part.agg(
+        F.expr(
+            f"count_min_sketch(p_brand, {eps}d, {conf}d, {seed})"
+        ).alias("sk")
+    ).head()
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row["sk"])
+    )
+    slack = eps * n_total
+    rows = [
+        (
+            r["p_brand"],
+            int(r["n"]),
+            bool(r["n"] <= cms.estimateCount(r["p_brand"]) <= r["n"] + slack),
+        )
+        for r in exact
+    ]
+    out = spark.createDataFrame(rows, "p_brand string, n_exact long, cms_ok boolean")
+    return out.orderBy(F.desc("n_exact"), "p_brand")
