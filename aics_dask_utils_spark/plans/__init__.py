@@ -133,6 +133,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "scalar_json_typed",
     "asof_join_forward_tolerance",
     # -- slots 51+: remaining never-driver-checked plans --
+    # round-3 additions queue first behind the cut
+    "agg_regression_per_group",
+    "agg_mutual_info",
+    "agg_two_level_rollup",
+    "agg_cms_heavy_hitters",
     "join_skew_salted",
     "udf_map_in_pandas",
     "topk_per_group",
