@@ -21,6 +21,12 @@ PLANS = [
     "text_chunk_sliding",
     "events_sliding_distinct_hll",
     "sample_bootstrap_ci",
+    # round-3 additions whose docstrings CLAIM partitioning-independence
+    # (exact-decimal OLS moments; pinned-order MI fold; partial-state
+    # rollup merge) — claims get proved here, not asserted in prose
+    "agg_regression_per_group",
+    "agg_mutual_info",
+    "agg_two_level_rollup",
 ]
 
 

@@ -475,3 +475,53 @@ def test_chunker_covers_every_token_with_bounded_overlap(spark, texts):
         for r in chunks[1:]:
             rebuilt.extend(r["chunk"][C - S:] if len(r["chunk"]) > C - S else [])
         assert rebuilt == toks
+
+
+_xy_groups = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3650),  # x: day offsets
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False,
+                  allow_infinity=False).map(lambda v: round(v, 2)),
+    ),
+    min_size=3,
+    max_size=120,
+).filter(lambda pts: len({x for x, _ in pts}) >= 2)  # slope defined
+
+
+@given(pts=_xy_groups)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_decimal_moment_ols_matches_numpy(spark, pts):
+    """The exact-decimal-moment OLS formulation (agg_regression_per_group's
+    skeleton) must agree with numpy's least squares on arbitrary data —
+    a differential check of the closed-form algebra, independent of the
+    fixture tables."""
+    import numpy as np
+
+    rows = [(int(x), float(y)) for x, y in pts]
+    df = spark.createDataFrame(rows, "x int, y double")
+    t = df.select(
+        F.col("x").cast("decimal(10,0)").alias("x"),
+        F.col("y").cast("decimal(20,4)").alias("y"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+    ).collect()[0]
+    nd = float(s["n"])
+    denom = nd * s["sx2"] - s["sx"] * s["sx"]
+    slope = (nd * s["sxy"] - s["sx"] * s["sy"]) / denom
+    intercept = (s["sy"] - slope * s["sx"]) / nd
+    xs = np.array([x for x, _ in rows], dtype=float)
+    ys = np.array([y for _, y in rows], dtype=float)
+    ref_slope, ref_intercept = np.polyfit(xs, ys, 1)
+    scale = max(abs(ref_slope), 1.0)
+    assert math.isclose(slope, ref_slope, rel_tol=0, abs_tol=1e-6 * scale)
+    scale_i = max(abs(ref_intercept), 1.0)
+    assert math.isclose(intercept, ref_intercept, rel_tol=0, abs_tol=1e-6 * scale_i)
