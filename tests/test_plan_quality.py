@@ -314,3 +314,31 @@ def test_mutual_info_marginals_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["multimodal_decode_slice", "multimodal_frame_sample", "multimodal_resize_plane"],
+)
+def test_media_pipeline_no_shuffle_one_decode(spark, sf_dir, name):
+    # the decode->slice/sample/resize pipelines are embarrassingly
+    # parallel: exactly ONE Python op (the mapInPandas decode) and ZERO
+    # exchanges — pixels never shuffle and never re-enter Python. The
+    # round-3 CSV flattening of the output must not have changed that.
+    import re
+
+    plan = _formatted(spark, name, sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    n_python = len(
+        re.findall(r"\(\d+\) (?:MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas)", plan)
+    )
+    assert n_python == 1, plan
+
+
+def test_array_slice_sort_single_output_sort(spark, sf_dir):
+    # exploding to (vec_id, dim_idx) rows must add only the final
+    # output-order exchange — no join, no extra shuffle
+    import re
+
+    plan = _formatted(spark, "array_slice_sort", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
