@@ -328,23 +328,29 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
 
 @given(
     left=st.lists(
-        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=25
+        st.tuples(st.integers(0, 2), st.integers(0, 40_000)), min_size=1, max_size=25
     ),
     right=st.lists(
-        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=0, max_size=25
+        st.tuples(st.integers(0, 2), st.integers(0, 40_000)), min_size=0, max_size=25
     ),
     direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tolerance_s=st.sampled_from([None, 3]),
 )
 @settings(
-    max_examples=12,
+    max_examples=14,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tolerance_s):
     """Differential oracle: the single-shuffle union+carry formulation
     must reproduce pandas merge_asof exactly — including equal-ts
     tiebreaks (backward: last right row in (ts, rid) order; forward:
-    first; nearest: gap ties go backward) — on arbitrary inputs."""
+    first; nearest: gap ties go backward) — on arbitrary inputs.
+
+    Timestamps carry MILLISECOND offsets: nearest-direction choices and
+    the tolerance cut must use sub-second gap math (whole-second
+    truncation flips the chosen side whenever backward/forward
+    candidates straddle a second boundary — the round-2 advisory)."""
     import datetime
 
     import pandas as pd
@@ -353,8 +359,8 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
 
     base = datetime.datetime(2024, 1, 1)
 
-    def ts(s):
-        return base + datetime.timedelta(seconds=s)
+    def ts(ms):
+        return base + datetime.timedelta(milliseconds=ms)
 
     lpdf = pd.DataFrame(
         [(i, k, ts(t)) for i, (k, t) in enumerate(left)],
@@ -377,6 +383,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
         left_by="k",
         right_by="k",
         direction=direction,
+        tolerance=None if tolerance_s is None else pd.Timedelta(seconds=tolerance_s),
     )
     expected = {
         int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
@@ -399,6 +406,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
         payload_cols=["rid"],
         tiebreak="rid",
         direction=direction,
+        tolerance_seconds=tolerance_s,
     ).collect()
     got = {
         int(r["lid"]): (None if r["asof_rid"] is None else int(r["asof_rid"]))
