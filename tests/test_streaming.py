@@ -410,3 +410,73 @@ def test_session_fn_timeout_never_below_watermark():
     state = _FakeGroupState(watermark_ms=wm_ms)
     _run_session_fn([t(10, 0)], state)
     assert state.timeout_ms == wm_ms + 1
+
+
+def test_custom_session_state_merges_late_batch(spark, tmp_path_factory):
+    """Real-engine out-of-order path: a later micro-batch delivers an
+    event OLDER than the open session's last but within the gap of its
+    start — the state machine must merge it (extending the session
+    backward) under the actual applyInPandasWithState runtime with
+    EventTimeTimeout armed."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.streaming.ops import custom_session_windows
+
+    src = tmp_path_factory.mktemp("sess_late_src")
+
+    def write_file(rows, name, mtime):
+        tmp = str(src) + f"_{name}_tmp"
+        spark.createDataFrame(
+            rows,
+            "ts timestamp, user_id long, event_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(str(src), f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t = lambda h, m: dt.datetime(2020, 1, 1, h, m)
+    # batch 1: session A (10:00, 10:10); batch 2: 12:00 opens session B
+    # (watermark advances to 11:00); batch 3: LATE 11:45 (>= watermark,
+    # < session B's last, within the 30-min gap of B's start) -> must
+    # merge into B, extending it backward to 11:45
+    write_file([(t(10, 0), 1, 1, "view", 0.0, ""), (t(10, 10), 1, 2, "view", 0.0, "")], "b1", 1_600_000_000)
+    write_file([(t(12, 0), 1, 3, "view", 0.0, "")], "b2", 1_600_000_100)
+    write_file([(t(11, 45), 1, 4, "view", 0.0, "")], "b3", 1_600_000_200)
+
+    sdf = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_id long, event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = custom_session_windows(sdf)
+    name = f"sess_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(name)
+        .groupBy("user_id", "session_start")
+        .agg(F.max("n_events").alias("n"))
+        .collect()
+    )
+    got = {(r["session_start"].hour, r["session_start"].minute): r["n"] for r in final}
+    # session A intact; session B re-emitted under its corrected start
+    # 11:45 with 2 events (the stale 12:00-start emission from batch 2
+    # remains in the update log by design — update mode cannot retract)
+    assert got[(10, 0)] == 2, got
+    assert got[(11, 45)] == 2, got
