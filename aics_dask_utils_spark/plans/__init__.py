@@ -138,6 +138,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_mutual_info",
     "agg_two_level_rollup",
     "agg_cms_heavy_hitters",
+    "source_python_datasource",
     "join_skew_salted",
     "udf_map_in_pandas",
     "topk_per_group",

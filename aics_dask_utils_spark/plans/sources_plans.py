@@ -704,3 +704,52 @@ def source_sequences_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("val") * 2).alias("doubled"),
         F.length("name").alias("name_len"),
     ).orderBy("item_id")
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    WITH g AS (
+      SELECT i,
+             ['alpha','beta','gamma','delta','epsilon'][CAST(i % 5 AS INT) + 1]
+               AS label,
+             i * 0.5 AS score,
+             (i * i) % 97 AS bucket
+      FROM (SELECT unnest(range(0, 1000)) AS i)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) AS sum_score,
+           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets
+    FROM g GROUP BY label ORDER BY label
+    """,
+    doc="custom pure-Python data source (E2 extensibility, Spark 4 "
+    "DataSource API): the 'graftgen' connector plans 8 metadata-only "
+    "range partitions on the driver and generates rows executor-side "
+    "per split — the JDBC-range/Kafka-offset/REST-paginator connector "
+    "shape with zero JVM code. Rows are a pure function of the global "
+    "id, so the aggregate hash-matches an oracle that regenerates the "
+    "table relationally, proving the connector's partitioned scan is "
+    "lossless and partitioning-independent",
+    tags=("source",),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.deterministic import dsum
+    from ..sources.python_datasource import register_graftgen
+
+    register_graftgen(spark)
+    df = (
+        spark.read.format("graftgen")
+        .option("n_rows", 1000)
+        .option("n_parts", 8)
+        .load()
+    )
+    return (
+        df.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("score").alias("sum_score"),
+            F.countDistinct("bucket").cast("long").alias("n_buckets"),
+        )
+        .orderBy("label")
+    )

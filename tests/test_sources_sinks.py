@@ -174,3 +174,41 @@ def test_zorder_write_files_cover_disjoint_z_ranges(spark, sf_dir):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges
+
+
+def test_python_datasource_partitioned_and_invariant(spark):
+    """The custom Python connector must (a) honor its partition plan —
+    n_parts splits become actual scan partitions, the parallelism
+    contract — and (b) produce the identical table at any partition
+    count (rows derive from the global id, never the split)."""
+    from aics_dask_utils_spark.sources.python_datasource import register_graftgen
+
+    register_graftgen(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("graftgen")
+            .option("n_rows", 200)
+            .option("n_parts", parts)
+            .load()
+        )
+
+    assert load(5).rdd.getNumPartitions() == 5
+    one = sorted(map(tuple, load(1).collect()))
+    five = sorted(map(tuple, load(5).collect()))
+    assert one == five and len(one) == 200
+
+
+def test_python_datasource_rejects_ragged_options(spark):
+    from aics_dask_utils_spark.sources.python_datasource import register_graftgen
+
+    register_graftgen(spark)
+    # n_parts > n_rows must still work (empty trailing splits avoided by
+    # ceil stepping), not error
+    df = (
+        spark.read.format("graftgen")
+        .option("n_rows", 3)
+        .option("n_parts", 8)
+        .load()
+    )
+    assert df.count() == 3
