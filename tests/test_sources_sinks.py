@@ -212,3 +212,32 @@ def test_python_datasource_rejects_ragged_options(spark):
         .load()
     )
     assert df.count() == 3
+
+
+def test_python_sink_commit_manifest(spark, tmp_path):
+    """The graftsink two-phase commit must publish a _SUCCESS manifest
+    whose file list and row total match what landed on disk."""
+    import json
+    import os
+
+    from aics_dask_utils_spark.sources.python_datasource import register_graftsink
+
+    register_graftsink(spark)
+    path = str(tmp_path / "sinkout")
+    df = spark.range(100).selectExpr("id", "id * 2 AS dbl").repartition(4)
+    df.write.format("graftsink").option("path", path).mode("append").save()
+    manifest = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert manifest["total_rows"] == 100
+    on_disk = sorted(f for f in os.listdir(path) if f.endswith(".graft"))
+    assert manifest["files"] == on_disk
+    assert len(on_disk) == 4  # one staged file per partition
+
+
+def test_python_sink_requires_path(spark):
+    import pytest as _pytest
+
+    from aics_dask_utils_spark.sources.python_datasource import register_graftsink
+
+    register_graftsink(spark)
+    with _pytest.raises(Exception, match="path"):
+        spark.range(3).write.format("graftsink").mode("append").save()
