@@ -140,6 +140,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_cms_heavy_hitters",
     "source_python_datasource",
     "sink_python_datasource_roundtrip",
+    "stream_python_source_exec",
     "join_skew_salted",
     "udf_map_in_pandas",
     "topk_per_group",

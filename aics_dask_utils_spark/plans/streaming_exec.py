@@ -461,3 +461,67 @@ def stream_session_state_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "stream_python_source_exec",
+    oracle="""
+    WITH g AS (
+      SELECT i,
+             ['alpha','beta','gamma','delta','epsilon'][CAST(i % 5 AS INT) + 1]
+               AS label,
+             i * 0.5 AS score
+      FROM (SELECT unnest(range(0, 1000)) AS i)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) AS sum_score,
+           MIN(i) AS min_id, MAX(i) AS max_id
+    FROM g GROUP BY label ORDER BY label
+    """,
+    doc="EXECUTED pure-Python STREAMING source (E41 x E2 extensibility, "
+    "Spark 4 SimpleDataSourceStreamReader): the graftgen_stream "
+    "connector advances an explicit offset cursor {next: i} per "
+    "micro-batch (the Kafka-offset/CDC-cursor shape), the engine "
+    "checkpoints offsets and replays committed ranges via "
+    "readBetweenOffsets on recovery, and the drained stream's per-label "
+    "aggregate hash-matches an oracle regenerating the table "
+    "relationally — exactly-once through a connector with zero JVM "
+    "code, 9 real micro-batches",
+    tags=("streaming", "source"),
+)
+def stream_python_source_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..functions.deterministic import dsum
+    from ..sources.python_datasource import register_graftgen_stream
+
+    register_graftgen_stream(spark)
+    sdf = (
+        spark.readStream.format("graftgen_stream")
+        .option("n_rows", 1000)
+        .option("batch_rows", 120)
+        .load()
+    )
+    name = f"pystream_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("score").alias("sum_score"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("label")
+    )

@@ -167,3 +167,57 @@ class GraftSinkSource(DataSource):
 
 def register_graftsink(spark) -> None:
     spark.dataSource.register(GraftSinkSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming third of the connector lifecycle: a pure-Python micro-batch
+# stream source with explicit offsets (the Kafka-offset/CDC-cursor
+# shape). Offsets are dicts checkpointed by the engine; replay of a
+# committed range (readBetweenOffsets) must be deterministic, which is
+# exactly what a row-id-derived table gives — that determinism is what
+# makes end-to-end exactly-once recovery possible.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class GraftGenStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.batch_rows = max(1, int(options.get("batch_rows", 100)))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_rows, self.n_rows)
+        # iter(list), NOT a generator or bare list: the engine caches the
+        # prefetched batch until commit and copy.copy()s the iterator on
+        # replan — generators can't be copied, lists aren't iterators;
+        # a list_iterator is both
+        return (iter([_row(i) for i in range(lo, hi)]), {"next": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay of a checkpointed range (failure recovery)
+        return iter([_row(i) for i in range(int(start["next"]), int(end["next"]))])
+
+
+class GraftGenStreamSource(DataSource):
+    """``spark.readStream.format("graftgen_stream")`` — bounded: emits
+    ``n_rows`` across ceil(n_rows/batch_rows) micro-batches, then idles
+    (empty batches), so availableNow-style drains terminate."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graftgen_stream"
+
+    def schema(self) -> str:
+        return "id bigint, label string, score double, bucket bigint"
+
+    def simpleStreamReader(self, schema) -> GraftGenStreamReader:
+        return GraftGenStreamReader(self.options)
+
+
+def register_graftgen_stream(spark) -> None:
+    spark.dataSource.register(GraftGenStreamSource)
