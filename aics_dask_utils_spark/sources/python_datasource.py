@@ -221,3 +221,77 @@ class GraftGenStreamSource(DataSource):
 
 def register_graftgen_stream(spark) -> None:
     spark.dataSource.register(GraftGenStreamSource)
+
+
+# ---------------------------------------------------------------------------
+# Fourth corner of the connector matrix (batch/stream x read/write): a
+# pure-Python STREAMING sink. Each micro-batch's partitions stage part
+# files executor-side; commit(messages, batchId) publishes a per-epoch
+# manifest — the idempotent-epoch contract (a replayed batch id simply
+# overwrites its own manifest, so downstream readers that trust
+# manifests get exactly-once).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter
+
+
+class GraftStreamFileWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("graftsink_stream requires .option('path', ...)")
+
+    def write(self, iterator) -> _PartCommit:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        name = f"stage-{uuid.uuid4().hex[:12]}-p{pid:05d}.graft"
+        full = os.path.join(self.path, name)
+        n = 0
+        with open(full, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write("\x1f".join("" if v is None else str(v) for v in row))
+                f.write("\n")
+                n += 1
+        return _PartCommit(path=full, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = {
+            "batch_id": int(batchId),
+            "files": sorted(
+                os.path.basename(m.path) for m in messages if m is not None
+            ),
+            "rows": int(sum(m.n_rows for m in messages if m is not None)),
+        }
+        with open(os.path.join(self.path, f"_manifest-{batchId:010d}.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class GraftStreamSinkSource(DataSource):
+    """``df.writeStream.format("graftsink_stream").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graftsink_stream"
+
+    def streamWriter(self, schema, overwrite: bool) -> GraftStreamFileWriter:
+        return GraftStreamFileWriter(self.options)
+
+
+def register_graftsink_stream(spark) -> None:
+    spark.dataSource.register(GraftStreamSinkSource)

@@ -516,3 +516,51 @@ def test_python_stream_source_checkpoint_recovery(spark, tmp_path):
     assert got.count() == 360
     assert got.select("id").distinct().count() == 360  # exactly-once
     assert got.agg(F.min("id"), F.max("id")).first() == (0, 359)
+
+
+def test_python_stream_sink_epoch_manifests(spark, tmp_path):
+    """End-to-end pure-Python stream: the graftgen_stream source feeds
+    the graftsink_stream sink; every micro-batch must land one epoch
+    manifest whose row totals sum to exactly the source's row count —
+    the idempotent-epoch commit contract."""
+    import json
+    import os
+
+    from aics_dask_utils_spark.sources.python_datasource import (
+        register_graftgen_stream,
+        register_graftsink_stream,
+    )
+
+    register_graftgen_stream(spark)
+    register_graftsink_stream(spark)
+    out = str(tmp_path / "pysink_stream")
+    sdf = (
+        spark.readStream.format("graftgen_stream")
+        .option("n_rows", 500)
+        .option("batch_rows", 200)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("graftsink_stream")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    manifests = sorted(f for f in os.listdir(out) if f.startswith("_manifest-"))
+    assert len(manifests) >= 3  # 500 rows / 200-row batches
+    total = 0
+    for mf in manifests:
+        m = json.load(open(os.path.join(out, mf)))
+        for fname in m["files"]:
+            assert os.path.exists(os.path.join(out, fname))
+        total += m["rows"]
+    assert total == 500
+    # the staged data itself is complete and unique
+    lines = []
+    for f in os.listdir(out):
+        if f.endswith(".graft"):
+            lines += open(os.path.join(out, f)).read().splitlines()
+    ids = sorted(int(ln.split("\x1f")[0]) for ln in lines)
+    assert ids == list(range(500))
