@@ -22,6 +22,7 @@ from aics_dask_utils_spark.testing import duckdb_connection, run_plan_vs_oracle
 
 SLOW = os.environ.get("SPARK_GRAFT_SLOW") == "1"
 SF01 = "/root/testdata/sf0.1"
+SF001 = "/root/testdata/sf0.01"
 
 FULL = sorted(all_plans())
 NON_HEADLINE = [n for n in FULL if n not in HEADLINE]
@@ -45,3 +46,22 @@ def test_headline_plan_parity_at_sf01(spark, duck01, name):
 @pytest.mark.parametrize("name", NON_HEADLINE)
 def test_full_registry_parity_at_sf01(spark, duck01, name):
     run_plan_vs_oracle(spark, name, SF01, con=duck01)
+
+
+@pytest.fixture(scope="module")
+def duck001():
+    con = duckdb_connection(SF001)
+    yield con
+    con.close()
+
+
+@pytest.mark.skipif(
+    not SLOW, reason="set SPARK_GRAFT_SLOW=1 for the full registry at sf0.01"
+)
+@pytest.mark.parametrize("name", FULL)
+def test_full_registry_parity_at_driver_sf(spark, duck001, name):
+    """sf0.01 is the DRIVER's correctness SF: the local default suite
+    runs sf0.001 and the sweep above runs sf0.1, so without this sweep
+    a plan could pass both yet fail the actual gate SF (round-1 lesson:
+    representation skews are SF-dependent)."""
+    run_plan_vs_oracle(spark, name, SF001, con=duck001)
