@@ -141,6 +141,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "source_python_datasource",
     "sink_python_datasource_roundtrip",
     "stream_python_source_exec",
+    "join_lateral_topn",
+    "scalar_sql_udf",
+    "graph_reachability_recursive_cte",
     "join_skew_salted",
     "udf_map_in_pandas",
     "topk_per_group",

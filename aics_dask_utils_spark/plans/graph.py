@@ -212,3 +212,56 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return label_propagation(edges, iters=3).orderBy("node")
+
+
+@register(
+    "graph_reachability_recursive_cte",
+    oracle="""
+    WITH RECURSIVE
+    e AS (
+      SELECT n_nationkey AS src, n_nationkey + 5 AS dst
+      FROM nation WHERE n_nationkey + 5 <= 24
+    ),
+    r(root, node, depth) AS (
+      SELECT n_nationkey, n_nationkey, CAST(0 AS BIGINT)
+      FROM nation WHERE n_nationkey < 5
+      UNION ALL
+      SELECT r.root, e.dst, r.depth + 1
+      FROM r JOIN e ON e.src = r.node
+    )
+    SELECT root,
+           CAST(COUNT(*) AS BIGINT) AS n_reachable,
+           MAX(depth) AS max_depth
+    FROM r GROUP BY root ORDER BY root
+    """,
+    doc="recursive CTE transitive closure (Spark 4 WITH RECURSIVE, "
+    "E47/E62 extension): reachability over a derived acyclic edge set "
+    "(nation n -> n+5), seeded from 5 roots, expanded purely in SQL — "
+    "iterative graph traversal WITHOUT a driver-side loop, each "
+    "recursion step one equi-join the engine schedules itself. The "
+    "declarative twin of the hand-rolled pagerank/LPA loops "
+    "(`operators/graph.py`); DuckDB runs the identical recursive query",
+    tags=("graph", "relational"),
+)
+def graph_reachability_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        e AS (
+          SELECT n_nationkey AS src, n_nationkey + 5 AS dst
+          FROM nation_rcte WHERE n_nationkey + 5 <= 24
+        ),
+        r(root, node, depth) AS (
+          SELECT n_nationkey, n_nationkey, CAST(0 AS BIGINT)
+          FROM nation_rcte WHERE n_nationkey < 5
+          UNION ALL
+          SELECT r.root, e.dst, r.depth + 1
+          FROM r JOIN e ON e.src = r.node
+        )
+        SELECT root,
+               COUNT(*) AS n_reachable,
+               MAX(depth) AS max_depth
+        FROM r GROUP BY root ORDER BY root
+        """
+    )

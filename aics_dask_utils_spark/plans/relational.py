@@ -1235,3 +1235,46 @@ def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mi_raw", 6).alias("mi_nats"),
         F.round("chi_raw", 6).alias("chi2"),
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """,
+    doc="correlated LATERAL join (Spark 4 lateral subquery, E13/E47 "
+    "extension): each customer's top-2 orders by value via a "
+    "per-row-correlated subquery with ORDER BY + LIMIT — the SQL form "
+    "of top-N-per-group. Catalyst decorrelates the lateral into a "
+    "ranked join (no per-row re-execution), so the plan scales as one "
+    "keyed shuffle + window, identical to the explicit "
+    "row_number formulation (`topk_per_group`) — declarative "
+    "correlation, relational execution",
+    tags=("relational", "join"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """
+    )

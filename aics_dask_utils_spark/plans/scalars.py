@@ -379,3 +379,45 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "subdomain_sld"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "scalar_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS total_charged
+    FROM lineitem
+    WHERE l_quantity >= 40
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="SQL-defined scalar function (Spark 4 CREATE FUNCTION ... "
+    "RETURN, E46/E47 extension): the charge formula lives as a named "
+    "catalog function and is INLINED by Catalyst into the plan — "
+    "reusable business logic with zero UDF overhead (stays inside "
+    "whole-stage codegen; contrast Python UDFs, which cross the "
+    "serialization boundary). The oracle inlines the same expression",
+    tags=("scalar",),
+)
+def scalar_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charge_amount(
+          price DOUBLE, discount DOUBLE, tax DOUBLE
+        ) RETURNS DOUBLE
+        RETURN price * (1 - discount) * (1 + tax)
+        """
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(charge_amount(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(30,6))) AS DOUBLE) AS total_charged
+        FROM li_sqludf
+        WHERE l_quantity >= 40
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
