@@ -342,3 +342,14 @@ def test_array_slice_sort_single_output_sort(spark, sf_dir):
 
     plan = _formatted(spark, "array_slice_sort", sf_dir)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_lateral_topn_decorrelates_to_ranked_join(spark, sf_dir):
+    # the correlated LATERAL (ORDER BY + LIMIT per outer row) must plan
+    # as a decorrelated ranked join — Window + WindowGroupLimit (rank
+    # pushed into the scan side) + an equi-join — never per-row subquery
+    # re-execution or a cartesian
+    plan = _formatted(spark, "join_lateral_topn", sf_dir)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
