@@ -326,3 +326,57 @@ def custom_session_windows(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def per_user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-(user, event_type) running counts via the Spark 4 state-v2
+    API (``transformWithStateInPandas``, E45's successor surface):
+    typed per-key MAP state (event_type -> count) managed by the
+    engine's state store, updated per micro-batch, snapshot emitted in
+    update mode. Versus ``applyInPandasWithState`` this is the modern
+    operator: composable typed states (value/list/map), per-state TTL,
+    and timers — here the MapState carries one entry per event type, so
+    state size is |types| per user, not |events|. Requires the RocksDB
+    state-store provider (set by the caller) AND the ``protobuf``
+    package (the state-v2 Python<->JVM protocol is protobuf-framed;
+    absent in this container, so EXECUTION is environment-gated — the
+    query builds and analyzes here, and runs wherever
+    ``google.protobuf`` is installed; ``tests/test_streaming.py``
+    adapts). The applyInPandasWithState operators in this module cover
+    the executable-stateful path in this environment."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for etype, cnt in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._counts.getValue((etype,))[0]
+                        if self._counts.containsKey((etype,))
+                        else 0
+                    )
+                    self._counts.updateValue((etype,), (prev + int(cnt),))
+            out = {"user_id": [], "event_type": [], "n": []}
+            for (etype,), (n,) in self._counts.iterator():
+                out["user_id"].append(key[0])
+                out["event_type"].append(etype)
+                out["n"].append(int(n))
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _TypeCounts(),
+        outputStructType="user_id long, event_type string, n bigint",
+        outputMode="update",
+        timeMode="none",
+    )

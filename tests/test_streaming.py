@@ -564,3 +564,44 @@ def test_python_stream_sink_epoch_manifests(spark, tmp_path):
             lines += open(os.path.join(out, f)).read().splitlines()
     ids = sorted(int(ln.split("\x1f")[0]) for ln in lines)
     assert ids == list(range(500))
+
+
+def test_transform_with_state_builds_and_gates(spark, sf_dir):
+    """transformWithStateInPandas (state-v2: typed value/list/map
+    states, TTL, timers): the per-user MapState type-counts operator
+    must BUILD and analyze (schema resolved) in any environment; it
+    EXECUTES only where google.protobuf exists (the state-v2
+    Python<->JVM protocol is protobuf-framed — absent in this
+    container, which is environment-forced, like the imaging codecs)."""
+    from aics_dask_utils_spark.streaming.ops import (
+        per_user_type_counts_tws,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    sdf = per_user_type_counts_tws(read_events_stream(spark, sf_dir))
+    assert sdf.isStreaming
+    assert [f.name for f in sdf.schema.fields] == ["user_id", "event_type", "n"]
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf absent: state-v2 runtime unavailable here")
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        name = run_stream_to_memory(sdf, "update")
+        got = spark.table(name).groupBy("user_id", "event_type").max("n")
+        expected = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id", "event_type")
+            .count()
+        )
+        assert got.count() == expected.count()
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
