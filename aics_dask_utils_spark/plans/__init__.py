@@ -144,6 +144,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "join_lateral_topn",
     "scalar_sql_udf",
     "graph_reachability_recursive_cte",
+    "source_xml_roundtrip",
     "join_skew_salted",
     "udf_map_in_pandas",
     "topk_per_group",

@@ -809,3 +809,52 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT n.n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal,
+           MIN(s.s_name) AS first_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey ORDER BY n.n_regionkey
+    """,
+    doc="XML round trip (E2, Spark 4 native XML source — no external "
+    "package): supplier joined to its region key, written as rowTag'd "
+    "XML, re-read with an explicit schema (inference is an extra full "
+    "pass at scale), aggregated — hash-matched against the parquet "
+    "original, proving the markup round-trip is lossless for longs, "
+    "doubles, and strings",
+    tags=("source",),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    sel = sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]).select(
+        "n_regionkey", "s_name", "s_acctbal"
+    )
+    path = _tmp(sf_dir, "xml")
+    (
+        sel.write.mode("overwrite")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .format("xml")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(sel.schema)
+        .option("rowTag", "supplier")
+        .format("xml")
+        .load(path)
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("s_acctbal").alias("sum_bal"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
