@@ -74,6 +74,11 @@ HEADLINE = [
     "events_sliding_distinct_hll",
     "graph_label_propagation",
     "pipeline_rag_index",
+    # round-3 additions
+    "agg_regression_per_group",
+    "agg_two_level_rollup",
+    "join_lateral_topn",
+    "source_python_datasource",
 ]
 
 
