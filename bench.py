@@ -96,13 +96,20 @@ def main() -> None:
         plans[name].fn(spark, SF_DIR).count()  # warm-up run
         # settle the JVM heap so one query's garbage doesn't bill the next
         spark.sparkContext._jvm.System.gc()
-        best = float("inf")
-        for _ in range(2):
+
+        def timed_run() -> float:
             t0 = time.perf_counter()
             n = plans[name].fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
             assert n >= 0
-        timings[name] = round(best, 4)
+            return time.perf_counter() - t0
+
+        times = [timed_run(), timed_run()]
+        # single-process JIT/GC hiccups swing sub-2s queries 1.5-3x
+        # run-to-run; when the two samples disagree badly, one more
+        # settles it (bounded cost: only noisy queries pay)
+        if abs(times[0] - times[1]) / min(times) > 0.3:
+            times.append(timed_run())
+        timings[name] = round(min(times), 4)
         # Plans that persist() intermediates (LSH shingles, oriented
         # edges, ...) create a NEW cached relation per invocation and
         # never unpersist — across 45 queries x 3 runs the stale blocks
