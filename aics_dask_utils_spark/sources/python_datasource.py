@@ -55,6 +55,10 @@ class GraftGenReader(DataSourceReader):
         self.n_parts = max(1, int(options.get("n_parts", 4)))
 
     def partitions(self) -> Sequence[InputPartition]:
+        if self.n_rows <= 0:
+            # empty table: one empty split (zero splits confuse the
+            # engine less than a zero range-step crashes us)
+            return [_RangePartition(0, 0)]
         step = -(-self.n_rows // self.n_parts)  # ceil division
         return [
             _RangePartition(lo, min(lo + step, self.n_rows))

@@ -176,3 +176,17 @@ def test_asof_rejects_bad_direction(spark):
 
     with _pytest.raises(ValueError, match="backward|forward|nearest"):
         asof_join(None, None, "a", "b", "c", "d", [], direction="sideways")
+
+
+def test_python_datasource_empty_table(spark):
+    # n_rows=0 must yield an empty relation, not a zero-step range crash
+    from aics_dask_utils_spark.sources.python_datasource import register_graftgen
+
+    register_graftgen(spark)
+    df = (
+        spark.read.format("graftgen")
+        .option("n_rows", 0)
+        .option("n_parts", 4)
+        .load()
+    )
+    assert df.count() == 0
