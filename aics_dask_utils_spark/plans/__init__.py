@@ -145,6 +145,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "scalar_sql_udf",
     "graph_reachability_recursive_cte",
     "source_xml_roundtrip",
+    "udtf_sql_table_function",
     "join_skew_salted",
     "udf_map_in_pandas",
     "topk_per_group",

@@ -338,3 +338,43 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "udtf_sql_table_function",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_totalprice BETWEEN 100000 AND 200000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="SQL-defined TABLE function (Spark 4 CREATE FUNCTION ... "
+    "RETURNS TABLE, completing E46's UDTF axis beside the Python "
+    "@udtf): a parameterized relation-returning function whose body is "
+    "a SQL query over the catalog — Catalyst inlines the invocation "
+    "like a parameterized view, so predicates and pruning flow through "
+    "(no UDTF execution boundary, contrast the Python UDTF). The "
+    "oracle inlines the same parameterized filter",
+    tags=("udf", "relational"),
+)
+def udtf_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_tf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION orders_in_band(lo DOUBLE, hi DOUBLE)
+        RETURNS TABLE(o_orderpriority STRING, o_totalprice DOUBLE)
+        RETURN SELECT o_orderpriority, o_totalprice
+               FROM orders_tf WHERE o_totalprice BETWEEN lo AND hi
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        FROM orders_in_band(100000, 200000)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
