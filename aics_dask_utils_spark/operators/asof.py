@@ -46,7 +46,7 @@ def asof_join(
     payload_cols: list[str],
     tiebreak: str | None = None,
     direction: str = "backward",
-    tolerance_seconds: int | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join; right ``payload_cols`` arrive prefixed ``asof_``.
 
@@ -157,8 +157,10 @@ def asof_join(
         )
     if tolerance_seconds is not None:
         gap = F.abs(_epoch_us("__ts") - _epoch_us("__matched_ts"))
+        # round, don't int(): a fractional tolerance (0.5s) must mean
+        # 500_000µs, not get floored to zero seconds
         keep = F.col("__matched_ts").isNotNull() & (
-            gap <= int(tolerance_seconds) * 1_000_000
+            gap <= int(round(float(tolerance_seconds) * 1_000_000))
         )
         out = out.select(
             *lcols,

@@ -819,10 +819,16 @@ def srp_lsh_pairs(
 
 
 def _first_dim(df: DataFrame, vec_col: str) -> int:
-    """Vector dimensionality from the first row (driver-side, once).
-    Returns 0 for an empty relation or a NULL/empty first vector so
-    callers can short-circuit to an empty result."""
-    row = df.select(F.size(vec_col).alias("n")).first()
+    """Vector dimensionality from the first NON-NULL, non-empty vector
+    (driver-side, once). Returns 0 only when NO such vector exists —
+    probing the physically-first row instead would silently return an
+    empty result for a whole dataset whenever a NULL row happens to
+    land first in partition order."""
+    row = (
+        df.select(F.size(vec_col).alias("n"))
+        .where(F.col("n") > 0)
+        .first()
+    )
     if row is None or row["n"] is None:
         return 0
     return max(int(row["n"]), 0)

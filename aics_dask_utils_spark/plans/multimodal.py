@@ -467,7 +467,6 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "sink"),
 )
 def sink_row_files_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
     import struct
 
@@ -491,9 +490,10 @@ def sink_row_files_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(header), F.encode(F.repeat(F.md5("text"), 3), "UTF-8")
         ).alias("content"),
     )
+    from .sources_plans import _tmp
+
     planes = select_plane(decode_images(binary_df), channel_name="c1")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out_dir = f"/tmp/spark_graft_planes_{tag}"
+    out_dir = _tmp(sf_dir, "planes")
     shutil.rmtree(out_dir, ignore_errors=True)
     write_planes(planes, out_dir)
     back = read_binary_files(spark, out_dir, glob="*.plane.bin")

@@ -115,10 +115,19 @@ class GraftFileWriter(DataSourceWriter):
     idempotence contract as Spark's own file commit protocol."""
 
     def __init__(self, options, overwrite: bool):
+        import os
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("graftsink requires .option('path', ...)")
         self.overwrite = overwrite
+        if overwrite and os.path.isdir(self.path):
+            # honor mode('overwrite') here on the driver, before any
+            # task writes: clear prior part files and the manifest so a
+            # glob re-scan cannot mix stale rows with the new write
+            for f in os.listdir(self.path):
+                if f.endswith(".graft") or f == "_SUCCESS":
+                    os.remove(os.path.join(self.path, f))
 
     def write(self, iterator) -> _PartCommit:
         import os

@@ -252,13 +252,43 @@ def _session_fn(
 
     # Buffer-and-reorder: rows within one batch sort by event time, so
     # intra-batch disorder is fully handled. Cross-batch late events
-    # (admitted by the 1-hour watermark) are merged below.
+    # (admitted by the 1-hour watermark) are handled below by
+    # sessionizing them TOGETHER with the open-session interval —
+    # comparing each late event only against the open session's start
+    # would wrongly emit overlapping singletons when several late
+    # events arrive in one batch, and would miss chain merges (a late
+    # event within the gap of ANOTHER late event that itself merges
+    # into the open session).
     ts = sorted(t for p in pdfs for t in p["ts"])
     if state.exists:
         start, last, n = state.get
     else:
         start = None
     out = []
+    if start is not None:
+        before = [t for t in ts if t < start]
+        ts = [t for t in ts if t >= start]
+        if before:
+            # ascending interval merge over (late points + open session):
+            # consecutive intervals closer than the gap coalesce, so
+            # late events group among themselves AND chain-merge into
+            # the open session when the bridge is short enough.
+            intervals = [(t, t, 1) for t in before] + [(start, last, n)]
+            merged = [intervals[0]]
+            for s2, e2, c2 in intervals[1:]:
+                s1, e1, c1 = merged[-1]
+                if (s2 - e1).total_seconds() < SESSION_GAP_S:
+                    merged[-1] = (s1, max(e1, e2), c1 + c2)
+                else:
+                    merged.append((s2, e2, c2))
+            # all but the last interval can never be extended again
+            # (each ends a full gap before the next): emit closed.
+            # Update-mode output cannot amend already-emitted closed
+            # sessions, so a late event belonging to one of those still
+            # surfaces as its own (possibly multi-event) late session —
+            # the documented best-effort bound.
+            out.extend(merged[:-1])
+            start, last, n = merged[-1]
     for t in ts:
         if start is None:
             start, last, n = t, t, 1
@@ -269,20 +299,9 @@ def _session_fn(
                 start, last, n = t, t, 1
             else:
                 last, n = t, n + 1
-        elif (start - t).total_seconds() < SESSION_GAP_S:
-            # late event belonging to (or directly preceding) the open
-            # session: merge, extending the session backward if needed;
-            # `last` never moves backwards. The open session re-emits
-            # under its corrected start (update mode: downstream keeps
-            # the last emission per key).
-            start, n = min(start, t), n + 1
         else:
-            # late event a full gap before the open session: it can
-            # only belong to an already-closed (already-emitted)
-            # session, which update-mode output cannot amend — emit it
-            # as its own immediately-closed singleton session (best
-            # effort; documented limitation).
-            out.append((t, t, 1))
+            # t in [start, last): inside the open session
+            n = n + 1
     if start is not None:
         state.update((start, last, int(n)))
         # Evict once event time passes last+gap: no row admitted by the

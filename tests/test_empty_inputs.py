@@ -190,3 +190,41 @@ def test_python_datasource_empty_table(spark):
         .load()
     )
     assert df.count() == 0
+
+
+def test_srp_lsh_null_first_row_does_not_mask_data(spark):
+    # a NULL embedding landing physically first must NOT silently empty
+    # the result: the dimensionality probe skips to the first non-null
+    from aics_dask_utils_spark.operators.dedup import srp_lsh_pairs
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(0, None), (1, v), (2, v)],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1)
+    pairs = srp_lsh_pairs(emb, bits=8, bands=4, threshold=0.9).collect()
+    assert {(r["v1"], r["v2"]) for r in pairs} == {(1, 2)}
+
+
+def test_asof_fractional_tolerance(spark):
+    # tolerance_seconds=0.5 must mean 500ms, not floor to 0 seconds
+    import datetime as dt
+
+    from aics_dask_utils_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, 1, t0)], "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(milliseconds=400), 99)],
+        "k long, rts timestamp, payload long",
+    )
+
+    def run(tol):
+        return asof_join(
+            left, right, left_on="k", right_on="k", left_ts="ts",
+            right_ts="rts", payload_cols=["payload"],
+            tolerance_seconds=tol,
+        ).collect()[0]["asof_payload"]
+
+    assert run(0.5) == 99   # 400ms gap inside 500ms tolerance
+    assert run(0.3) is None  # outside 300ms tolerance

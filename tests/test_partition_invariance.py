@@ -57,9 +57,10 @@ def test_every_plan_partition_invariant(spark, sf_dir, name):
     """Registry-wide: EVERY plan must be bit-identical at 3 and 17
     shuffle partitions — the determinism conventions (decimal sums,
     pinned fold orders, total tiebreaks, content-hash draws) are only
-    real if they hold for all 214 plans, not a sampled dozen. Audited
-    green in-round (round 3: 214/214, zero variants); this test keeps
-    it true."""
+    real if they hold for the WHOLE registry, not a sampled dozen.
+    Audited green in round 3 (zero variants across every registered
+    plan, including the post-audit additions swept individually); this
+    test keeps it true for whatever is registered."""
     from aics_dask_utils_spark.testing import canonicalize
 
     def run(parts):

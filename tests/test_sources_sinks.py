@@ -241,3 +241,25 @@ def test_python_sink_requires_path(spark):
     register_graftsink(spark)
     with _pytest.raises(Exception, match="path"):
         spark.range(3).write.format("graftsink").mode("append").save()
+
+
+def test_python_sink_overwrite_clears_stale_parts(spark, tmp_path):
+    """mode('overwrite') must remove prior part files before writing —
+    otherwise a glob re-scan mixes stale and new rows."""
+    import os
+
+    from aics_dask_utils_spark.sources.python_datasource import register_graftsink
+
+    register_graftsink(spark)
+    path = str(tmp_path / "ow")
+    spark.range(50).repartition(2).write.format("graftsink").option(
+        "path", path
+    ).mode("append").save()
+    spark.range(10).repartition(2).write.format("graftsink").option(
+        "path", path
+    ).mode("overwrite").save()
+    rows = []
+    for f in os.listdir(path):
+        if f.endswith(".graft"):
+            rows += open(os.path.join(path, f)).read().splitlines()
+    assert len(rows) == 10  # stale 50-row write fully replaced

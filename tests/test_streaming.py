@@ -605,3 +605,31 @@ def test_transform_with_state_builds_and_gates(spark, sf_dir):
     finally:
         if old:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_session_fn_two_late_events_group_together():
+    # two late events within the gap of EACH OTHER but a full gap before
+    # the open session must emit as ONE closed late session, not two
+    # overlapping singletons
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2020, 1, 1, h, m)
+    state = _FakeGroupState(value=(t(10, 0), t(10, 10), 2))
+    out = _run_session_fn([t(9, 0), t(9, 5)], state)
+    assert len(out) == 2  # one closed late session + the open session
+    late = out[out["session_start"] == t(9, 0)].iloc[0]
+    assert late["n_events"] == 2
+    assert state.get == (t(10, 0), t(10, 10), 2)  # open untouched
+
+
+def test_session_fn_late_chain_merges_into_open():
+    # 9:05 is a full gap before the open 10:00 start, but 9:31 bridges:
+    # 9:05<->9:31 (26min) and 9:31<->10:00 (29min) both under the 30-min
+    # gap, so ALL of it chain-merges into one open session from 9:05
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2020, 1, 1, h, m)
+    state = _FakeGroupState(value=(t(10, 0), t(10, 10), 2))
+    out = _run_session_fn([t(9, 5), t(9, 31)], state)
+    assert len(out) == 1
+    assert state.get == (t(9, 5), t(10, 10), 4)
