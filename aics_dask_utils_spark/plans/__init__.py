@@ -146,6 +146,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "graph_reachability_recursive_cte",
     "source_xml_roundtrip",
     "udtf_sql_table_function",
+    "events_session_dynamic_gap",
+    "stream_stream_left_join_exec",
     "join_skew_salted",
     "udf_map_in_pandas",
     "topk_per_group",

@@ -999,3 +999,70 @@ def agg_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
     return monthly.orderBy("month")
+
+
+@register(
+    "events_session_dynamic_gap",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'purchase'
+                       THEN INTERVAL 60 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS iv_end
+      FROM {_EV}
+    ),
+    m AS (
+      SELECT user_id, ts, iv_end,
+             MAX(iv_end) OVER (PARTITION BY user_id ORDER BY ts, iv_end
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+      FROM e
+    ),
+    flagged AS (
+      SELECT user_id, ts, iv_end,
+             CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                  THEN 1 ELSE 0 END AS new_session
+      FROM m
+    ),
+    sessions AS (
+      SELECT user_id, ts, iv_end,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, iv_end
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(iv_end) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="DYNAMIC-gap session windows (E43 depth): purchases hold a "
+    "session open for 60 minutes, other events for 30 — the per-row "
+    "gap expression every engagement pipeline eventually needs "
+    "(checkout flows idle longer than browsing). Spark's built-in "
+    "session_window(ts, CASE...) implements interval-union semantics "
+    "(merge while ts < running max end; session end = MAX(ts+gap), "
+    "which an earlier long-gap event can own — verified empirically); "
+    "the oracle re-derives those semantics independently via a "
+    "prefix-max window + cumsum, so the hash match cross-checks "
+    "Spark's native operator against a from-scratch formulation",
+    tags=("events", "window"),
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -525,3 +525,110 @@ def stream_python_source_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "stream_stream_left_join_exec",
+    oracle=f"""
+    WITH j AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      FROM (SELECT * FROM {_EV} WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM {_EV} WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 30 MINUTE
+       AND c.ts <= p.ts
+    )
+    SELECT (click_id IS NOT NULL) AS matched,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases
+    FROM j GROUP BY 1 ORDER BY matched
+    """,
+    doc="EXECUTED LEFT-OUTER stream-stream interval join (E56 outer "
+    "axis): purchases with NO qualifying click must still emit, with "
+    "NULL click columns — but an outer stream-stream join only "
+    "releases its unmatched rows when the WATERMARK passes their join "
+    "window, so the source appends a far-future sentinel micro-batch "
+    "(one sentinel row per side, filtered from the result) that "
+    "advances both watermarks and flushes every pending row: the "
+    "standard end-of-stream/backfill-completion flush pattern. "
+    "Matched/unmatched purchase counts hash-match the batch LEFT JOIN "
+    "oracle, proving no row was dropped or held back",
+    tags=("streaming", "join"),
+)
+def stream_stream_left_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"/tmp/spark_graft_ssjl_{tag}"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    # batch 1: the real events file; batch 2: the sentinel (later mtime
+    # => later micro-batch), one far-future row per join side
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "b1.parquet"))
+    os.utime(os.path.join(src, "b1.parquet"), (1_600_000_000, 1_600_000_000))
+    far = dt.datetime(2100, 1, 1)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    sentinel_tmp = src + "_sentinel"
+    spark.createDataFrame(
+        [(-1, far, -1, "purchase", 0.0, ""), (-2, far, -1, "click", 0.0, "")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(sentinel_tmp)
+    part = glob.glob(os.path.join(sentinel_tmp, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(src, "b2.parquet"))
+    os.utime(os.path.join(src, "b2.parquet"), (1_600_000_100, 1_600_000_100))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    ts_col = F.col("ts").cast("timestamp")
+    p = (
+        sdf.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            ts_col.alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    c = (
+        sdf.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            ts_col.alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("cts") <= F.col("pts")),
+        "leftOuter",
+    )
+    name = f"ssjl_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .where(F.col("pu") >= 0)  # drop the sentinel row
+        .groupBy(F.col("click_id").isNotNull().alias("matched"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("purchase_id").cast("long").alias("n_purchases"),
+        )
+        .orderBy("matched")
+    )
