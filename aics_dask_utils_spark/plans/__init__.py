@@ -148,6 +148,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "udtf_sql_table_function",
     "events_session_dynamic_gap",
     "stream_stream_left_join_exec",
+    "scalar_collation_group",
+    "agg_listagg_report",
+    "sql_session_variables",
+    "pipeline_observe_metrics",
     "join_skew_salted",
     "udf_map_in_pandas",
     "topk_per_group",
@@ -248,6 +252,7 @@ def all_plans() -> dict[str, QuerySpec]:
     from . import sampling  # noqa: F401
     from . import llm_pipeline  # noqa: F401
     from . import sketches  # noqa: F401
+    from . import sql_surface  # noqa: F401
 
     missing = [n for n in PRIORITY_WINDOW if n not in REGISTRY]
     if missing:

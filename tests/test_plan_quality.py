@@ -353,3 +353,36 @@ def test_lateral_topn_decorrelates_to_ranked_join(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_variable_folds_to_pushed_filter(spark, sf_dir):
+    # the session variable must reach the scan as a FOLDED LITERAL
+    # predicate (PushedFilters on o_totalprice) — dynamic SQL with
+    # variables costs nothing at plan time; at 100 TB the row-group
+    # statistics prune on the threshold like any constant filter
+    plan = _formatted(spark, "sql_session_variables", sf_dir)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThan(o_totalprice" in pushed, pushed
+
+
+def test_collation_group_partial_aggregates(spark, sf_dir):
+    # non-binary collations plan as SortAggregate in Spark 4.1 (no hash
+    # on collated keys) — but the aggregate must still be two-phase
+    # (map-side partial before the exchange) and add no extra shuffle
+    # beyond agg + output sort
+    import re
+
+    plan = _formatted(spark, "scalar_collation_group", sf_dir)
+    assert len(re.findall(r"\(\d+\) SortAggregate", plan)) >= 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_listagg_aggregates_with_partials(spark, sf_dir):
+    # LISTAGG(DISTINCT) plans as the distinct-expand two-shuffle shape
+    # with an ObjectHashAggregate for the ordered concat — bounded at 3
+    # exchanges (distinct, group, output sort)
+    import re
+
+    plan = _formatted(spark, "agg_listagg_report", sf_dir)
+    assert "ObjectHashAggregate" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
