@@ -152,6 +152,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_listagg_report",
     "sql_session_variables",
     "pipeline_observe_metrics",
+    "agg_table_profile",
+    "join_point_in_time",
     "join_skew_salted",
     "udf_map_in_pandas",
     "topk_per_group",

@@ -1066,3 +1066,92 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) + 1 AS t1 FROM events
+    ),
+    ks AS (SELECT unnest(range(3)) AS version_k),
+    vers AS (
+      SELECT c_custkey AS user_id, version_k,
+             t0 + version_k * ((t1 - t0 + 2) // 3) AS vf_us,
+             CASE WHEN version_k = 2 THEN 9223372036854775807
+                  ELSE t0 + (version_k + 1) * ((t1 - t0 + 2) // 3)
+             END AS vt_us
+      FROM customer, bounds, ks
+    )
+    SELECT v.version_k,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN vers v ON e.user_id = v.user_id
+               AND epoch_us(e.ts) >= v.vf_us AND epoch_us(e.ts) < v.vt_us
+    GROUP BY v.version_k
+    ORDER BY v.version_k
+    """,
+    doc="point-in-time (PIT) join against an SCD2-style versioned "
+    "dimension: each fact row picks the dimension version whose "
+    "[valid_from, valid_to) interval contains its event time — the "
+    "feature-store lookup that prevents label leakage in training-data "
+    "builds. Planned as an EQUI-join on the entity key with the interval "
+    "containment as a residual predicate: per-entity history is short "
+    "(here 3 versions), so the match fan-in is bounded and there is no "
+    "range-join blowup; deep histories would switch to the as-of "
+    "operator (operators/asof.py). Validity boundaries and the "
+    "containment test live in exact integer MICROSECONDS on both "
+    "engines — no timestamp-coercion ambiguity at the interval edges "
+    "(E13/E16/E17 extension)",
+    tags=("join", "events", "feature-store"),
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the cast
+    # to TIMESTAMP (required by unix_micros) is exact.
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    bounds = ev.agg(
+        F.min("ts_us").alias("t0"),
+        (F.max("ts_us") + F.lit(1)).alias("t1"),
+    )
+    # ceil-ish integer step so 3 * step covers the whole span; the span
+    # is far below 2^53, so floor over the double division matches
+    # DuckDB's integer `//` bit-for-bit
+    step = F.floor((F.col("t1") - F.col("t0") + F.lit(2)) / F.lit(3)).cast("long")
+    vers = (
+        cust.select(F.col("c_custkey").alias("user_id"))
+        .crossJoin(F.broadcast(bounds))  # 1-row bounds relation
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("version_k"),
+            "t0",
+            "t1",
+        )
+        .select(
+            "user_id",
+            F.col("version_k").cast("long").alias("version_k"),
+            (F.col("t0") + F.col("version_k") * step).alias("vf_us"),
+            F.when(F.col("version_k") == 2, F.lit(2**63 - 1))
+            .otherwise(F.col("t0") + (F.col("version_k") + 1) * step)
+            .alias("vt_us"),
+        )
+    )
+    joined = ev.join(
+        vers,
+        (ev["user_id"] == vers["user_id"])
+        & (ev["ts_us"] >= vers["vf_us"])
+        & (ev["ts_us"] < vers["vt_us"]),
+    )
+    return (
+        joined.groupBy("version_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(ev["user_id"]).alias("n_users"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("version_k")
+    )

@@ -1278,3 +1278,96 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
         """
     )
+
+
+@register(
+    "agg_table_profile",
+    oracle="""
+    WITH long AS (
+      SELECT 'orderpriority' AS column_name, o_orderpriority AS value FROM orders
+      UNION ALL
+      SELECT 'orderstatus', o_orderstatus FROM orders
+    ),
+    counts AS (
+      SELECT column_name, value, COUNT(*) AS c
+      FROM long GROUP BY column_name, value
+    )
+    SELECT column_name,
+           CAST(SUM(CASE WHEN value IS NOT NULL THEN c ELSE 0 END) AS BIGINT)
+             AS n_values,
+           CAST(SUM(CASE WHEN value IS NULL THEN c ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(value) AS BIGINT) AS n_distinct,
+           ROUND(
+             ln(SUM(CASE WHEN value IS NOT NULL THEN c ELSE 0 END))
+             - list_reduce(
+                 [0.0] || list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                               ORDER BY value)
+                            FILTER (WHERE value IS NOT NULL),
+                 (a, b) -> a + b)
+               / SUM(CASE WHEN value IS NOT NULL THEN c ELSE 0 END),
+             9) AS entropy_nats
+    FROM counts GROUP BY column_name ORDER BY column_name
+    """,
+    doc="single-pass table profiler: unpivot N categorical columns to "
+    "(column_name, value) rows, then ONE keyed aggregate computes count/"
+    "null-rate/cardinality/Shannon entropy for every column — the "
+    "column-count never multiplies the scan count, so profiling a 100 TB "
+    "table costs one pass regardless of schema width. Entropy uses the "
+    "pinned-order decimal-free fold (sorted collect_list -> left fold) "
+    "so the double sum is engine- and partition-invariant (E7/E20/E29)",
+    tags=("agg", "profiling"),
+)
+def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("orderpriority"),
+        F.col("o_orderstatus").alias("orderstatus"),
+    )
+    long = o.unpivot([], ["orderpriority", "orderstatus"], "column_name", "value")
+    # NULL value rows stay in the (column_name, value) aggregate so the
+    # null tally shares the single scan; collect_list drops the
+    # NULL-valued when() below, keeping the entropy fold non-null-only.
+    counts = long.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_values = F.sum(
+        F.when(F.col("value").isNotNull(), F.col("c")).otherwise(F.lit(0))
+    )
+    return (
+        counts.groupBy("column_name")
+        .agg(
+            n_values.alias("n_values"),
+            F.sum(
+                F.when(F.col("value").isNull(), F.col("c")).otherwise(F.lit(0))
+            ).alias("n_nulls"),
+            F.count("value").alias("n_distinct"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("value").isNotNull(),
+                                F.struct(F.col("value"), F.col("c")),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"].cast("double")
+                    * F.log(s["c"].cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sum_clnc"),
+        )
+        .select(
+            "column_name",
+            "n_values",
+            "n_nulls",
+            "n_distinct",
+            F.round(
+                F.log(F.col("n_values").cast("double"))
+                - F.col("sum_clnc") / F.col("n_values"),
+                9,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("column_name")
+    )

@@ -386,3 +386,29 @@ def test_listagg_aggregates_with_partials(spark, sf_dir):
     plan = _formatted(spark, "agg_listagg_report", sf_dir)
     assert "ObjectHashAggregate" in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
+def test_table_profile_is_single_scan(spark, sf_dir):
+    # the profiler's whole point: N columns profiled in ONE scan — the
+    # unpivot Expand multiplies rows, never reads. Null tallies share
+    # the same aggregate, so there is exactly one parquet scan and the
+    # two keyed shuffles (value counts, per-column fold)
+    import re
+
+    plan = _formatted(spark, "agg_table_profile", sf_dir)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_point_in_time_join_is_keyed(spark, sf_dir):
+    # the PIT lookup must be an equi-join on the entity key (broadcast
+    # or shuffled hash) with interval containment as a residual — a
+    # nested-loop range join would be the 100 TB killer. The only
+    # BroadcastNestedLoopJoin allowed is the documented 1-row bounds
+    # broadcast.
+    import re
+
+    plan = _formatted(spark, "join_point_in_time", sf_dir)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
