@@ -154,6 +154,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "pipeline_observe_metrics",
     "agg_table_profile",
     "join_point_in_time",
+    "stream_stream_full_outer_join_exec",
     "join_skew_salted",
     "udf_map_in_pandas",
     "topk_per_group",

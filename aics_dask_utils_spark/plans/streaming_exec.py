@@ -632,3 +632,119 @@ def stream_stream_left_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("matched")
     )
+
+
+@register(
+    "stream_stream_full_outer_join_exec",
+    oracle=f"""
+    WITH j AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      FROM (SELECT * FROM {_EV} WHERE event_type = 'purchase') p
+      FULL JOIN (SELECT * FROM {_EV} WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 30 MINUTE
+       AND c.ts <= p.ts
+    )
+    SELECT (purchase_id IS NOT NULL) AS has_purchase,
+           (click_id IS NOT NULL) AS has_click,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks
+    FROM j GROUP BY 1, 2 ORDER BY has_purchase, has_click
+    """,
+    doc="EXECUTED FULL-OUTER stream-stream interval join (E56, the "
+    "last outer axis): unmatched rows from BOTH sides must flush once "
+    "the watermark passes their join window, so the source appends one "
+    "far-future sentinel row per side (they match each other and are "
+    "filtered out) to advance both watermarks — the end-of-stream "
+    "flush pattern shared with the left-outer plan. The three-way "
+    "matched/purchase-only/click-only breakdown hash-matches the batch "
+    "FULL JOIN oracle, proving no side dropped or held back rows",
+    tags=("streaming", "join"),
+)
+def stream_stream_full_outer_join_exec(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"/tmp/spark_graft_ssjf_{tag}"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "b1.parquet"))
+    os.utime(os.path.join(src, "b1.parquet"), (1_600_000_000, 1_600_000_000))
+    far = dt.datetime(2100, 1, 1)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    sentinel_tmp = src + "_sentinel"
+    spark.createDataFrame(
+        [(-1, far, -1, "purchase", 0.0, ""), (-2, far, -1, "click", 0.0, "")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(sentinel_tmp)
+    part = glob.glob(os.path.join(sentinel_tmp, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(src, "b2.parquet"))
+    os.utime(os.path.join(src, "b2.parquet"), (1_600_000_100, 1_600_000_100))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    ts_col = F.col("ts").cast("timestamp")
+    p = (
+        sdf.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            ts_col.alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    c = (
+        sdf.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            ts_col.alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("cts") <= F.col("pts")),
+        "fullOuter",
+    )
+    name = f"ssjf_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        # the two sentinel rows match each other; drop any row where a
+        # sentinel participates (either side negative), keep NULL sides
+        .where(
+            (F.coalesce(F.col("pu"), F.lit(0)) >= 0)
+            & (F.coalesce(F.col("cu"), F.lit(0)) >= 0)
+        )
+        .groupBy(
+            F.col("purchase_id").isNotNull().alias("has_purchase"),
+            F.col("click_id").isNotNull().alias("has_click"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("purchase_id").cast("long").alias("n_purchases"),
+            F.countDistinct("click_id").cast("long").alias("n_clicks"),
+        )
+        .orderBy("has_purchase", "has_click")
+    )

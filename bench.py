@@ -79,6 +79,9 @@ HEADLINE = [
     "agg_two_level_rollup",
     "join_lateral_topn",
     "source_python_datasource",
+    "agg_table_profile",
+    "join_point_in_time",
+    "scalar_collation_group",
 ]
 
 
