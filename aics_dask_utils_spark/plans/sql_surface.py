@@ -199,7 +199,16 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()  # the action that runs the observed job
     )
     m = obs.get
+    # empty input: the observed SUM is None (mirroring SQL NULL); keep
+    # it NULL rather than crashing or inventing 0.0
+    qty = m["qty_sum_dec"]
     return spark.createDataFrame(
-        [(int(m["rows_scanned"]), float(m["qty_sum_dec"]), int(n_flag_groups))],
+        [
+            (
+                int(m["rows_scanned"]),
+                float(qty) if qty is not None else None,
+                int(n_flag_groups),
+            )
+        ],
         "rows_scanned BIGINT, qty_sum DOUBLE, n_flag_groups BIGINT",
     )

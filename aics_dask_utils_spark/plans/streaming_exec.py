@@ -527,35 +527,16 @@ def stream_python_source_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_stream_left_join_exec",
-    oracle=f"""
-    WITH j AS (
-      SELECT p.event_id AS purchase_id, c.event_id AS click_id
-      FROM (SELECT * FROM {_EV} WHERE event_type = 'purchase') p
-      LEFT JOIN (SELECT * FROM {_EV} WHERE event_type = 'click') c
-        ON c.user_id = p.user_id
-       AND c.ts >= p.ts - INTERVAL 30 MINUTE
-       AND c.ts <= p.ts
-    )
-    SELECT (click_id IS NOT NULL) AS matched,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases
-    FROM j GROUP BY 1 ORDER BY matched
-    """,
-    doc="EXECUTED LEFT-OUTER stream-stream interval join (E56 outer "
-    "axis): purchases with NO qualifying click must still emit, with "
-    "NULL click columns — but an outer stream-stream join only "
-    "releases its unmatched rows when the WATERMARK passes their join "
-    "window, so the source appends a far-future sentinel micro-batch "
-    "(one sentinel row per side, filtered from the result) that "
-    "advances both watermarks and flushes every pending row: the "
-    "standard end-of-stream/backfill-completion flush pattern. "
-    "Matched/unmatched purchase counts hash-match the batch LEFT JOIN "
-    "oracle, proving no row was dropped or held back",
-    tags=("streaming", "join"),
-)
-def stream_stream_left_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _run_sentinel_outer_join(
+    spark: SparkSession, sf_dir: str, prefix: str, how: str
+) -> str:
+    """Shared scaffolding for the outer stream-stream interval joins:
+    stage a 2-micro-batch file source (the real events, then one
+    far-future sentinel row per join side whose watermark advance
+    flushes every pending unmatched row), run the purchases⋈clicks
+    interval join with the given join type into a memory sink, and
+    return the sink table name. Sentinel rows carry negative ids so
+    callers can filter them from the result."""
     import datetime as dt
     import glob
     import os
@@ -563,7 +544,7 @@ def stream_stream_left_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    src = f"/tmp/spark_graft_ssjl_{tag}"
+    src = f"/tmp/spark_graft_{prefix}_{tag}"
     shutil.rmtree(src, ignore_errors=True)
     os.makedirs(src)
     # batch 1: the real events file; batch 2: the sentinel (later mtime
@@ -611,9 +592,9 @@ def stream_stream_left_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cu") == F.col("pu"))
         & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes"))
         & (F.col("cts") <= F.col("pts")),
-        "leftOuter",
+        how,
     )
-    name = f"ssjl_{uuid.uuid4().hex[:8]}"
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         joined.writeStream.outputMode("append")
         .format("memory")
@@ -622,6 +603,40 @@ def stream_stream_left_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    return name
+
+
+
+@register(
+    "stream_stream_left_join_exec",
+    oracle=f"""
+    WITH j AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      FROM (SELECT * FROM {_EV} WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM {_EV} WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 30 MINUTE
+       AND c.ts <= p.ts
+    )
+    SELECT (click_id IS NOT NULL) AS matched,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases
+    FROM j GROUP BY 1 ORDER BY matched
+    """,
+    doc="EXECUTED LEFT-OUTER stream-stream interval join (E56 outer "
+    "axis): purchases with NO qualifying click must still emit, with "
+    "NULL click columns — but an outer stream-stream join only "
+    "releases its unmatched rows when the WATERMARK passes their join "
+    "window, so the source appends a far-future sentinel micro-batch "
+    "(one sentinel row per side, filtered from the result) that "
+    "advances both watermarks and flushes every pending row: the "
+    "standard end-of-stream/backfill-completion flush pattern. "
+    "Matched/unmatched purchase counts hash-match the batch LEFT JOIN "
+    "oracle, proving no row was dropped or held back",
+    tags=("streaming", "join"),
+)
+def stream_stream_left_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _run_sentinel_outer_join(spark, sf_dir, "ssjl", "leftOuter")
     return (
         spark.table(name)
         .where(F.col("pu") >= 0)  # drop the sentinel row
@@ -665,70 +680,7 @@ def stream_stream_left_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stream_full_outer_join_exec(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import datetime as dt
-    import glob
-    import os
-    import shutil
-    import uuid
-
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    src = f"/tmp/spark_graft_ssjf_{tag}"
-    shutil.rmtree(src, ignore_errors=True)
-    os.makedirs(src)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "b1.parquet"))
-    os.utime(os.path.join(src, "b1.parquet"), (1_600_000_000, 1_600_000_000))
-    far = dt.datetime(2100, 1, 1)
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    sentinel_tmp = src + "_sentinel"
-    spark.createDataFrame(
-        [(-1, far, -1, "purchase", 0.0, ""), (-2, far, -1, "click", 0.0, "")],
-        schema,
-    ).coalesce(1).write.mode("overwrite").parquet(sentinel_tmp)
-    part = glob.glob(os.path.join(sentinel_tmp, "part-*.parquet"))[0]
-    shutil.copy(part, os.path.join(src, "b2.parquet"))
-    os.utime(os.path.join(src, "b2.parquet"), (1_600_000_100, 1_600_000_100))
-
-    sdf = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
-    )
-    ts_col = F.col("ts").cast("timestamp")
-    p = (
-        sdf.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("pu"),
-            ts_col.alias("pts"),
-        )
-        .withWatermark("pts", "1 hour")
-    )
-    c = (
-        sdf.where(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("cu"),
-            ts_col.alias("cts"),
-        )
-        .withWatermark("cts", "1 hour")
-    )
-    joined = p.join(
-        c,
-        (F.col("cu") == F.col("pu"))
-        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes"))
-        & (F.col("cts") <= F.col("pts")),
-        "fullOuter",
-    )
-    name = f"ssjf_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    name = _run_sentinel_outer_join(spark, sf_dir, "ssjf", "fullOuter")
     return (
         spark.table(name)
         # the two sentinel rows match each other; drop any row where a

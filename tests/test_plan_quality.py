@@ -361,8 +361,9 @@ def test_session_variable_folds_to_pushed_filter(spark, sf_dir):
     # variables costs nothing at plan time; at 100 TB the row-group
     # statistics prune on the threshold like any constant filter
     plan = _formatted(spark, "sql_session_variables", sf_dir)
-    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
-    assert "GreaterThan(o_totalprice" in pushed, pushed
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    assert "GreaterThan(o_totalprice" in pushed[0], pushed[0]
 
 
 def test_collation_group_partial_aggregates(spark, sf_dir):
