@@ -60,84 +60,36 @@ def register(
 # ``queries()`` yields them and has only ever reached the FIRST 50.
 # ``PRIORITY_WINDOW`` pins that order deliberately, re-cut each round:
 #
-# Round-3 cut. Slots 1-50: (a) the six plans whose ARRAY-typed final
-# columns crashed the driver's canonicalizer in round 2, now flattened
-# (2 confirmed ERR + 4 latent — the driver must re-verify); (b) the two
-# r1 ``no_oracle`` rows re-contracted with in-plan bounds
-# (agg_approx, agg_hll_sketch); (c) the 32 round-2 additions that sat at
-# positions 51-84 and were never checked (sketch family E65, PQ-refine,
-# LPA, RAG capstone, session state machine, scene cuts, attribution,
-# ...); (d) E54's embedding_quantize plus the new E4/E6 attestation
-# plans (source_sequences_roundtrip, sink_row_files_digest); (e) seven
-# high-value never-checked stragglers covering otherwise-unrepresented
-# surfaces (SemDeDup, triangles, retention, bucketed join, UDTF, typed
-# JSON, forward+tolerance as-of).
+# Round-4 cut. After round 3 the driver gate went 50/50 green and every
+# previously-reported failure is attested fixed; 143 of 224 plans carry
+# a green CORRECTNESS row, 81 have never been inside the window. This
+# cut spends ALL 50 slots on never-attested plans:
 #
-# Slots 51+: every remaining never-driver-checked plan (module order),
-# so a wider driver window always lands on new ground; the 97 plans
-# already attested green in rounds 1-2 follow last via registration
-# order. ``WINDOW_CRITICAL`` below is guard-tested to sit inside the
-# first 50 — when adding a plan or fixing a driver failure, put its
-# name there so the slot allocation stays deliberate.
+#   slots 1-22: the five SURVEY §2b rows with no green row at all —
+#     E68 (pure-Python DataSource connector matrix), E69 (LATERAL /
+#     SQL UDF / recursive CTE / XML), E70 (deterministic model stats
+#     incl. the CMS heavy-hitters bound), E72 (collation / LISTAGG /
+#     session variables / Observation) — plus E43's native
+#     F.session_window plans, the PIT join, the one-scan table
+#     profiler, and the left/full-outer stream-stream joins.
+#   slots 23-50: one-per-family representatives of every remaining
+#     never-checked surface (skew-salted join, mapInPandas, top-k per
+#     group, window distributions, conditionals, null-safe scalars,
+#     array HOFs, centroid ops, n-gram/simhash/cosine/edit-distance
+#     dedup, star CC, null-text edge case, langid, fingerprint, PII,
+#     tumbling windows, z-score anomaly, sequence pattern match, audio
+#     frames, foreachBatch + update-mode streaming, JSON round-trip,
+#     MERGE upsert, z-order write, multiprobe ANN, A-ES weighted
+#     sampling).
+#
+# Slots 51-81: the remaining 31 never-checked plans — the round-5
+# window inherits these, so full-registry attestation lands by r5.
+# Slots 82+: the 143 already-attested plans via registration order.
+# ``WINDOW_CRITICAL`` below is guard-tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-50: what round 3 needs the driver to check --
-    "multimodal_decode_slice",
-    "kmeans_embeddings",
-    "array_slice_sort",
-    "text_token_ids",
-    "multimodal_frame_sample",
-    "multimodal_resize_plane",
-    "agg_approx",
-    "agg_hll_sketch",
-    "agg_topk_sketch",
-    "agg_theta_users",
-    "agg_kll_price_quantiles",
-    "events_sliding_distinct_hll",
-    "events_sliding_topk_sketch",
-    "stream_hll_rollup_exec",
-    "stream_topk_rollup_exec",
-    "text_chunk_sliding",
-    "text_quality_gate",
-    "embedding_dim_stats",
-    "asof_join_nearest",
-    "graph_label_propagation",
-    "events_markov_transitions",
-    "pipeline_dataset_card",
-    "ann_topk_pq_refine",
-    "scalar_url_parse",
-    "source_text_roundtrip",
-    "multimodal_image_dedup",
-    "udf_apply_in_arrow",
-    "pipeline_rag_index",
-    "sample_bootstrap_ci",
-    "dedup_srp_lsh",
-    "sink_dynamic_partition_overwrite",
-    "dedup_shingle_containment",
-    "events_rfm_segments",
-    "text_bigram_lm_score",
-    "stream_session_state_exec",
-    "multimodal_scene_cuts",
-    "sample_epoch_shuffle",
-    "pipeline_curriculum_buckets",
-    "agg_key_skew_profile",
-    "events_attribution_linear",
-    "embedding_quantize",
-    "source_sequences_roundtrip",
-    "sink_row_files_digest",
-    "dedup_semantic_clusters",
-    "graph_triangle_counts",
-    "events_retention",
-    "sink_bucketed_join",
-    "udf_python_udtf",
-    "scalar_json_typed",
-    "asof_join_forward_tolerance",
-    # -- slots 51+: remaining never-driver-checked plans --
-    # round-3 additions queue first behind the cut
-    "agg_regression_per_group",
-    "agg_mutual_info",
-    "agg_two_level_rollup",
-    "agg_cms_heavy_hitters",
+    # -- slots 1-22: unattested SURVEY rows (E68/E69/E70/E72, E43
+    #    native sessions, PIT, profiler, outer stream-stream joins) --
     "source_python_datasource",
     "sink_python_datasource_roundtrip",
     "stream_python_source_exec",
@@ -146,93 +98,111 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "graph_reachability_recursive_cte",
     "source_xml_roundtrip",
     "udtf_sql_table_function",
-    "events_session_dynamic_gap",
-    "stream_stream_left_join_exec",
+    "agg_regression_per_group",
+    "agg_mutual_info",
+    "agg_two_level_rollup",
+    "agg_cms_heavy_hitters",
     "scalar_collation_group",
     "agg_listagg_report",
     "sql_session_variables",
     "pipeline_observe_metrics",
-    "agg_table_profile",
+    "events_session",
+    "events_session_dynamic_gap",
     "join_point_in_time",
+    "agg_table_profile",
+    "stream_stream_left_join_exec",
     "stream_stream_full_outer_join_exec",
+    # -- slots 23-50: never-checked family representatives --
     "join_skew_salted",
     "udf_map_in_pandas",
     "topk_per_group",
     "window_distribution",
-    "window_trailing_range",
-    "scalar_math",
     "scalar_conditional",
-    "scalar_json",
     "scalar_null_safe",
     "array_basics",
     "embedding_centroids",
-    "dedup_keep_first_per_source",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "ann_topk_brute",
-    "dedup_minhash_components",
     "dedup_components_star",
-    "ann_topk_pandas",
-    "dedup_simhash_near",
-    "dedup_embedding_components",
     "dedup_edit_distance",
     "dedup_null_text",
-    "text_token_stats",
     "text_langid",
     "text_fingerprint",
-    "text_top_bigrams",
-    "text_normalize_nfc",
+    "text_pii_redact",
     "events_tumbling",
-    "events_sliding",
-    "events_session",
-    "events_rate_per_type",
-    "events_daily_active",
     "events_anomaly_zscore",
-    "events_daily_growth",
     "events_pattern_match",
-    "events_ewma",
     "multimodal_audio_frames",
-    "stream_session_exec",
-    "stream_stateful_count_exec",
-    "stream_sliding_exec",
     "stream_foreach_batch_exec",
     "stream_update_mode_exec",
     "source_json_roundtrip",
-    "source_orc_roundtrip",
     "sink_upsert_merge",
-    "sink_compacted_files",
     "sink_zorder_clustered",
-    "ann_topk_learned_ivf",
     "ann_topk_multiprobe",
+    "sample_weighted_per_group",
+    # -- slots 51-81: the r5 queue (remaining never-checked plans) --
+    "window_trailing_range",
+    "scalar_math",
+    "scalar_json",
+    "dedup_keep_first_per_source",
+    "ann_topk_brute",
+    "dedup_minhash_components",
+    "ann_topk_pandas",
+    "dedup_simhash_near",
+    "dedup_embedding_components",
+    "text_token_stats",
+    "text_top_bigrams",
+    "text_normalize_nfc",
+    "events_sliding",
+    "events_rate_per_type",
+    "events_daily_active",
+    "events_daily_growth",
+    "events_ewma",
+    "stream_session_exec",
+    "stream_stateful_count_exec",
+    "stream_sliding_exec",
+    "source_orc_roundtrip",
+    "sink_compacted_files",
+    "ann_topk_learned_ivf",
     "ann_topk_pq",
     "sample_bernoulli",
     "sample_train_test_split",
     "sample_balance_langs",
-    "sample_weighted_per_group",
     "sample_temperature_mix",
-    "text_pii_redact",
     "text_unigram_lm_score",
     "pipeline_token_budget",
     "dedup_repeated_chunks",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
-#: this round: fixed-but-unverified plans + new contracts. Guard-tested
-#: in tests/test_plan_quality.py so a fix can never silently sit below
+#: this round: the plans that give the five never-attested SURVEY rows
+#: (E68/E69/E70/E72 + E43's native session windows) and the round-3
+#: additions their first driver look. Guard-tested in
+#: tests/test_plan_quality.py so a slot can never silently slip below
 #: the window cut.
 WINDOW_CRITICAL: frozenset[str] = frozenset({
-    "agg_approx",
-    "agg_hll_sketch",
-    "array_slice_sort",
-    "embedding_quantize",
-    "kmeans_embeddings",
-    "multimodal_decode_slice",
-    "multimodal_frame_sample",
-    "multimodal_resize_plane",
-    "sink_row_files_digest",
-    "source_sequences_roundtrip",
-    "text_token_ids",
+    "source_python_datasource",
+    "sink_python_datasource_roundtrip",
+    "stream_python_source_exec",
+    "join_lateral_topn",
+    "scalar_sql_udf",
+    "graph_reachability_recursive_cte",
+    "source_xml_roundtrip",
+    "agg_regression_per_group",
+    "agg_mutual_info",
+    "agg_two_level_rollup",
+    "agg_cms_heavy_hitters",
+    "scalar_collation_group",
+    "agg_listagg_report",
+    "sql_session_variables",
+    "pipeline_observe_metrics",
+    "events_session",
+    "events_session_dynamic_gap",
+    "join_point_in_time",
+    "agg_table_profile",
+    "stream_stream_left_join_exec",
+    "stream_stream_full_outer_join_exec",
 })
 
 
