@@ -544,8 +544,10 @@ def _run_sentinel_outer_join(
     import uuid
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    src = f"/tmp/spark_graft_{prefix}_{tag}"
-    shutil.rmtree(src, ignore_errors=True)
+    # per-invocation uuid in the staging dir (like the memory-sink
+    # query name): a fixed path + rmtree-on-entry would let two
+    # concurrent sessions delete each other's source files mid-stream
+    src = f"/tmp/spark_graft_{prefix}_{tag}_{uuid.uuid4().hex[:8]}"
     os.makedirs(src)
     # batch 1: the real events file; batch 2: the sentinel (later mtime
     # => later micro-batch), one far-future row per join side
@@ -602,7 +604,13 @@ def _run_sentinel_outer_join(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the memory sink now holds the result; drop this invocation's
+        # staging dirs so uuid-suffixed paths don't accumulate in /tmp
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(sentinel_tmp, ignore_errors=True)
     return name
 
 
@@ -639,7 +647,10 @@ def stream_stream_left_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _run_sentinel_outer_join(spark, sf_dir, "ssjl", "leftOuter")
     return (
         spark.table(name)
-        .where(F.col("pu") >= 0)  # drop the sentinel row
+        # drop the sentinel row by its event id: a sentinel carries
+        # purchase_id = -1, while a NULL-user purchase (kept by the
+        # batch LEFT JOIN oracle) must not be dropped by a NULL filter
+        .where(F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
         .groupBy(F.col("click_id").isNotNull().alias("matched"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -684,10 +695,11 @@ def stream_stream_full_outer_join_exec(
     return (
         spark.table(name)
         # the two sentinel rows match each other; drop any row where a
-        # sentinel participates (either side negative), keep NULL sides
+        # sentinel participates, identified by its negative EVENT id
+        # (not user_id, so NULL-key rows survive), keep NULL sides
         .where(
-            (F.coalesce(F.col("pu"), F.lit(0)) >= 0)
-            & (F.coalesce(F.col("cu"), F.lit(0)) >= 0)
+            (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
+            & (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
         )
         .groupBy(
             F.col("purchase_id").isNotNull().alias("has_purchase"),

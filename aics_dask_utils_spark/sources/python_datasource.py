@@ -106,16 +106,40 @@ class _PartCommit(WriterCommitMessage):
     n_rows: int = 0
 
 
+_STAGING_DIR = "_staging"
+
+
+def read_graft_manifest(path: str) -> list[str]:
+    """Resolve the committed file list of a graftsink output directory.
+
+    Readers must trust the ``_SUCCESS`` manifest, never a glob: a task
+    that died mid-write leaves a partial part file in ``_staging/``
+    that no commit message names, and a glob re-scan would read
+    partial/duplicate rows. Returns absolute paths of exactly the
+    files commit() promoted.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_SUCCESS"), "r", encoding="utf-8") as f:
+        manifest = json.load(f)
+    return [os.path.join(path, name) for name in manifest["files"]]
+
+
 class GraftFileWriter(DataSourceWriter):
-    """Writes each partition as one staged CSV-ish part file; commit()
-    promotes the staged files by writing a _SUCCESS manifest with the
-    total row count, abort() removes the staging directory. Task
-    retries are safe: a re-run task re-stages its file under a fresh
-    task id and only committed messages reach the manifest — the same
-    idempotence contract as Spark's own file commit protocol."""
+    """Writes each partition as one part file staged under
+    ``<path>/_staging/``; commit() promotes ONLY the files named in
+    commit messages into ``<path>`` and then publishes the _SUCCESS
+    manifest, abort() removes the staging directory. Task retries and
+    speculative duplicates are safe: an attempt that dies mid-write
+    leaves its partial file in ``_staging/`` where neither commit()
+    nor a manifest-driven reader (``read_graft_manifest``) can see
+    it — the same visibility contract as Spark's own file commit
+    protocol."""
 
     def __init__(self, options, overwrite: bool):
         import os
+        import shutil
 
         self.path = options.get("path")
         if not self.path:
@@ -123,11 +147,13 @@ class GraftFileWriter(DataSourceWriter):
         self.overwrite = overwrite
         if overwrite and os.path.isdir(self.path):
             # honor mode('overwrite') here on the driver, before any
-            # task writes: clear prior part files and the manifest so a
-            # glob re-scan cannot mix stale rows with the new write
+            # task writes: clear prior part files, the manifest, and
+            # stale staging leftovers so a manifest re-read cannot mix
+            # old rows with the new write
             for f in os.listdir(self.path):
                 if f.endswith(".graft") or f == "_SUCCESS":
                     os.remove(os.path.join(self.path, f))
+            shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
 
     def write(self, iterator) -> _PartCommit:
         import os
@@ -137,9 +163,10 @@ class GraftFileWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        os.makedirs(self.path, exist_ok=True)
+        staging = os.path.join(self.path, _STAGING_DIR)
+        os.makedirs(staging, exist_ok=True)
         name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.graft"
-        full = os.path.join(self.path, name)
+        full = os.path.join(staging, name)
         n = 0
         with open(full, "w", encoding="utf-8") as f:
             for row in iterator:
@@ -151,17 +178,32 @@ class GraftFileWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import json
         import os
+        import shutil
 
+        # promote exactly the staged files the successful attempts
+        # named; anything else in _staging is a dead attempt's orphan
+        names = []
+        for m in messages:
+            if m is None or not m.path:
+                continue
+            name = os.path.basename(m.path)
+            os.replace(m.path, os.path.join(self.path, name))
+            names.append(name)
         manifest = {
-            "files": sorted(os.path.basename(m.path) for m in messages),
-            "total_rows": int(sum(m.n_rows for m in messages)),
+            "files": sorted(names),
+            "total_rows": int(sum(m.n_rows for m in messages if m is not None)),
         }
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             json.dump(manifest, f)
+        shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
 
     def abort(self, messages) -> None:
         import os
+        import shutil
 
+        shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
+        # defensive: also drop any message-named file that somehow
+        # escaped staging (e.g. a future layout change)
         for m in messages:
             if m and m.path and os.path.exists(m.path):
                 os.remove(m.path)
@@ -262,9 +304,10 @@ class GraftStreamFileWriter(DataSourceStreamWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        os.makedirs(self.path, exist_ok=True)
-        name = f"stage-{uuid.uuid4().hex[:12]}-p{pid:05d}.graft"
-        full = os.path.join(self.path, name)
+        staging = os.path.join(self.path, _STAGING_DIR)
+        os.makedirs(staging, exist_ok=True)
+        name = f"epoch-{uuid.uuid4().hex[:12]}-p{pid:05d}.graft"
+        full = os.path.join(staging, name)
         n = 0
         with open(full, "w", encoding="utf-8") as f:
             for row in iterator:
@@ -277,11 +320,21 @@ class GraftStreamFileWriter(DataSourceStreamWriter):
         import json
         import os
 
+        # promote the staged files this epoch's successful attempts
+        # named, THEN publish the per-epoch manifest; dead attempts'
+        # orphans stay invisible in _staging. A replayed batch id
+        # re-promotes fresh files and overwrites its own manifest, so
+        # manifest-trusting readers still get exactly-once.
+        names = []
+        for m in messages:
+            if m is None or not m.path:
+                continue
+            name = os.path.basename(m.path)
+            os.replace(m.path, os.path.join(self.path, name))
+            names.append(name)
         manifest = {
             "batch_id": int(batchId),
-            "files": sorted(
-                os.path.basename(m.path) for m in messages if m is not None
-            ),
+            "files": sorted(names),
             "rows": int(sum(m.n_rows for m in messages if m is not None)),
         }
         with open(os.path.join(self.path, f"_manifest-{batchId:010d}.json"), "w") as f:

@@ -361,8 +361,14 @@ def per_user_type_counts_tws(events: DataFrame) -> DataFrame:
     absent in this container, so EXECUTION is environment-gated — the
     query builds and analyzes here, and runs wherever
     ``google.protobuf`` is installed; ``tests/test_streaming.py``
-    adapts). The applyInPandasWithState operators in this module cover
-    the executable-stateful path in this environment."""
+    adapts). CAVEAT while that gate holds: the MapState tuple protocol
+    used below (``getValue((etype,))[0]``, ``iterator()`` unpacking to
+    ``(key_tuple, value_tuple)``) is written to the documented
+    pyspark-4.1 API but has never been EXECUTED in this container — a
+    runtime protocol mismatch would surface only where protobuf
+    exists, via the conditional execution test. The
+    applyInPandasWithState operators in this module cover the
+    executable-stateful path in this environment."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
