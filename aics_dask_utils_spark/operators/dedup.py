@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.vectors import vec_cosine
+from .checkpointing import iter_checkpoint
 from .text import fingerprint_exact, shingles
 
 
@@ -352,7 +353,11 @@ def embedding_near_dup_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair list by iterative
     min-label propagation: every node repeatedly adopts the smallest
@@ -362,7 +367,10 @@ def connected_components(
     This is the step LSH pair-finding needs to become an actual dedup
     GROUPING (A~B, B~C => {A,B,C} keep one). Iterative => no single SQL
     equivalent; each round is one shuffle join + one aggregate, and the
-    label frame is checkpointed to keep lineage flat. Convergence takes
+    label frame is checkpointed to keep lineage flat
+    (``reliable=True`` → fault-tolerant ``checkpoint()`` against the
+    configured checkpoint dir, the cluster-safe choice for long jobs —
+    see :mod:`.checkpointing`). Convergence takes
     at most the graph diameter rounds — near-dup clusters are shallow
     (diameter << 10), so the loop is short regardless of corpus size.
     At 100 TB scale swap in the large-star/small-star variant
@@ -371,7 +379,7 @@ def connected_components(
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    und = und.localCheckpoint(eager=True)
+    und = iter_checkpoint(und, reliable=reliable)
     labels = (
         und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     )
@@ -388,7 +396,8 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        new_labels = iter_checkpoint(new_labels, reliable=reliable)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -412,7 +421,11 @@ def connected_components(
 
 
 def connected_components_star(
-    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 20,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -433,21 +446,24 @@ def connected_components_star(
     Converged state is a forest of stars: every node's single neighbor
     is its component min. Same contract as connected_components:
     returns (doc_id, component = min id), oracle-verifiable against a
-    recursive-CTE reachability query.
+    recursive-CTE reachability query. ``reliable=True`` swaps the
+    per-round ``localCheckpoint`` for a fault-tolerant ``checkpoint()``
+    (see :mod:`.checkpointing`) — the right default for long CC jobs on
+    a real cluster, where an executor loss would otherwise kill the
+    run.
     """
     orig = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u") != F.col("v")
     )
-    nodes = (
-        orig.select("u")
-        .union(orig.select(F.col("v").alias("u")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    nodes = iter_checkpoint(
+        orig.select("u").union(orig.select(F.col("v").alias("u"))).distinct(),
+        reliable=reliable,
     )
     # Canonical direction larger -> smaller; the star steps preserve it.
-    e = orig.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct().localCheckpoint(eager=True)
+    e = iter_checkpoint(
+        orig.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct(),
+        reliable=reliable,
+    )
 
     def _sig(df: DataFrame):
         # Order-insensitive convergence signature: one tiny aggregate vs
@@ -483,8 +499,8 @@ def connected_components_star(
             .union(mins2.select("u", F.col("mn").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        small = iter_checkpoint(small, reliable=reliable)
         cur = _sig(small)
         e = small
         if cur == prev:

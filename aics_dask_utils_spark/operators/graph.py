@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.deterministic import dsum
+from .checkpointing import iter_checkpoint
 
 
 def pagerank(
@@ -32,6 +33,7 @@ def pagerank(
     weight: str = "w",
     iters: int = 3,
     damping: float = 0.85,
+    reliable: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list, ``iters`` rounds.
 
@@ -40,11 +42,17 @@ def pagerank(
 
     (no dangling-mass redistribution — declared semantics, identical in
     the oracle). Returns (node, pr) for every node appearing as source
-    or destination.
+    or destination. ``reliable=True`` uses a fault-tolerant
+    ``checkpoint()`` for the edge materialization instead of
+    ``localCheckpoint`` (see :mod:`.checkpointing`) — on a cluster a
+    lost executor otherwise kills a long run.
     """
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    ).localCheckpoint(eager=True)
+    e = iter_checkpoint(
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+        ),
+        reliable=reliable,
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -143,6 +151,7 @@ def label_propagation(
     dst: str = "dst",
     weight: str = "w",
     iters: int = 3,
+    reliable: bool = False,
 ) -> DataFrame:
     """Synchronous weighted label propagation (community detection),
     ``iters`` rounds over an undirected simple graph.
@@ -158,17 +167,17 @@ def label_propagation(
     the neighbor key) + one (node, label) aggregation + one per-node
     argmax window — all linear in |E|. Labels are checkpointed per
     round so the plan does not grow with the iteration count (the
-    kmeans/pagerank lesson). Returns (node, label)."""
+    kmeans/pagerank lesson); ``reliable=True`` swaps in fault-tolerant
+    ``checkpoint()`` (see :mod:`.checkpointing`). Returns
+    (node, label)."""
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("w")
     ).where(F.col("a") != F.col("b"))
-    und = (
-        e.union(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-        )
+    und = iter_checkpoint(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
         .groupBy("a", "b")
-        .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .agg(F.sum("w").alias("w")),
+        reliable=reliable,
     )
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -180,10 +189,10 @@ def label_propagation(
             .agg(F.sum("w").alias("tw"))
         )
         win = W.partitionBy("node").orderBy(F.desc("tw"), F.asc("label"))
-        labels = (
+        labels = iter_checkpoint(
             scored.withColumn("rn", F.row_number().over(win))
             .where(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
+            .select("node", "label"),
+            reliable=reliable,
         )
     return labels

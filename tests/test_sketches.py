@@ -30,3 +30,20 @@ def test_hll_sketch_merge_equals_single_pass(spark, sf_dir):
         .first()[0]
     )
     assert one == split
+
+
+def test_cms_heavy_hitters_guards_key_cardinality(spark, tmp_path):
+    """agg_cms_heavy_hitters collects the keyed-count relation and
+    probes the CMS driver-side — sound only for small key domains. On
+    a table whose key has >1000 distinct values it must refuse loudly
+    instead of hauling the whole relation onto the driver."""
+    import pytest as _pytest
+
+    from aics_dask_utils_spark.plans import all_plans
+
+    spark.range(5000).selectExpr(
+        "concat('Brand#', id % 2000) AS p_brand"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    plan = all_plans()["agg_cms_heavy_hitters"].fn
+    with _pytest.raises(ValueError, match="small key domains"):
+        plan(spark, str(tmp_path))
