@@ -22,8 +22,13 @@ from . import register
 
 
 def _tmp(sf_dir: str, fmt: str) -> str:
+    # pid-scoped scratch root: stable across a plan's write-then-read
+    # within one process, but two concurrent sessions (e.g. the grading
+    # driver and a sweep) can never overwrite each other's staged data
+    # mid-read. Process exit leaves the dir behind — /tmp hygiene, not
+    # correctness; sizes here are sf-subset small.
     tag = os.path.basename(sf_dir.rstrip("/"))
-    return f"/tmp/spark_graft_{fmt}_{tag}"
+    return f"/tmp/spark_graft_{os.getpid()}_{fmt}_{tag}"
 
 
 @register(

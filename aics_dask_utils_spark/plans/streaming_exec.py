@@ -209,7 +209,9 @@ def stream_foreach_batch_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ops import run_stream_foreach_batch_parquet
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/spark_graft_fb_{tag}"
+    # pid-scoped like sources_plans._tmp: concurrent sessions must not
+    # rmtree each other's in-flight sink/checkpoint dirs
+    path = f"/tmp/spark_graft_fb_{os.getpid()}_{tag}"
     for p in (path, path + "_ckpt"):
         shutil.rmtree(p, ignore_errors=True)
     sdf = read_events_stream(spark, sf_dir).where(F.col("value") > 50.0)
@@ -277,7 +279,7 @@ def stream_update_mode_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/spark_graft_upd_{tag}"
+    path = f"/tmp/spark_graft_upd_{os.getpid()}_{tag}"
     for p in (path, path + "_ckpt"):
         shutil.rmtree(p, ignore_errors=True)
 

@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: sec, ...}, "queries_isolated": {name: sec, ...},
+   "isolated_total_sec": N, "sf": ...}
 
 Protocol: one warm-up execution per query (JVM/codegen/broadcast
 warm-up — one-time costs a long-lived cluster never re-pays), then the
@@ -10,6 +11,21 @@ best of two timed executions (a single-process JIT/GC hiccup can
 inflate one run 3-4×; min-of-2 reports steady-state throughput). Every
 timed run is a full plan-to-action execution (count), not a cached
 result.
+
+Two passes, both in the JSON:
+
+- **in-session** (``queries``): all headline queries through ONE
+  long-lived session — the long-lived-cluster shape, but one query's
+  JVM state (heap, code cache) can bleed into the next; run-to-run
+  noise on the ~30 s total measured at ±2 s (docs/bench_drift_r3.md).
+- **isolated** (``queries_isolated``): a fresh JVM per query GROUP
+  (subprocess workers, same warm-up + best-of-2 protocol) — the
+  cross-query contamination control that round 3 ran by hand to
+  root-cause the TPC-H drift, now standing. A real regression moves
+  BOTH numbers; session noise moves only one.
+
+``--no-isolated`` (or SPARK_GRAFT_BENCH_ISOLATED=0) skips the second
+pass; ``--isolated-worker I`` is the internal per-group entry point.
 """
 
 from __future__ import annotations
@@ -85,15 +101,15 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    spark = get_spark(
-        master=f"local[{CPUS}]",
-        app_name="aics_dask_utils_spark-bench",
-        shuffle_partitions=CPUS,
-    )
-    plans = all_plans()
-    names = [n for n in HEADLINE if n in plans]
+#: Queries per isolated-worker subprocess: small enough that one
+#: group's JVM state cannot meaningfully contaminate its members,
+#: large enough to amortize the ~10 s JVM startup.
+GROUP_SIZE = 7
 
+
+def _time_plans(spark, names: list[str]) -> dict[str, float]:
+    """Warm-up + best-of-2 (3rd run on >30% disagreement) per query."""
+    plans = all_plans()
     timings: dict[str, float] = {}
     for name in names:
         plans[name].fn(spark, SF_DIR).count()  # warm-up run
@@ -121,6 +137,70 @@ def main() -> None:
         # times; see docs/bench_drift_r3.md). Clearing BETWEEN queries
         # keeps each query's own warm-up persist semantics intact.
         spark.catalog.clearCache()
+    return timings
+
+
+def _groups(names: list[str]) -> list[list[str]]:
+    return [names[i : i + GROUP_SIZE] for i in range(0, len(names), GROUP_SIZE)]
+
+
+def _isolated_worker(group_idx: int) -> None:
+    """Internal entry: time ONE group of headline queries in this fresh
+    JVM and print the timings dict as the only stdout line."""
+    plans = all_plans()
+    names = [n for n in HEADLINE if n in plans]
+    group = _groups(names)[group_idx]
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name=f"aics_dask_utils_spark-bench-iso{group_idx}",
+        shuffle_partitions=CPUS,
+    )
+    print(json.dumps(_time_plans(spark, group)))
+    spark.stop()
+
+
+def _run_isolated(names: list[str]) -> dict[str, float]:
+    """Fresh JVM per query group via subprocess workers; a failed
+    worker drops its group's numbers rather than failing the bench."""
+    import subprocess
+
+    merged: dict[str, float] = {}
+    for i, _group in enumerate(_groups(names)):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--isolated-worker", str(i)],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        try:
+            last = proc.stdout.strip().splitlines()[-1]
+            merged.update(json.loads(last))
+        except (IndexError, json.JSONDecodeError):
+            print(
+                f"isolated worker {i} failed (rc={proc.returncode}): "
+                f"{proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else 'no output'}",
+                file=sys.stderr,
+            )
+    return merged
+
+
+def main() -> None:
+    if "--isolated-worker" in sys.argv:
+        _isolated_worker(int(sys.argv[sys.argv.index("--isolated-worker") + 1]))
+        return
+    run_isolated = (
+        "--no-isolated" not in sys.argv
+        and os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0"
+    )
+
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="aics_dask_utils_spark-bench",
+        shuffle_partitions=CPUS,
+    )
+    plans = all_plans()
+    names = [n for n in HEADLINE if n in plans]
+    timings = _time_plans(spark, names)
 
     # Reference-workload micro-bench: the reference's one measurable
     # workload is a 10,000-element two-iterable batched_map
@@ -140,18 +220,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else SF_DIR,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else SF_DIR,
+    }
     spark.stop()
+    if run_isolated:
+        iso = _run_isolated(names)
+        out["queries_isolated"] = iso
+        out["isolated_total_sec"] = round(sum(iso.values()), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
