@@ -120,9 +120,10 @@ def test_compacted_sink_bounds_file_count(spark, sf_dir):
     task's output when it exceeds the cap)."""
     from aics_dask_utils_spark.plans import all_plans
 
+    from aics_dask_utils_spark.plans.sources_plans import _tmp
+
     all_plans()["sink_compacted_files"].fn(spark, sf_dir).collect()
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/spark_graft_compact_{tag}"
+    out = _tmp(sf_dir, "compact")
     parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert 1 <= len(parts) <= 4
 
@@ -133,9 +134,10 @@ def test_clustered_write_files_cover_disjoint_ranges(spark, sf_dir):
     need for data skipping."""
     from aics_dask_utils_spark.plans import all_plans
 
+    from aics_dask_utils_spark.plans.sources_plans import _tmp
+
     all_plans()["sink_sorted_clustered"].fn(spark, sf_dir).collect()
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/spark_graft_clustered_{tag}"
+    out = _tmp(sf_dir, "clustered")
     parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(parts) >= 2
     ranges = []
@@ -158,9 +160,10 @@ def test_zorder_write_files_cover_disjoint_z_ranges(spark, sf_dir):
     z-range never spans the full extent of both dimensions)."""
     from aics_dask_utils_spark.plans import all_plans
 
+    from aics_dask_utils_spark.plans.sources_plans import _tmp
+
     all_plans()["sink_zorder_clustered"].fn(spark, sf_dir).collect()
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/spark_graft_zorder_{tag}"
+    out = _tmp(sf_dir, "zorder")
     parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(parts) >= 2
     ranges = []
