@@ -129,6 +129,11 @@ def _time_plans(spark, names: list[str]) -> dict[str, float]:
         if abs(times[0] - times[1]) / min(times) > 0.3:
             times.append(timed_run())
         timings[name] = round(min(times), 4)
+        # keep the live record current for the SIGTERM partial-emit path
+        _LIVE.setdefault("queries", {})[name] = timings[name]
+        _LIVE["value"] = round(sum(_LIVE["queries"].values()), 4)
+        _LIVE.setdefault("metric", "headline_queries_total_sec")
+        _LIVE.setdefault("unit", "sec")
         # Plans that persist() intermediates (LSH shingles, oriented
         # edges, ...) create a NEW cached relation per invocation and
         # never unpersist — across 45 queries x 3 runs the stale blocks
@@ -159,13 +164,33 @@ def _isolated_worker(group_idx: int) -> None:
     spark.stop()
 
 
-def _run_isolated(names: list[str]) -> dict[str, float]:
+#: Overall bench wall-clock budget (sec). The isolated pass launches a
+#: group's worker only while under budget, so however slow the box is,
+#: the bench always prints its JSON line instead of tripping an
+#: external timeout — partial isolated coverage is flagged in the
+#: output rather than silently losing the whole record.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
+_T_START = time.monotonic()
+
+
+def _run_isolated(names: list[str]) -> tuple[dict[str, float], int]:
     """Fresh JVM per query group via subprocess workers; a failed
-    worker drops its group's numbers rather than failing the bench."""
+    worker drops its group's numbers rather than failing the bench.
+    Returns (timings, n_groups_skipped_for_budget)."""
     import subprocess
 
     merged: dict[str, float] = {}
-    for i, _group in enumerate(_groups(names)):
+    groups = _groups(names)
+    skipped = 0
+    for i, _group in enumerate(groups):
+        if time.monotonic() - _T_START > BUDGET_SEC:
+            skipped = len(groups) - i
+            print(
+                f"bench budget {BUDGET_SEC}s exhausted; skipping "
+                f"{skipped} isolated group(s)",
+                file=sys.stderr,
+            )
+            break
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--isolated-worker", str(i)],
             capture_output=True,
@@ -175,19 +200,39 @@ def _run_isolated(names: list[str]) -> dict[str, float]:
         try:
             last = proc.stdout.strip().splitlines()[-1]
             merged.update(json.loads(last))
+            _LIVE["queries_isolated"] = dict(merged)
+            _LIVE["isolated_total_sec"] = round(sum(merged.values()), 4)
         except (IndexError, json.JSONDecodeError):
             print(
                 f"isolated worker {i} failed (rc={proc.returncode}): "
                 f"{proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else 'no output'}",
                 file=sys.stderr,
             )
-    return merged
+    return merged, skipped
+
+
+#: Live record, emitted by the SIGTERM handler if an external timeout
+#: fires mid-bench: the one JSON line still lands with whatever
+#: completed (flagged "partial") instead of the whole record vanishing.
+_LIVE: dict = {}
+
+
+def _emit_partial_and_exit(signum, frame):  # pragma: no cover - signal path
+    if _LIVE:
+        rec = dict(_LIVE)
+        rec["partial"] = True
+        sys.stdout.write("\n" + json.dumps(rec) + "\n")
+        sys.stdout.flush()
+    os._exit(0)
 
 
 def main() -> None:
     if "--isolated-worker" in sys.argv:
         _isolated_worker(int(sys.argv[sys.argv.index("--isolated-worker") + 1]))
         return
+    import signal
+
+    signal.signal(signal.SIGTERM, _emit_partial_and_exit)
     run_isolated = (
         "--no-isolated" not in sys.argv
         and os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0"
@@ -227,11 +272,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else SF_DIR,
     }
+    _LIVE.update(out)
     spark.stop()
     if run_isolated:
-        iso = _run_isolated(names)
+        iso, skipped = _run_isolated(names)
         out["queries_isolated"] = iso
         out["isolated_total_sec"] = round(sum(iso.values()), 4)
+        if skipped:
+            out["isolated_groups_skipped"] = skipped
     print(json.dumps(out))
 
 
