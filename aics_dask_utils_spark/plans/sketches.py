@@ -349,21 +349,24 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eps, conf, seed = 1e-4, 0.99, 42
     part = load_table(spark, sf_dir, "part")
+    # HARD small-domain contract, not just documentation: the exact
+    # top-5 and the CMS probes run driver-side, which is only sound
+    # because p_brand has ~25 values. The guard must run BEFORE the
+    # collect (a post-collect check cannot prevent the driver OOM it
+    # exists to prevent) and must itself be bounded: distinct().limit()
+    # ships at most 1001 keys regardless of the true cardinality.
+    n_keys = part.select("p_brand").distinct().limit(1001).count()
+    if n_keys > 1000:
+        raise ValueError(
+            "agg_cms_heavy_hitters collects the keyed-count relation "
+            "driver-side and probes the CMS in the driver JVM; that "
+            "contract holds only for small key domains "
+            "(>1000 distinct keys found). For high-cardinality keys "
+            "use approx_top_k (distributed) instead."
+        )
     brand_counts = (
         part.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n")).collect()
     )
-    # HARD small-domain contract, not just documentation: the exact
-    # top-5 and the CMS probes run driver-side, which is only sound
-    # because p_brand has ~25 values. Reusing this plan shape on a
-    # high-cardinality key must fail loudly here, not OOM the driver.
-    if len(brand_counts) > 1000:
-        raise ValueError(
-            f"agg_cms_heavy_hitters collects the keyed-count relation "
-            f"driver-side and probes the CMS in the driver JVM; that "
-            f"contract holds only for small key domains "
-            f"(got {len(brand_counts)} keys > 1000). For high-cardinality "
-            f"keys use approx_top_k (distributed) instead."
-        )
     exact = sorted(brand_counts, key=lambda r: (-r["n"], r["p_brand"]))[:5]
     n_total = sum(r["n"] for r in brand_counts)
     sk_row = part.agg(

@@ -202,16 +202,15 @@ def stream_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "source"),
 )
 def stream_foreach_batch_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
 
     from ..streaming import read_events_stream
     from ..streaming.ops import run_stream_foreach_batch_parquet
+    from .sources_plans import _tmp
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    # pid-scoped like sources_plans._tmp: concurrent sessions must not
-    # rmtree each other's in-flight sink/checkpoint dirs
-    path = f"/tmp/spark_graft_fb_{os.getpid()}_{tag}"
+    # pid-scoped via the shared _tmp helper: concurrent sessions must
+    # not rmtree each other's in-flight sink/checkpoint dirs
+    path = _tmp(sf_dir, "fb")
     for p in (path, path + "_ckpt"):
         shutil.rmtree(p, ignore_errors=True)
     sdf = read_events_stream(spark, sf_dir).where(F.col("value") > 50.0)
@@ -275,11 +274,11 @@ def stream_static_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def stream_update_mode_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/spark_graft_upd_{os.getpid()}_{tag}"
+    from .sources_plans import _tmp
+
+    path = _tmp(sf_dir, "upd")
     for p in (path, path + "_ckpt"):
         shutil.rmtree(p, ignore_errors=True)
 

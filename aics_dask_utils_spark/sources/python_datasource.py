@@ -189,11 +189,19 @@ class GraftFileWriter(DataSourceWriter):
             name = os.path.basename(m.path)
             os.replace(m.path, os.path.join(self.path, name))
             names.append(name)
-        manifest = {
-            "files": sorted(names),
-            "total_rows": int(sum(m.n_rows for m in messages if m is not None)),
-        }
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        total = int(sum(m.n_rows for m in messages if m is not None))
+        # append mode MERGES with the prior committed manifest — a
+        # second append must not orphan the first write's rows from the
+        # manifest-trusting read path (overwrite already cleared both
+        # the files and the manifest driver-side in __init__)
+        success = os.path.join(self.path, "_SUCCESS")
+        if not self.overwrite and os.path.exists(success):
+            with open(success, "r", encoding="utf-8") as f:
+                prior = json.load(f)
+            names = sorted(set(prior.get("files", [])) | set(names))
+            total += int(prior.get("total_rows", 0))
+        manifest = {"files": sorted(names), "total_rows": total}
+        with open(success, "w") as f:
             json.dump(manifest, f)
         shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
 
@@ -319,12 +327,25 @@ class GraftStreamFileWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         import json
         import os
+        import shutil
 
+        # A REPLAYED batch id (restart between commit and the engine
+        # recording the epoch) first retracts the files its previous
+        # attempt promoted — otherwise they'd linger in the output root
+        # unreferenced by any manifest, and a suffix-globbing consumer
+        # would read duplicate rows.
+        mpath = os.path.join(self.path, f"_manifest-{batchId:010d}.json")
+        if os.path.exists(mpath):
+            with open(mpath, "r", encoding="utf-8") as f:
+                prior = json.load(f)
+            for name in prior.get("files", []):
+                old = os.path.join(self.path, name)
+                if os.path.exists(old):
+                    os.remove(old)
         # promote the staged files this epoch's successful attempts
         # named, THEN publish the per-epoch manifest; dead attempts'
-        # orphans stay invisible in _staging. A replayed batch id
-        # re-promotes fresh files and overwrites its own manifest, so
-        # manifest-trusting readers still get exactly-once.
+        # orphans stay invisible in _staging and are swept below
+        # (micro-batches are sequential, so nothing else is staging).
         names = []
         for m in messages:
             if m is None or not m.path:
@@ -337,12 +358,18 @@ class GraftStreamFileWriter(DataSourceStreamWriter):
             "files": sorted(names),
             "rows": int(sum(m.n_rows for m in messages if m is not None)),
         }
-        with open(os.path.join(self.path, f"_manifest-{batchId:010d}.json"), "w") as f:
+        with open(mpath, "w") as f:
             json.dump(manifest, f)
+        shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
 
     def abort(self, messages, batchId: int) -> None:
         import os
+        import shutil
 
+        # sweep the whole staging dir, not just message-named files: a
+        # task that died mid-write has no commit message, and batches
+        # are sequential so no other epoch is staging concurrently
+        shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
         for m in messages:
             if m and m.path and os.path.exists(m.path):
                 os.remove(m.path)

@@ -183,7 +183,8 @@ def _run_isolated(names: list[str]) -> tuple[dict[str, float], int]:
     groups = _groups(names)
     skipped = 0
     for i, _group in enumerate(groups):
-        if time.monotonic() - _T_START > BUDGET_SEC:
+        remaining = BUDGET_SEC - (time.monotonic() - _T_START)
+        if remaining <= 0:
             skipped = len(groups) - i
             print(
                 f"bench budget {BUDGET_SEC}s exhausted; skipping "
@@ -191,17 +192,23 @@ def _run_isolated(names: list[str]) -> tuple[dict[str, float], int]:
                 file=sys.stderr,
             )
             break
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--isolated-worker", str(i)],
-            capture_output=True,
-            text=True,
-            timeout=900,
-        )
         try:
+            # cap the worker at the remaining budget (+ grace for JVM
+            # startup/teardown) so one stuck group can't push the bench
+            # arbitrarily past BUDGET_SEC; a timed-out or crashed
+            # worker drops its group's numbers, never the whole record
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--isolated-worker", str(i)],
+                capture_output=True,
+                text=True,
+                timeout=remaining + 120,
+            )
             last = proc.stdout.strip().splitlines()[-1]
             merged.update(json.loads(last))
             _LIVE["queries_isolated"] = dict(merged)
             _LIVE["isolated_total_sec"] = round(sum(merged.values()), 4)
+        except subprocess.TimeoutExpired:
+            print(f"isolated worker {i} timed out; dropping its group", file=sys.stderr)
         except (IndexError, json.JSONDecodeError):
             print(
                 f"isolated worker {i} failed (rc={proc.returncode}): "
@@ -233,6 +240,14 @@ def main() -> None:
     import signal
 
     signal.signal(signal.SIGTERM, _emit_partial_and_exit)
+    _sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        _sf_val = float(_sf)
+    except ValueError:
+        _sf_val = SF_DIR
+    _LIVE.update(
+        {"metric": "headline_queries_total_sec", "unit": "sec", "sf": _sf_val}
+    )
     run_isolated = (
         "--no-isolated" not in sys.argv
         and os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0"
@@ -264,13 +279,12 @@ def main() -> None:
     timings["handler_batched_map_10k"] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf else SF_DIR,
+        "sf": _sf_val,
     }
     _LIVE.update(out)
     spark.stop()

@@ -266,3 +266,63 @@ def test_python_sink_overwrite_clears_stale_parts(spark, tmp_path):
         if f.endswith(".graft"):
             rows += open(os.path.join(path, f)).read().splitlines()
     assert len(rows) == 10  # stale 50-row write fully replaced
+
+
+def test_graftsink_append_merges_manifest(spark, tmp_path):
+    """Two mode('append') writes to the same graftsink path must leave
+    a _SUCCESS manifest covering BOTH writes' files — the
+    manifest-trusting read path would otherwise silently drop the
+    first write's rows."""
+    from aics_dask_utils_spark.sources.python_datasource import (
+        read_graft_manifest,
+        register_graftsink,
+    )
+
+    register_graftsink(spark)
+    out = str(tmp_path / "sink")
+    df1 = spark.range(0, 10).selectExpr("id", "concat('a', id) AS s")
+    df2 = spark.range(10, 25).selectExpr("id", "concat('b', id) AS s")
+    df1.coalesce(2).write.format("graftsink").option("path", out).mode("append").save()
+    df2.coalesce(2).write.format("graftsink").option("path", out).mode("append").save()
+    files = read_graft_manifest(out)
+    lines = [ln for f in files for ln in open(f).read().splitlines()]
+    ids = sorted(int(ln.split("\x1f")[0]) for ln in lines)
+    assert ids == list(range(25))
+    # and overwrite resets the manifest to just the new write
+    df1.coalesce(1).write.format("graftsink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    files = read_graft_manifest(out)
+    lines = [ln for f in files for ln in open(f).read().splitlines()]
+    assert sorted(int(ln.split("\x1f")[0]) for ln in lines) == list(range(10))
+
+
+def test_graftsink_stream_replayed_epoch_retracts_prior_files(tmp_path):
+    """A replayed micro-batch id must retract the files its previous
+    commit promoted before promoting fresh ones: the exactly-once
+    contract for suffix-globbing consumers, not just manifest readers."""
+    import json
+    import os
+
+    from aics_dask_utils_spark.sources.python_datasource import (
+        GraftStreamFileWriter,
+        _PartCommit,
+    )
+
+    out = str(tmp_path / "stream_sink")
+    w = GraftStreamFileWriter({"path": out})
+    # first attempt of epoch 3
+    m1 = w.write(iter([(1, "x"), (2, "y")]))
+    w.commit([m1], 3)
+    first_files = set(json.load(open(os.path.join(out, "_manifest-0000000003.json")))["files"])
+    assert all(os.path.exists(os.path.join(out, f)) for f in first_files)
+    # replay of epoch 3 (restart between commit and offset record)
+    m2 = w.write(iter([(1, "x"), (2, "y")]))
+    w.commit([m2], 3)
+    second_files = set(json.load(open(os.path.join(out, "_manifest-0000000003.json")))["files"])
+    on_disk = {f for f in os.listdir(out) if f.endswith(".graft")}
+    assert on_disk == second_files, "prior attempt's promoted files must be retracted"
+    # abort sweeps staged orphans (task died mid-write, no message)
+    w.write(iter([(9, "z")]))
+    w.abort([], 4)
+    assert not os.path.isdir(os.path.join(out, "_staging"))
