@@ -22,7 +22,11 @@ Two passes, both in the JSON:
   (subprocess workers, same warm-up + best-of-2 protocol) — the
   cross-query contamination control that round 3 ran by hand to
   root-cause the TPC-H drift, now standing. A real regression moves
-  BOTH numbers; session noise moves only one.
+  BOTH numbers; session noise moves only one. Protocol caveat:
+  sub-second queries read ~1.3-1.8x higher isolated than in-session
+  (a fresh JVM's JIT/codegen is colder and 7 queries amortize less
+  than 50), while expensive queries read ~1.0x — compare isolated
+  against isolated across rounds, never against in-session.
 
 ``--no-isolated`` (or SPARK_GRAFT_BENCH_ISOLATED=0) skips the second
 pass; ``--isolated-worker I`` is the internal per-group entry point.
