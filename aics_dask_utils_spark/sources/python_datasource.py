@@ -109,6 +109,23 @@ class _PartCommit(WriterCommitMessage):
 _STAGING_DIR = "_staging"
 
 
+def _write_manifest_atomic(mpath: str, manifest: dict) -> None:
+    """Manifests are the commit point of the protocol, so their write
+    must itself be atomic: dump to a temp file in the same directory
+    and rename over the target (POSIX rename atomicity). A crash
+    mid-write leaves the OLD manifest intact instead of a truncated
+    JSON that would fail every subsequent read."""
+    import json
+    import os
+
+    tmp = mpath + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, mpath)
+
+
 def read_graft_manifest(path: str) -> list[str]:
     """Resolve the committed file list of a graftsink output directory.
 
@@ -200,9 +217,7 @@ class GraftFileWriter(DataSourceWriter):
                 prior = json.load(f)
             names = sorted(set(prior.get("files", [])) | set(names))
             total += int(prior.get("total_rows", 0))
-        manifest = {"files": sorted(names), "total_rows": total}
-        with open(success, "w") as f:
-            json.dump(manifest, f)
+        _write_manifest_atomic(success, {"files": sorted(names), "total_rows": total})
         shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
 
     def abort(self, messages) -> None:
@@ -353,13 +368,14 @@ class GraftStreamFileWriter(DataSourceStreamWriter):
             name = os.path.basename(m.path)
             os.replace(m.path, os.path.join(self.path, name))
             names.append(name)
-        manifest = {
-            "batch_id": int(batchId),
-            "files": sorted(names),
-            "rows": int(sum(m.n_rows for m in messages if m is not None)),
-        }
-        with open(mpath, "w") as f:
-            json.dump(manifest, f)
+        _write_manifest_atomic(
+            mpath,
+            {
+                "batch_id": int(batchId),
+                "files": sorted(names),
+                "rows": int(sum(m.n_rows for m in messages if m is not None)),
+            },
+        )
         shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
 
     def abort(self, messages, batchId: int) -> None:

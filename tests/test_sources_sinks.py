@@ -326,3 +326,62 @@ def test_graftsink_stream_replayed_epoch_retracts_prior_files(tmp_path):
     w.write(iter([(9, "z")]))
     w.abort([], 4)
     assert not os.path.isdir(os.path.join(out, "_staging"))
+
+
+def test_graftsink_protocol_random_sequences(tmp_path):
+    """Property: after ANY sequence of append/overwrite writes, failed
+    (aborted) attempts, and epoch replays, the manifest-driven read
+    yields exactly the logically-committed rows — no loss, no dupes.
+    Drives the writer classes directly (no Spark) so hypothesis can
+    explore many sequences fast."""
+    import json
+    import os
+
+    from hypothesis import given, settings, strategies as st
+
+    from aics_dask_utils_spark.sources.python_datasource import (
+        GraftFileWriter,
+        read_graft_manifest,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["append", "overwrite", "abort"]),
+                st.lists(st.integers(0, 999), min_size=0, max_size=5),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+    )
+    def run(seq):
+        import uuid
+
+        # fresh dir per example — hypothesis replays/shrinks must not
+        # see a previous example's committed files
+        out = str(tmp_path / f"case_{uuid.uuid4().hex}")
+        expected: list[int] = []
+        for op, rows in seq:
+            w = GraftFileWriter({"path": out}, overwrite=(op == "overwrite"))
+            msgs = [w.write(iter([(r, f"v{r}") for r in rows]))]
+            if op == "abort":
+                w.abort(msgs)
+            else:
+                w.commit(msgs)
+                expected = rows if op == "overwrite" else expected + rows
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            assert expected == []
+            return
+        got = [
+            int(ln.split("\x1f")[0])
+            for f in read_graft_manifest(out)
+            for ln in open(f).read().splitlines()
+        ]
+        assert sorted(got) == sorted(expected)
+        # no unreferenced .graft files in the committed root
+        manifest = set(json.load(open(os.path.join(out, "_SUCCESS")))["files"])
+        on_disk = {f for f in os.listdir(out) if f.endswith(".graft")}
+        assert on_disk == manifest
+
+    run()
