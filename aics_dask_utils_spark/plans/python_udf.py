@@ -232,7 +232,12 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, term string, term_len int")
+    # useArrow: plans as ArrowEvalPythonUDTF — rows cross the Python
+    # boundary in Arrow batches instead of pickled one-at-a-time
+    # (BatchEvalPythonUDTF), same contract as every other Python
+    # surface in this repo; eval() itself is still called per row, as
+    # the UDTF API defines.
+    @udtf(returnType="doc_id bigint, term string, term_len int", useArrow=True)
     class LongTerms:
         def eval(self, doc_id: int, text: str):
             for term in text.strip().lower().split():

@@ -419,21 +419,23 @@ _SLOW = __import__("os").environ.get("SPARK_GRAFT_SLOW") == "1"
 
 
 @pytest.mark.skipif(
-    not _SLOW, reason="set SPARK_GRAFT_SLOW=1 for the window-wide anti-pattern sweep"
+    not _SLOW, reason="set SPARK_GRAFT_SLOW=1 for the registry-wide anti-pattern sweep"
 )
-def test_attestation_window_free_of_scale_antipatterns(spark):
-    """Red-bar sweep over the ENTIRE 50-plan driver-attestation window:
-    no plan may contain a CartesianProduct (the all-pairs 100 TB
-    killer) or BatchEvalPython (row-at-a-time Python — everything
-    Python must be Arrow-batched: ArrowEvalPython / MapInPandas /
-    FlatMapGroupsInPandas). Streaming-backed plans are exercised too:
-    their fn() drains the stream and the pin applies to the returned
-    batch plan. Verified clean round 4; this keeps it that way."""
+def test_registry_free_of_scale_antipatterns(spark):
+    """Red-bar sweep over EVERY registered plan: none may contain a
+    CartesianProduct (the all-pairs 100 TB killer; the deliberate
+    cross joins plan as broadcast nested-loop over a tiny side, which
+    is allowed) or BatchEvalPython[UDTF] (row-at-a-time pickled Python
+    — everything Python must be Arrow-batched: ArrowEvalPython /
+    ArrowEvalPythonUDTF / MapInPandas / FlatMapGroupsInPandas).
+    Streaming-backed plans are exercised too: their fn() drains the
+    stream and the pin applies to the returned batch plan. Verified
+    clean across all 224 plans in round 4; this keeps it that way."""
     from aics_dask_utils_spark.plans import all_plans
 
     plans = all_plans()
     bad = []
-    for name in list(plans)[:50]:
+    for name in plans:
         df = plans[name].fn(spark, "/root/testdata/sf0.001")
         p = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in p:
