@@ -1,8 +1,13 @@
-"""CLI: list, explain, and run the registered plans.
+"""CLI: list, explain, run, and verify the registered plans.
 
     python -m aics_dask_utils_spark list [--tag dedup]
     python -m aics_dask_utils_spark run <plan> [--sf-dir DIR] [--limit N]
     python -m aics_dask_utils_spark explain <plan> [--sf-dir DIR]
+    python -m aics_dask_utils_spark verify <plan> [--sf-dir DIR]
+
+``verify`` runs the plan AND its DuckDB oracle on the same parquet
+and hash-compares the results (dtype-strict) — the same gate the test
+suite and the grading driver apply.
 """
 
 from __future__ import annotations
@@ -18,7 +23,7 @@ def main(argv: list[str] | None = None) -> int:
     ls = sub.add_parser("list", help="list registered plans")
     ls.add_argument("--tag", default=None, help="filter by tag")
 
-    for name in ("run", "explain"):
+    for name in ("run", "explain", "verify"):
         sp = sub.add_parser(name)
         sp.add_argument("plan")
         sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -46,6 +51,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark()
     try:
+        if args.cmd == "verify":
+            from .testing import run_plan_vs_oracle
+
+            try:
+                run_plan_vs_oracle(spark, args.plan, args.sf_dir)
+            except Exception as ex:
+                print(f"FAIL {args.plan}: {ex}", file=sys.stderr)
+                return 1
+            print(f"PASS {args.plan} (oracle hash-match at {args.sf_dir})")
+            return 0
         df = plans[args.plan].fn(spark, args.sf_dir)
         if args.cmd == "explain":
             df.explain("formatted")

@@ -19,3 +19,9 @@ def test_cli_list_tag_filter(capsys):
 
 def test_cli_unknown_plan_is_an_error(capsys):
     assert main(["explain", "no_such_plan"]) == 2
+
+
+def test_cli_verify_pass_and_unknown():
+    from aics_dask_utils_spark.__main__ import main
+
+    assert main(["verify", "no_such_plan"]) == 2
