@@ -59,7 +59,11 @@ def main(argv: list[str] | None = None) -> int:
             except Exception as ex:
                 print(f"FAIL {args.plan}: {ex}", file=sys.stderr)
                 return 1
-            print(f"PASS {args.plan} (oracle hash-match at {args.sf_dir})")
+            if plans[args.plan].oracle is None:
+                # no SQL oracle registered: only the rows-only check ran
+                print(f"PASS {args.plan} (rows-only check at {args.sf_dir})")
+            else:
+                print(f"PASS {args.plan} (oracle hash-match at {args.sf_dir})")
             return 0
         df = plans[args.plan].fn(spark, args.sf_dir)
         if args.cmd == "explain":

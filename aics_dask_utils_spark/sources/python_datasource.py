@@ -118,7 +118,11 @@ def _write_manifest_atomic(mpath: str, manifest: dict) -> None:
     import json
     import os
 
-    tmp = mpath + ".tmp"
+    # dot-prefixed temp name: a crash between open and replace must
+    # not leave a file that prefix-scanning consumers (startswith
+    # "_manifest-" / "_SUCCESS") or suffix globs could pick up
+    d, base = os.path.split(mpath)
+    tmp = os.path.join(d, f".{base}.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(manifest, f)
         f.flush()
@@ -152,7 +156,10 @@ class GraftFileWriter(DataSourceWriter):
     leaves its partial file in ``_staging/`` where neither commit()
     nor a manifest-driven reader (``read_graft_manifest``) can see
     it — the same visibility contract as Spark's own file commit
-    protocol."""
+    protocol. Overwrite is atomic at the manifest swap: the prior
+    committed files are retracted only AFTER the new manifest is in
+    place, so a failed or aborted overwrite leaves the previous
+    committed table fully readable."""
 
     def __init__(self, options, overwrite: bool):
         import os
@@ -162,14 +169,12 @@ class GraftFileWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("graftsink requires .option('path', ...)")
         self.overwrite = overwrite
-        if overwrite and os.path.isdir(self.path):
-            # honor mode('overwrite') here on the driver, before any
-            # task writes: clear prior part files, the manifest, and
-            # stale staging leftovers so a manifest re-read cannot mix
-            # old rows with the new write
-            for f in os.listdir(self.path):
-                if f.endswith(".graft") or f == "_SUCCESS":
-                    os.remove(os.path.join(self.path, f))
+        # Overwrite must NOT destroy the prior committed state here:
+        # the write hasn't committed yet, and a failed overwrite has to
+        # leave the previous manifest + files readable (atomic
+        # overwrite = retraction happens inside commit(), after the new
+        # manifest swaps in). Only stale staging leftovers are cleared.
+        if os.path.isdir(self.path):
             shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
 
     def write(self, iterator) -> _PartCommit:
@@ -207,17 +212,28 @@ class GraftFileWriter(DataSourceWriter):
             os.replace(m.path, os.path.join(self.path, name))
             names.append(name)
         total = int(sum(m.n_rows for m in messages if m is not None))
-        # append mode MERGES with the prior committed manifest — a
-        # second append must not orphan the first write's rows from the
-        # manifest-trusting read path (overwrite already cleared both
-        # the files and the manifest driver-side in __init__)
         success = os.path.join(self.path, "_SUCCESS")
-        if not self.overwrite and os.path.exists(success):
+        prior_files: set[str] = set()
+        if os.path.exists(success):
             with open(success, "r", encoding="utf-8") as f:
                 prior = json.load(f)
-            names = sorted(set(prior.get("files", [])) | set(names))
-            total += int(prior.get("total_rows", 0))
+            prior_files = set(prior.get("files", []))
+            if not self.overwrite:
+                # append mode MERGES with the prior committed manifest —
+                # a second append must not orphan the first write's rows
+                # from the manifest-trusting read path
+                names = sorted(prior_files | set(names))
+                total += int(prior.get("total_rows", 0))
         _write_manifest_atomic(success, {"files": sorted(names), "total_rows": total})
+        if self.overwrite:
+            # retraction AFTER the new manifest swapped in: a crash at
+            # any earlier point leaves the old manifest + files fully
+            # readable (atomic overwrite); leftover old files after the
+            # swap are invisible to manifest-trusting readers
+            for name in prior_files - set(names):
+                old = os.path.join(self.path, name)
+                if os.path.exists(old):
+                    os.remove(old)
         shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
 
     def abort(self, messages) -> None:

@@ -421,7 +421,7 @@ _SLOW = __import__("os").environ.get("SPARK_GRAFT_SLOW") == "1"
 @pytest.mark.skipif(
     not _SLOW, reason="set SPARK_GRAFT_SLOW=1 for the registry-wide anti-pattern sweep"
 )
-def test_registry_free_of_scale_antipatterns(spark):
+def test_registry_free_of_scale_antipatterns(spark, sf_dir):
     """Red-bar sweep over EVERY registered plan: none may contain a
     CartesianProduct (the all-pairs 100 TB killer; the deliberate
     cross joins plan as broadcast nested-loop over a tiny side, which
@@ -433,11 +433,9 @@ def test_registry_free_of_scale_antipatterns(spark):
     clean across all 224 plans in round 4; this keeps it that way."""
     from aics_dask_utils_spark.plans import all_plans
 
-    plans = all_plans()
     bad = []
-    for name in plans:
-        df = plans[name].fn(spark, "/root/testdata/sf0.001")
-        p = df._jdf.queryExecution().executedPlan().toString()
+    for name in all_plans():
+        p = _formatted(spark, name, sf_dir)
         if "CartesianProduct" in p:
             bad.append((name, "CartesianProduct"))
         if "BatchEvalPython" in p:

@@ -329,9 +329,11 @@ def test_graftsink_stream_replayed_epoch_retracts_prior_files(tmp_path):
 
 
 def test_graftsink_protocol_random_sequences(tmp_path):
-    """Property: after ANY sequence of append/overwrite writes, failed
-    (aborted) attempts, and epoch replays, the manifest-driven read
-    yields exactly the logically-committed rows — no loss, no dupes.
+    """Property: after ANY sequence of append/overwrite writes and
+    failed (aborted) attempts in either mode, the manifest-driven read
+    yields exactly the logically-committed rows — no loss, no dupes —
+    and the committed root holds no unreferenced part files. (Stream
+    EPOCH REPLAY retraction is covered by the directed test above.)
     Drives the writer classes directly (no Spark) so hypothesis can
     explore many sequences fast."""
     import json
@@ -348,7 +350,9 @@ def test_graftsink_protocol_random_sequences(tmp_path):
     @given(
         st.lists(
             st.tuples(
-                st.sampled_from(["append", "overwrite", "abort"]),
+                st.sampled_from(
+                    ["append", "overwrite", "abort_append", "abort_overwrite"]
+                ),
                 st.lists(st.integers(0, 999), min_size=0, max_size=5),
             ),
             min_size=1,
@@ -363,9 +367,14 @@ def test_graftsink_protocol_random_sequences(tmp_path):
         out = str(tmp_path / f"case_{uuid.uuid4().hex}")
         expected: list[int] = []
         for op, rows in seq:
-            w = GraftFileWriter({"path": out}, overwrite=(op == "overwrite"))
+            w = GraftFileWriter(
+                {"path": out}, overwrite=op.endswith("overwrite")
+            )
             msgs = [w.write(iter([(r, f"v{r}") for r in rows]))]
-            if op == "abort":
+            if op.startswith("abort"):
+                # a failed write — in EITHER mode — must leave the
+                # previously committed table untouched (atomic
+                # overwrite: retraction only happens inside commit)
                 w.abort(msgs)
             else:
                 w.commit(msgs)
