@@ -18,6 +18,16 @@ scale:
   executor loss; this is the 100 TB-safe default for long iterative
   jobs. See ``docs/scale_design.md`` ("Iterative lineage & fault
   tolerance").
+
+Disk lifecycle of reliable checkpoints: Spark never deletes a
+``checkpoint()`` file on its own unless
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set, so a
+long loop otherwise accumulates one fully-materialized frame per round
+in the checkpoint dir. Set that conf (it deletes a round's files once
+the frame is garbage-collected on the driver, i.e. once the loop's
+next round drops its reference) for long CC/PageRank runs, or point
+``setCheckpointDir`` at a path with a storage-lifecycle/TTL rule and
+reap it after the job.
 """
 
 from __future__ import annotations

@@ -467,11 +467,15 @@ def connected_components_star(
 
     def _sig(df: DataFrame):
         # Order-insensitive convergence signature: one tiny aggregate vs
-        # an exceptAll (an extra full shuffle) per round.
+        # an exceptAll (an extra full shuffle) per round. The hash sums
+        # accumulate in decimal(38,0): summing raw 64-bit xxhash64 values
+        # overflows BIGINT almost surely, which ANSI mode (the Spark 4
+        # default) turns into ARITHMETIC_OVERFLOW — only a stable set
+        # digest is needed, never wraparound semantics.
         return df.agg(
             F.count(F.lit(1)),
-            F.sum(F.xxhash64("u", "v")),
-            F.sum(F.xxhash64("v", "u")),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("v", "u").cast("decimal(38,0)")),
         ).first()
 
     prev = _sig(e)

@@ -60,88 +60,36 @@ def register(
 # ``queries()`` yields them and has only ever reached the FIRST 50.
 # ``PRIORITY_WINDOW`` pins that order deliberately, re-cut each round:
 #
-# Round-4 cut. After round 3 the driver gate went 50/50 green and every
-# previously-reported failure is attested fixed; 143 of 224 plans carry
-# a green CORRECTNESS row, 81 have never been inside the window. This
-# cut spends ALL 50 slots on never-attested plans:
+# Round-5 cut — the full-registry-attestation closer. After round 4
+# the gate went 49/50 (the one failure: dedup_components_star, ANSI
+# overflow, fixed this round); cumulatively 192/224 plans carry a
+# green CORRECTNESS row and exactly 31 have never been in a window.
 #
-#   slots 1-22: the five SURVEY §2b rows with no green row at all —
-#     E68 (pure-Python DataSource connector matrix), E69 (LATERAL /
-#     SQL UDF / recursive CTE / XML), E70 (deterministic model stats
-#     incl. the CMS heavy-hitters bound), E72 (collation / LISTAGG /
-#     session variables / Observation) — plus E43's native
-#     F.session_window plans, the PIT join, the one-scan table
-#     profiler, and the left/full-outer stream-stream joins.
-#   slots 23-50: one-per-family representatives of every remaining
-#     never-checked surface (skew-salted join, mapInPandas, top-k per
-#     group, window distributions, conditionals, null-safe scalars,
-#     array HOFs, centroid ops, n-gram/simhash/cosine/edit-distance
-#     dedup, star CC, null-text edge case, langid, fingerprint, PII,
-#     tumbling windows, z-score anomaly, sequence pattern match, audio
-#     frames, foreachBatch + update-mode streaming, JSON round-trip,
-#     MERGE upsert, z-order write, multiprobe ANN, A-ES weighted
-#     sampling).
+#   slot 1: dedup_components_star — the round-4 failure, re-attested
+#     first (convergence signature now sums xxhash64 as decimal(38,0)).
+#   slots 2-32: the 31 never-attested plans (round-4's queue slots
+#     51-81, promoted verbatim) — closes attestation for every plan
+#     registered through round 4.
+#   slots 33-37: the five round-5 additions (SQL scripting loop,
+#     GROUP/ORDER BY ALL, one-scan correlation matrix, Gram-matrix
+#     PCA, per-lang calibrated quality gate) — new plans always enter
+#     the registry INSIDE the window so none is ever unattested.
+#   slots 38-40: the pure-Python connector matrix, re-attested because
+#     its commit protocol changed this round (job-scoped staging,
+#     locked manifest merge, promote-before-retract epoch replay).
+#   slots 41-50: insurance re-attests of the ten most intricate
+#     already-green plans (stateful streaming, stream-stream join,
+#     incremental dedup, image dedup, k-means, CDC, SCD2, span dedup,
+#     corpus pipeline, MinHash LSH).
 #
-# Slots 51-81: the remaining 31 never-checked plans — the round-5
-# window inherits these, so full-registry attestation lands by r5.
-# Slots 82+: the 143 already-attested plans via registration order.
-# ``WINDOW_CRITICAL`` below is guard-tested to sit inside the first 50.
+# Slots 51+: every remaining plan (all driver-attested r1-r4) in
+# registration order. ``WINDOW_CRITICAL`` below is guard-tested to sit
+# inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-22: unattested SURVEY rows (E68/E69/E70/E72, E43
-    #    native sessions, PIT, profiler, outer stream-stream joins) --
-    "source_python_datasource",
-    "sink_python_datasource_roundtrip",
-    "stream_python_source_exec",
-    "join_lateral_topn",
-    "scalar_sql_udf",
-    "graph_reachability_recursive_cte",
-    "source_xml_roundtrip",
-    "udtf_sql_table_function",
-    "agg_regression_per_group",
-    "agg_mutual_info",
-    "agg_two_level_rollup",
-    "agg_cms_heavy_hitters",
-    "scalar_collation_group",
-    "agg_listagg_report",
-    "sql_session_variables",
-    "pipeline_observe_metrics",
-    "events_session",
-    "events_session_dynamic_gap",
-    "join_point_in_time",
-    "agg_table_profile",
-    "stream_stream_left_join_exec",
-    "stream_stream_full_outer_join_exec",
-    # -- slots 23-50: never-checked family representatives --
-    "join_skew_salted",
-    "udf_map_in_pandas",
-    "topk_per_group",
-    "window_distribution",
-    "scalar_conditional",
-    "scalar_null_safe",
-    "array_basics",
-    "embedding_centroids",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
+    # -- slot 1: the r4 failure, fixed --
     "dedup_components_star",
-    "dedup_edit_distance",
-    "dedup_null_text",
-    "text_langid",
-    "text_fingerprint",
-    "text_pii_redact",
-    "events_tumbling",
-    "events_anomaly_zscore",
-    "events_pattern_match",
-    "multimodal_audio_frames",
-    "stream_foreach_batch_exec",
-    "stream_update_mode_exec",
-    "source_json_roundtrip",
-    "sink_upsert_merge",
-    "sink_zorder_clustered",
-    "ann_topk_multiprobe",
-    "sample_weighted_per_group",
-    # -- slots 51-81: the r5 queue (remaining never-checked plans) --
+    # -- slots 2-32: the last 31 never-attested plans --
     "window_trailing_range",
     "scalar_math",
     "scalar_json",
@@ -173,36 +121,76 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_unigram_lm_score",
     "pipeline_token_budget",
     "dedup_repeated_chunks",
-)
-
-#: Names that MUST occupy one of the first 50 (driver-checked) slots
-#: this round: the plans that give the five never-attested SURVEY rows
-#: (E68/E69/E70/E72 + E43's native session windows) and the round-3
-#: additions their first driver look. Guard-tested in
-#: tests/test_plan_quality.py so a slot can never silently slip below
-#: the window cut.
-WINDOW_CRITICAL: frozenset[str] = frozenset({
+    # -- slots 33-37: round-5 additions (attested the round they land) --
+    "sql_scripting_batch",
+    "sql_group_by_all",
+    "agg_corr_matrix",
+    "embedding_pca_gram",
+    "text_quality_calibrated",
+    # -- slots 38-40: connector matrix on the hardened r5 protocol --
     "source_python_datasource",
     "sink_python_datasource_roundtrip",
     "stream_python_source_exec",
-    "join_lateral_topn",
-    "scalar_sql_udf",
-    "graph_reachability_recursive_cte",
-    "source_xml_roundtrip",
-    "agg_regression_per_group",
-    "agg_mutual_info",
-    "agg_two_level_rollup",
-    "agg_cms_heavy_hitters",
-    "scalar_collation_group",
-    "agg_listagg_report",
-    "sql_session_variables",
-    "pipeline_observe_metrics",
-    "events_session",
-    "events_session_dynamic_gap",
-    "join_point_in_time",
-    "agg_table_profile",
-    "stream_stream_left_join_exec",
-    "stream_stream_full_outer_join_exec",
+    # -- slots 41-50: insurance re-attests of the most intricate plans --
+    "stream_session_state_exec",
+    "stream_stream_join_exec",
+    "pipeline_incremental_dedup",
+    "multimodal_image_dedup",
+    "kmeans_embeddings",
+    "sink_cdc_apply",
+    "sink_scd2_history",
+    "text_span_dedup",
+    "pipeline_clean_corpus",
+    "dedup_minhash_lsh",
+)
+
+#: Names that MUST occupy one of the first 50 (driver-checked) slots
+#: this round: the re-attested r4 failure, the 31 never-attested
+#: plans whose green rows close full-registry attestation, the five
+#: round-5 additions, and the connector matrix whose protocol changed.
+#: Guard-tested in tests/test_plan_quality.py so a slot can never
+#: silently slip below the window cut.
+WINDOW_CRITICAL: frozenset[str] = frozenset({
+    "dedup_components_star",
+    "window_trailing_range",
+    "scalar_math",
+    "scalar_json",
+    "dedup_keep_first_per_source",
+    "ann_topk_brute",
+    "dedup_minhash_components",
+    "ann_topk_pandas",
+    "dedup_simhash_near",
+    "dedup_embedding_components",
+    "text_token_stats",
+    "text_top_bigrams",
+    "text_normalize_nfc",
+    "events_sliding",
+    "events_rate_per_type",
+    "events_daily_active",
+    "events_daily_growth",
+    "events_ewma",
+    "stream_session_exec",
+    "stream_stateful_count_exec",
+    "stream_sliding_exec",
+    "source_orc_roundtrip",
+    "sink_compacted_files",
+    "ann_topk_learned_ivf",
+    "ann_topk_pq",
+    "sample_bernoulli",
+    "sample_train_test_split",
+    "sample_balance_langs",
+    "sample_temperature_mix",
+    "text_unigram_lm_score",
+    "pipeline_token_budget",
+    "dedup_repeated_chunks",
+    "sql_scripting_batch",
+    "sql_group_by_all",
+    "agg_corr_matrix",
+    "embedding_pca_gram",
+    "text_quality_calibrated",
+    "source_python_datasource",
+    "sink_python_datasource_roundtrip",
+    "stream_python_source_exec",
 })
 
 

@@ -480,3 +480,88 @@ def ann_topk_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", m=16, codes_k=16, iters=2, k=10,
         n_dims=64, refine=50,
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_pca_gram — top principal component of the embedding cloud
+# via a ONE-PASS distributed Gram matrix + driver-side eigen-solve.
+#
+# Scale shape: the data pass reduces N vectors to a d x d Gram (d=64 →
+# 2,080 upper-triangle cells) through posexplode + an equi-join on
+# vec_id + one hash aggregate — every shuffle is keyed, nothing is
+# all-pairs over ROWS, and at 100 TB the reduce output is still 2,080
+# cells. The d x d eigen-solve is driver-side numpy on that tiny
+# matrix (a documented tiny-relation collect, like the k-means
+# centroid step); power iteration was rejected because synthetic
+# embeddings have a near-degenerate top eigen-gap, where it converges
+# arbitrarily slowly. Determinism: values quantize to integers
+# (round(v*1e6), the embedding_quantize idiom) so the Gram is
+# integer-EXACT — partial-agg order can't perturb it — and sums
+# accumulate in decimal(38,0) (ANSI-safe; |v|<0.6 keeps the final
+# trace well under int64). The oracle checks the exact integer trace
+# and vector count; the eigen outputs are certified by in-plan bounds
+# (residual ||Gv - λv|| <= 1e-9·λ; 0 < λ <= trace), the same
+# exact+bound contract as the sketch plans.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_pca_gram",
+    oracle="""
+    WITH q AS (
+      SELECT UNNEST(list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)))
+             AS qv
+      FROM embeddings
+    )
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+           CAST(SUM(qv * qv) AS BIGINT) AS trace_q,
+           TRUE AS resid_ok,
+           TRUE AS eig_bounded
+    FROM q
+    """,
+    doc="top principal component by one-pass integer-exact Gram matrix "
+    "+ driver-side eigen-solve on the d x d result; exact trace "
+    "oracle + in-plan eigen residual bound (E12/E70 deterministic "
+    "model stats)",
+    tags=("similarity", "stats"),
+)
+def embedding_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("bigint"),
+    )
+    e = emb.select("vec_id", F.posexplode(q).alias("i", "qv"))
+    a, b = e.alias("a"), e.alias("b")
+    gram = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(
+                (F.col("a.qv") * F.col("b.qv")).cast("decimal(38,0)")
+            ).alias("g")
+        )
+    )
+    cells = gram.collect()  # d*(d+1)/2 cells — metadata-sized, like the
+    # k-means centroid collect; the N-row data pass stayed distributed
+    d = 1 + max(c["i"] for c in cells)
+    G = np.zeros((d, d), dtype=np.float64)
+    for c in cells:
+        G[c["i"], c["j"]] = G[c["j"], c["i"]] = float(c["g"])
+    n_vecs = emb.count()
+    trace_q = int(sum(int(c["g"]) for c in cells if c["i"] == c["j"]))
+    # exact symmetric eigensolve on the tiny d x d matrix:
+    # deterministic (fixed input, no RNG) and immune to the
+    # near-degenerate eigen-gap that stalls power iteration
+    eigvals, eigvecs = np.linalg.eigh(G)
+    lam = float(eigvals[-1])
+    v = eigvecs[:, -1]
+    resid = float(np.linalg.norm(G @ v - lam * v))
+    resid_ok = bool(resid <= 1e-9 * max(lam, 1.0))
+    eig_bounded = bool(0.0 < lam <= float(trace_q) * (1.0 + 1e-12))
+    return spark.createDataFrame(
+        [(int(n_vecs), trace_q, resid_ok, eig_bounded)],
+        "n_vecs BIGINT, trace_q BIGINT, resid_ok BOOLEAN, eig_bounded BOOLEAN",
+    )

@@ -1371,3 +1371,106 @@ def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# --------------------------------------------------------------------------
+# agg_corr_matrix — full pairwise Pearson correlation matrix of the
+# lineitem measures in ONE scan: every pair's five moments (n, Sx, Sy,
+# Sxy, Sxx, Syy shared across pairs) accumulate as exact DECIMALs in a
+# single hash aggregate (map-side partial agg, one 1-row reduce), and
+# the correlations derive in double afterwards. The same
+# exact-decimal-moments trick as agg_regression_per_group, widened to
+# a matrix: order-independent, bit-identical cross-engine, and the
+# cost at 100 TB is ONE pass regardless of how many pairs are asked
+# for. stack() reshapes the 1-row wide result into (col_x, col_y,
+# corr) rows JVM-side.
+# --------------------------------------------------------------------------
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_matrix_oracle() -> str:
+    # DECIMAL(19,4) on the DuckDB side: width 19 forces INT128 internal
+    # math (a width-18 product overflows DuckDB's INT64 fast path),
+    # while Spark keeps (18,4) because its multiply needs p1+p2+1 <=
+    # 38. Both products are EXACT for 4-dp inputs (scale 8 result), so
+    # the declared precisions don't affect the values.
+    sums = ",\n             ".join(
+        f"SUM(CAST({c} AS DECIMAL(19,4))) AS s_{c}" for c in _CORR_COLS
+    )
+    prods = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            prods.append(
+                f"SUM(CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4)))"
+                f" AS s_{a}_{b}"
+            )
+    prods_sql = ",\n             ".join(prods)
+    rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            rows.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y,\n"
+                f"  ROUND((n * CAST(s_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))\n"
+                f"   / SQRT((n * CAST(s_{a}_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))\n"
+                f"        * (n * CAST(s_{b}_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)"
+                f" AS corr_r\n  FROM m"
+            )
+    union = "\n  UNION ALL\n  ".join(rows)
+    return f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             {sums},
+             {prods_sql}
+      FROM lineitem
+    )
+    SELECT * FROM ({union}) ORDER BY col_x, col_y
+    """
+
+
+@register(
+    "agg_corr_matrix",
+    oracle=_corr_matrix_oracle(),
+    doc="pairwise Pearson correlation matrix of 4 lineitem measures in "
+    "ONE scan: shared exact-decimal moments in a single hash "
+    "aggregate, correlations derived in double, stack() to long form "
+    "(E22 deterministic association stats)",
+    tags=("agg", "stats"),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(18,4)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(dec[c]).alias(f"s_{c}") for c in _CORR_COLS]
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            aggs.append(F.sum(dec[a] * dec[b]).alias(f"s_{a}_{b}"))
+    m = li.agg(*aggs)
+
+    def _corr(a: str, b: str):
+        n = F.col("n")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sab = F.col(f"s_{a}_{b}").cast("double")
+        saa = F.col(f"s_{a}_{a}").cast("double")
+        sbb = F.col(f"s_{b}_{b}").cast("double")
+        return F.round(
+            (n * sab - sa * sb)
+            / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+            6,
+        )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    stack_args: list = []
+    for a, b in pairs:
+        stack_args += [F.lit(a), F.lit(b), _corr(a, b)]
+    return (
+        m.select(
+            F.stack(F.lit(len(pairs)), *stack_args).alias("col_x", "col_y", "corr_r")
+        )
+        .orderBy("col_x", "col_y")
+    )

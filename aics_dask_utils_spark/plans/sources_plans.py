@@ -775,9 +775,10 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each partition executor-side as a staged part file and returns a "
     "commit message; the driver's commit() publishes a _SUCCESS "
     "manifest (files + total rows) — the two-phase commit protocol "
-    "every object-store sink follows: parts stage under _staging/, "
-    "commit() promotes only message-named files, abort() drops the "
-    "staging dir. The read-back trusts the manifest's file list (never "
+    "every object-store sink follows: parts stage under the job's "
+    "_staging-<jobid>/, commit() promotes only message-named files, "
+    "abort() drops the staging dir. The read-back trusts the "
+    "manifest's file list (never "
     "a glob — a mid-write task death leaves partial files a glob would "
     "read), parses relationally, and the per-lang aggregate "
     "hash-matches an oracle over the original parquet — lossless "
@@ -787,7 +788,7 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    from ..sources.python_datasource import read_graft_manifest, register_graftsink
+    from ..sources.python_datasource import read_graft_table, register_graftsink
 
     register_graftsink(spark)
     docs = load_table(spark, sf_dir, "documents").select(
@@ -796,7 +797,7 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     path = _tmp(sf_dir, "pysink")
     shutil.rmtree(path, ignore_errors=True)
     docs.write.format("graftsink").option("path", path).mode("append").save()
-    raw = spark.read.text(read_graft_manifest(path))
+    raw = read_graft_table(spark, path)
     parts = F.split(F.col("value"), "\x1f")
     back = raw.select(
         F.element_at(parts, 1).cast("long").alias("doc_id"),

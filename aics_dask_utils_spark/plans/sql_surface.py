@@ -212,3 +212,83 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rows_scanned BIGINT, qty_sum DOUBLE, n_flag_groups BIGINT",
     )
+
+
+# --------------------------------------------------------------------------
+# sql_scripting_batch — Spark 4.1 SQL scripting (BEGIN…END, DECLARE,
+# WHILE): procedural control flow executed ON the engine, the
+# stored-procedure shape warehouse migrations expect. The script
+# doubles a price threshold until at most 1000 orders exceed it — each
+# loop iteration is a real aggregate job, and only the loop's FINAL
+# state is returned. The DuckDB oracle states the same fixpoint
+# declaratively: the smallest power-of-two threshold whose exceed-count
+# is <= 1000 (thresholds are exact powers of two times 1000, so the
+# doubles hash identically).
+# --------------------------------------------------------------------------
+@register(
+    "sql_scripting_batch",
+    oracle="""
+    WITH cand AS (
+      SELECT 1000.0 * pow(2.0, k) AS threshold,
+             (SELECT COUNT(*) FROM orders o
+               WHERE o.o_totalprice > 1000.0 * pow(2.0, k)) AS n_above
+      FROM (SELECT unnest(generate_series(0, 15)) AS k)
+    )
+    SELECT threshold, n_above
+    FROM cand WHERE n_above <= 1000
+    ORDER BY threshold LIMIT 1
+    """,
+    doc="Spark 4.1 SQL scripting: BEGIN/DECLARE/WHILE loop doubling a "
+    "threshold until <=1000 orders exceed it — engine-side procedural "
+    "SQL, each iteration a real aggregate; oracle states the fixpoint "
+    "declaratively (E47 SQL surface)",
+    tags=("sql-surface",),
+)
+def sql_scripting_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t DOUBLE DEFAULT 1000.0;
+          DECLARE n BIGINT DEFAULT 0;
+          SET n = (SELECT COUNT(*) FROM orders_script WHERE o_totalprice > t);
+          WHILE n > 1000 DO
+            SET t = t * 2.0;
+            SET n = (SELECT COUNT(*) FROM orders_script WHERE o_totalprice > t);
+          END WHILE;
+          SELECT t AS threshold, n AS n_above;
+        END
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# sql_group_by_all — GROUP BY ALL / ORDER BY ALL (Spark 4 = DuckDB
+# semantics: group by every non-aggregate select item, order by every
+# output column left-to-right). The BI-layer convenience syntax; the
+# plan is the identical hash aggregate the explicit form produces, so
+# it costs nothing at scale.
+# --------------------------------------------------------------------------
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+FROM {table}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "sql_group_by_all",
+    oracle=_GROUP_BY_ALL_SQL.format(table="lineitem"),
+    doc="GROUP BY ALL + ORDER BY ALL: infer grouping keys from the "
+    "select list and a total output order from all columns — same "
+    "SQL text runs verbatim on Spark 4 and DuckDB (E47 SQL surface)",
+    tags=("sql-surface", "agg"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    return spark.sql(_GROUP_BY_ALL_SQL.format(table="lineitem_gba"))

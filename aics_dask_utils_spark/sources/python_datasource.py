@@ -106,7 +106,30 @@ class _PartCommit(WriterCommitMessage):
     n_rows: int = 0
 
 
-_STAGING_DIR = "_staging"
+_STAGING_PREFIX = "_staging-"
+
+
+def _locked_success(path: str):
+    """Advisory exclusive lock serializing commit-time read-merge-write
+    of the ``_SUCCESS`` manifest: two concurrent append jobs to the same
+    path must not lose each other's manifest entries. The lock file is
+    separate from the manifest so the atomic os.replace of ``_SUCCESS``
+    itself is never racing the lock."""
+    import fcntl
+    import os
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        lock_path = os.path.join(path, ".graftsink.lock")
+        with open(lock_path, "a+") as lf:
+            fcntl.flock(lf.fileno(), fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf.fileno(), fcntl.LOCK_UN)
+
+    return _ctx()
 
 
 def _write_manifest_atomic(mpath: str, manifest: dict) -> None:
@@ -134,10 +157,12 @@ def read_graft_manifest(path: str) -> list[str]:
     """Resolve the committed file list of a graftsink output directory.
 
     Readers must trust the ``_SUCCESS`` manifest, never a glob: a task
-    that died mid-write leaves a partial part file in ``_staging/``
-    that no commit message names, and a glob re-scan would read
-    partial/duplicate rows. Returns absolute paths of exactly the
-    files commit() promoted.
+    that died mid-write leaves a partial part file in its job's
+    ``_staging-*/`` dir that no commit message names, and a glob
+    re-scan would read partial/duplicate rows. Returns absolute paths
+    of exactly the files commit() promoted — possibly an empty list
+    for a committed zero-file write (callers feeding ``spark.read``
+    should use :func:`read_graft_table`, which handles that case).
     """
     import json
     import os
@@ -147,35 +172,53 @@ def read_graft_manifest(path: str) -> list[str]:
     return [os.path.join(path, name) for name in manifest["files"]]
 
 
+def read_graft_table(spark, path: str):
+    """Load a committed graftsink directory as a one-column ``value``
+    string DataFrame (the raw line form; callers split on the \\x1f
+    separator). Unlike ``spark.read.text(read_graft_manifest(path))``
+    this is total: a committed manifest naming ZERO files (a
+    zero-partition write) yields a typed empty frame instead of the
+    unhelpful error ``spark.read.text([])`` raises."""
+    files = read_graft_manifest(path)
+    if not files:
+        return spark.createDataFrame([], "value string")
+    return spark.read.text(files)
+
+
 class GraftFileWriter(DataSourceWriter):
-    """Writes each partition as one part file staged under
-    ``<path>/_staging/``; commit() promotes ONLY the files named in
-    commit messages into ``<path>`` and then publishes the _SUCCESS
-    manifest, abort() removes the staging directory. Task retries and
-    speculative duplicates are safe: an attempt that dies mid-write
-    leaves its partial file in ``_staging/`` where neither commit()
+    """Writes each partition as one part file staged under the job's
+    ``<path>/_staging-<jobid>/``; commit() promotes ONLY the files
+    named in commit messages into ``<path>`` and then publishes the
+    _SUCCESS manifest, abort() removes the staging directory. Task
+    retries and speculative duplicates are safe: an attempt that dies
+    mid-write leaves its partial file in staging where neither commit()
     nor a manifest-driven reader (``read_graft_manifest``) can see
     it — the same visibility contract as Spark's own file commit
     protocol. Overwrite is atomic at the manifest swap: the prior
     committed files are retracted only AFTER the new manifest is in
     place, so a failed or aborted overwrite leaves the previous
-    committed table fully readable."""
+    committed table fully readable.
+
+    Concurrent writers to the same path are safe: each write JOB stages
+    under its own ``_staging-<jobid>/`` directory (chosen driver-side in
+    ``__init__`` and carried to executors in the pickled writer), so one
+    job's commit/abort sweep can never delete another in-flight job's
+    staged parts, and the append-mode read-merge-write of ``_SUCCESS``
+    is serialized under an advisory file lock. A job that crashes before
+    commit/abort leaves its staging directory behind; it is invisible to
+    manifest-trusting readers and any later OVERWRITE commit sweeps all
+    stale staging directories."""
 
     def __init__(self, options, overwrite: bool):
-        import os
-        import shutil
+        import uuid
 
         self.path = options.get("path")
         if not self.path:
             raise ValueError("graftsink requires .option('path', ...)")
         self.overwrite = overwrite
-        # Overwrite must NOT destroy the prior committed state here:
-        # the write hasn't committed yet, and a failed overwrite has to
-        # leave the previous manifest + files readable (atomic
-        # overwrite = retraction happens inside commit(), after the new
-        # manifest swaps in). Only stale staging leftovers are cleared.
-        if os.path.isdir(self.path):
-            shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
+        # job-scoped staging: picked once on the driver, shared by all
+        # tasks of THIS write job only
+        self._staging = f"{_STAGING_PREFIX}{uuid.uuid4().hex[:12]}"
 
     def write(self, iterator) -> _PartCommit:
         import os
@@ -185,7 +228,7 @@ class GraftFileWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        staging = os.path.join(self.path, _STAGING_DIR)
+        staging = os.path.join(self.path, self._staging)
         os.makedirs(staging, exist_ok=True)
         name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.graft"
         full = os.path.join(staging, name)
@@ -203,7 +246,8 @@ class GraftFileWriter(DataSourceWriter):
         import shutil
 
         # promote exactly the staged files the successful attempts
-        # named; anything else in _staging is a dead attempt's orphan
+        # named; anything else in this job's staging is a dead
+        # attempt's orphan
         names = []
         for m in messages:
             if m is None or not m.path:
@@ -213,18 +257,25 @@ class GraftFileWriter(DataSourceWriter):
             names.append(name)
         total = int(sum(m.n_rows for m in messages if m is not None))
         success = os.path.join(self.path, "_SUCCESS")
-        prior_files: set[str] = set()
-        if os.path.exists(success):
-            with open(success, "r", encoding="utf-8") as f:
-                prior = json.load(f)
-            prior_files = set(prior.get("files", []))
-            if not self.overwrite:
-                # append mode MERGES with the prior committed manifest —
-                # a second append must not orphan the first write's rows
-                # from the manifest-trusting read path
-                names = sorted(prior_files | set(names))
-                total += int(prior.get("total_rows", 0))
-        _write_manifest_atomic(success, {"files": sorted(names), "total_rows": total})
+        # the manifest read-merge-write below must be a critical
+        # section: two concurrent appends each read prior state and
+        # write a merged manifest, and without mutual exclusion the
+        # later writer would silently drop the earlier one's entries
+        with _locked_success(self.path):
+            prior_files: set[str] = set()
+            if os.path.exists(success):
+                with open(success, "r", encoding="utf-8") as f:
+                    prior = json.load(f)
+                prior_files = set(prior.get("files", []))
+                if not self.overwrite:
+                    # append mode MERGES with the prior committed manifest —
+                    # a second append must not orphan the first write's rows
+                    # from the manifest-trusting read path
+                    names = sorted(prior_files | set(names))
+                    total += int(prior.get("total_rows", 0))
+            _write_manifest_atomic(
+                success, {"files": sorted(names), "total_rows": total}
+            )
         if self.overwrite:
             # retraction AFTER the new manifest swapped in: a crash at
             # any earlier point leaves the old manifest + files fully
@@ -234,13 +285,16 @@ class GraftFileWriter(DataSourceWriter):
                 old = os.path.join(self.path, name)
                 if os.path.exists(old):
                     os.remove(old)
-        shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
+        # sweep ONLY this job's staging — never another job's (a crashed
+        # job's stale _staging-* dir is inert: invisible to
+        # manifest-trusting readers, reclaimable out-of-band)
+        shutil.rmtree(os.path.join(self.path, self._staging), ignore_errors=True)
 
     def abort(self, messages) -> None:
         import os
         import shutil
 
-        shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.path, self._staging), ignore_errors=True)
         # defensive: also drop any message-named file that somehow
         # escaped staging (e.g. a future layout change)
         for m in messages:
@@ -331,9 +385,15 @@ from pyspark.sql.datasource import DataSourceStreamWriter
 
 class GraftStreamFileWriter(DataSourceStreamWriter):
     def __init__(self, options):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("graftsink_stream requires .option('path', ...)")
+        # query-scoped staging (one stream writer per query; micro-batch
+        # epochs within it are sequential): a concurrent query writing
+        # the same path can never have its staged parts swept by ours
+        self._staging = f"{_STAGING_PREFIX}{uuid.uuid4().hex[:12]}"
 
     def write(self, iterator) -> _PartCommit:
         import os
@@ -343,7 +403,7 @@ class GraftStreamFileWriter(DataSourceStreamWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        staging = os.path.join(self.path, _STAGING_DIR)
+        staging = os.path.join(self.path, self._staging)
         os.makedirs(staging, exist_ok=True)
         name = f"epoch-{uuid.uuid4().hex[:12]}-p{pid:05d}.graft"
         full = os.path.join(staging, name)
@@ -360,23 +420,22 @@ class GraftStreamFileWriter(DataSourceStreamWriter):
         import os
         import shutil
 
-        # A REPLAYED batch id (restart between commit and the engine
-        # recording the epoch) first retracts the files its previous
-        # attempt promoted — otherwise they'd linger in the output root
-        # unreferenced by any manifest, and a suffix-globbing consumer
-        # would read duplicate rows.
+        # Same ordering invariant as the batch overwrite path: promote
+        # first, swap the manifest in atomically, retract LAST. A
+        # REPLAYED batch id (restart between commit and the engine
+        # recording the epoch) therefore never has a window where the
+        # on-disk _manifest-N references deleted files — a crash at any
+        # point leaves either the old attempt fully readable or the new
+        # one; part names are uuid-suffixed so attempts never collide.
         mpath = os.path.join(self.path, f"_manifest-{batchId:010d}.json")
+        prior_files: set[str] = set()
         if os.path.exists(mpath):
             with open(mpath, "r", encoding="utf-8") as f:
-                prior = json.load(f)
-            for name in prior.get("files", []):
-                old = os.path.join(self.path, name)
-                if os.path.exists(old):
-                    os.remove(old)
+                prior_files = set(json.load(f).get("files", []))
         # promote the staged files this epoch's successful attempts
-        # named, THEN publish the per-epoch manifest; dead attempts'
-        # orphans stay invisible in _staging and are swept below
-        # (micro-batches are sequential, so nothing else is staging).
+        # named; dead attempts' orphans stay invisible in staging and
+        # are swept below (micro-batches are sequential, so nothing
+        # else is staging in this job's directory).
         names = []
         for m in messages:
             if m is None or not m.path:
@@ -392,16 +451,23 @@ class GraftStreamFileWriter(DataSourceStreamWriter):
                 "rows": int(sum(m.n_rows for m in messages if m is not None)),
             },
         )
-        shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
+        # retraction of the replaced attempt's files AFTER the swap:
+        # these are unreferenced by any manifest from here on
+        for name in prior_files - set(names):
+            old = os.path.join(self.path, name)
+            if os.path.exists(old):
+                os.remove(old)
+        shutil.rmtree(os.path.join(self.path, self._staging), ignore_errors=True)
 
     def abort(self, messages, batchId: int) -> None:
         import os
         import shutil
 
-        # sweep the whole staging dir, not just message-named files: a
-        # task that died mid-write has no commit message, and batches
-        # are sequential so no other epoch is staging concurrently
-        shutil.rmtree(os.path.join(self.path, _STAGING_DIR), ignore_errors=True)
+        # sweep this query's whole staging dir, not just message-named
+        # files: a task that died mid-write has no commit message, and
+        # epochs are sequential so no other batch of THIS query is
+        # staging concurrently
+        shutil.rmtree(os.path.join(self.path, self._staging), ignore_errors=True)
         for m in messages:
             if m and m.path and os.path.exists(m.path):
                 os.remove(m.path)

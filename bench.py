@@ -102,6 +102,12 @@ HEADLINE = [
     "agg_table_profile",
     "join_point_in_time",
     "scalar_collation_group",
+    # round-5 additions
+    "sql_scripting_batch",
+    "sql_group_by_all",
+    "agg_corr_matrix",
+    "embedding_pca_gram",
+    "text_quality_calibrated",
 ]
 
 

@@ -258,67 +258,86 @@ def test_star_components_agree_with_min_label(spark):
     assert lab[7] == lab[8] == lab[9] == 7
 
 
-def test_reliable_checkpoint_path_for_iterative_ops(spark, tmp_path):
-    """reliable=True must (a) refuse to run without a configured
-    checkpoint dir — the actionable-error contract — and (b) with one
-    set, produce the identical labelling/ranks as the localCheckpoint
-    path. At cluster scale localCheckpoint blocks are unreplicated and
-    lineage-truncated, so a lost executor kills a long CC/PageRank job;
-    reliable=True is the fault-tolerant variant."""
+def test_reliable_checkpoint_refuses_without_dir(spark):
+    """reliable=True must refuse to run without a configured checkpoint
+    dir — the actionable-error contract. (Read-only on the shared
+    session: the dir-SET equivalence half runs in its own JVM below,
+    because checkpointDir is SparkContext state with no public unset.)"""
     import pytest as _pytest
 
-    from aics_dask_utils_spark.operators.dedup import (
-        connected_components,
-        connected_components_star,
-    )
-    from aics_dask_utils_spark.operators.graph import label_propagation, pagerank
+    from aics_dask_utils_spark.operators.dedup import connected_components_star
 
-    chain = [(i, i + 1) for i in range(100, 120)]
-    tri = [(7, 8), (8, 9), (9, 7)]
-    edges = spark.createDataFrame(chain + tri, "d1 bigint, d2 bigint")
-
-    sc = spark.sparkContext
-    assert sc.getCheckpointDir() is None
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "d1 bigint, d2 bigint")
+    assert spark.sparkContext.getCheckpointDir() is None
     with _pytest.raises(RuntimeError, match="checkpoint directory"):
         connected_components_star(edges, reliable=True).collect()
 
-    sc.setCheckpointDir(str(tmp_path / "ckpt"))
-    try:
-        base = {
-            (r["doc_id"], r["component"])
-            for r in connected_components_star(edges).collect()
-        }
-        rel_star = {
-            (r["doc_id"], r["component"])
-            for r in connected_components_star(edges, reliable=True).collect()
-        }
-        rel_min = {
-            (r["doc_id"], r["component"])
-            for r in connected_components(edges, max_iter=30, reliable=True).collect()
-        }
-        assert rel_star == base
-        assert rel_min == base
+
+def test_reliable_checkpoint_path_for_iterative_ops(tmp_path):
+    """reliable=True with a checkpoint dir set must produce the
+    identical labelling/ranks as the localCheckpoint path. At cluster
+    scale localCheckpoint blocks are unreplicated and lineage-truncated,
+    so a lost executor kills a long CC/PageRank job; reliable=True is
+    the fault-tolerant variant. Runs in a DEDICATED SparkSession (own
+    JVM, subprocess): setCheckpointDir is irreversible SparkContext
+    state, and hand-restoring it via the private Scala setter proved
+    fragile across Spark upgrades."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        from aics_dask_utils_spark.session import get_spark
+        from aics_dask_utils_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+        from aics_dask_utils_spark.operators.graph import label_propagation, pagerank
+
+        spark = get_spark(master="local[4]", app_name="ckpt-equivalence",
+                          shuffle_partitions=4)
+        spark.sparkContext.setCheckpointDir(sys.argv[1])
+
+        chain = [(i, i + 1) for i in range(100, 120)]
+        tri = [(7, 8), (8, 9), (9, 7)]
+        edges = spark.createDataFrame(chain + tri, "d1 bigint, d2 bigint")
+
+        base = {(r["doc_id"], r["component"])
+                for r in connected_components_star(edges).collect()}
+        rel_star = {(r["doc_id"], r["component"])
+                    for r in connected_components_star(edges, reliable=True).collect()}
+        rel_min = {(r["doc_id"], r["component"])
+                   for r in connected_components(edges, max_iter=30,
+                                                 reliable=True).collect()}
+        assert rel_star == base, (rel_star, base)
+        assert rel_min == base, (rel_min, base)
 
         we = spark.createDataFrame(
-            [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0)], "src bigint, dst bigint, w double"
-        )
+            [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0)],
+            "src bigint, dst bigint, w double")
         pr_local = {(r["node"], r["pr"]) for r in pagerank(we).collect()}
         pr_rel = {(r["node"], r["pr"]) for r in pagerank(we, reliable=True).collect()}
-        assert pr_rel == pr_local
-        lp_local = {
-            (r["node"], r["label"]) for r in label_propagation(we).collect()
-        }
-        lp_rel = {
-            (r["node"], r["label"])
-            for r in label_propagation(we, reliable=True).collect()
-        }
-        assert lp_rel == lp_local
-    finally:
-        # restore the session's no-checkpoint-dir state for other tests
-        # ($-named Scala setter is unreachable as a Python attribute)
-        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
-            sc._jvm.scala.Option.empty()
-        )
+        assert pr_rel == pr_local, (pr_rel, pr_local)
+        lp_local = {(r["node"], r["label"]) for r in label_propagation(we).collect()}
+        lp_rel = {(r["node"], r["label"])
+                  for r in label_propagation(we, reliable=True).collect()}
+        assert lp_rel == lp_local, (lp_rel, lp_local)
+        print("CKPT-EQUIVALENCE-OK")
+        spark.stop()
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path / "ckpt")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "CKPT-EQUIVALENCE-OK" in proc.stdout
 
 
 def test_min_label_components_raise_instead_of_silently_truncating(spark):

@@ -325,7 +325,7 @@ def test_graftsink_stream_replayed_epoch_retracts_prior_files(tmp_path):
     # abort sweeps staged orphans (task died mid-write, no message)
     w.write(iter([(9, "z")]))
     w.abort([], 4)
-    assert not os.path.isdir(os.path.join(out, "_staging"))
+    assert not [d for d in os.listdir(out) if d.startswith("_staging-")]
 
 
 def test_graftsink_protocol_random_sequences(tmp_path):
@@ -394,3 +394,78 @@ def test_graftsink_protocol_random_sequences(tmp_path):
         assert on_disk == manifest
 
     run()
+
+
+def test_graftsink_concurrent_appends_interleaved(tmp_path):
+    """Two append JOBS interleaved on the same path (both staged before
+    either commits) must each keep their staged parts — job-scoped
+    staging — and the locked manifest merge must cover both writes."""
+    import os
+
+    from aics_dask_utils_spark.sources.python_datasource import (
+        GraftFileWriter,
+        read_graft_manifest,
+    )
+
+    out = str(tmp_path / "sink")
+    w1 = GraftFileWriter({"path": out}, overwrite=False)
+    w2 = GraftFileWriter({"path": out}, overwrite=False)
+    m1 = w1.write(iter([(i, f"a{i}") for i in range(5)]))
+    m2 = w2.write(iter([(i, f"b{i}") for i in range(5, 12)]))
+    # neither job's staging dir is visible to the other's sweep
+    assert w1._staging != w2._staging
+    w1.commit([m1])
+    assert os.path.exists(m2.path), "commit of job 1 deleted job 2's staged part"
+    w2.commit([m2])
+    got = sorted(
+        int(ln.split("\x1f")[0])
+        for f in read_graft_manifest(out)
+        for ln in open(f).read().splitlines()
+    )
+    assert got == list(range(12))
+
+
+def test_graftsink_stream_replay_never_breaks_manifest_readability(tmp_path):
+    """At every observable point of a replayed epoch's commit, the
+    on-disk _manifest-N must reference only files that exist: the new
+    ordering promotes + swaps the manifest BEFORE retracting the prior
+    attempt's files (mirrors the batch overwrite invariant)."""
+    import json
+    import os
+
+    from aics_dask_utils_spark.sources.python_datasource import GraftStreamFileWriter
+
+    out = str(tmp_path / "stream_sink")
+    w = GraftStreamFileWriter({"path": out})
+    w.commit([w.write(iter([(1, "x")]))], 7)
+    mpath = os.path.join(out, "_manifest-0000000007.json")
+
+    def manifest_files_exist():
+        files = json.load(open(mpath)).get("files", [])
+        return all(os.path.exists(os.path.join(out, f)) for f in files)
+
+    assert manifest_files_exist()
+    # replay epoch 7; afterwards the manifest again references only
+    # live files and the prior attempt's files are gone
+    first = set(json.load(open(mpath))["files"])
+    w.commit([w.write(iter([(1, "x")]))], 7)
+    assert manifest_files_exist()
+    for f in first:
+        assert not os.path.exists(os.path.join(out, f))
+
+
+def test_read_graft_table_empty_manifest(spark, tmp_path):
+    """A committed manifest naming zero files loads as a typed empty
+    frame (spark.read.text([]) would raise)."""
+    import json
+    import os
+
+    from aics_dask_utils_spark.sources.python_datasource import read_graft_table
+
+    out = tmp_path / "empty_sink"
+    out.mkdir()
+    with open(os.path.join(str(out), "_SUCCESS"), "w") as f:
+        json.dump({"files": [], "total_rows": 0}, f)
+    df = read_graft_table(spark, str(out))
+    assert df.columns == ["value"]
+    assert df.count() == 0
