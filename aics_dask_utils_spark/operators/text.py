@@ -59,11 +59,19 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     length, some stopwords, limited punctuation)."""
     # No rounding: every term is IEEE +,-,*,/ or min over identical
     # integer inputs, so the doubles are bit-identical on any engine.
+    # try_divide, not /: an empty text has n_chars = 0 and under ANSI
+    # mode (the session default) a plain division throws
+    # DIVIDE_BY_ZERO; try_divide yields NULL in both ANSI modes, which
+    # is also exactly what DuckDB's x/0 returns, so the oracle
+    # semantics are unchanged. The NULL flows into quality_score as
+    # LEAST(NULL, 1.0) = 1.0 (both engines skip NULLs in LEAST), i.e.
+    # an empty doc scores as maximally punctuation-penalized.
     toks = token_count(text_col)
     n_chars = F.length(text_col)
-    sw_ratio = stopword_count(text_col).cast("double") / toks
-    punct_ratio = punct_count(text_col).cast("double") / n_chars
-    mean_tok_len = (n_chars - toks + 1).cast("double") / toks  # chars minus separators
+    sw_ratio = F.try_divide(stopword_count(text_col).cast("double"), toks)
+    punct_ratio = F.try_divide(punct_count(text_col).cast("double"), n_chars)
+    # chars minus separators
+    mean_tok_len = F.try_divide((n_chars - toks + 1).cast("double"), toks)
     score = (
         F.least(toks.cast("double") / 100.0, F.lit(1.0)) * 0.5
         + F.least(sw_ratio * 5.0, F.lit(1.0)) * 0.3

@@ -487,10 +487,14 @@ def ann_topk_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via a ONE-PASS distributed Gram matrix + driver-side eigen-solve.
 #
 # Scale shape: the data pass reduces N vectors to a d x d Gram (d=64 →
-# 2,080 upper-triangle cells) through posexplode + an equi-join on
-# vec_id + one hash aggregate — every shuffle is keyed, nothing is
-# all-pairs over ROWS, and at 100 TB the reduce output is still 2,080
-# cells. The d x d eigen-solve is driver-side numpy on that tiny
+# 2,080 upper-triangle cells) with ZERO joins — both factors of every
+# product live in the same row's array, so each row expands its
+# upper-triangle (i, j, q_i*q_j) cells row-locally (nested transform +
+# flatten + explode) and the only shuffle is the final 2,080-key hash
+# aggregate, whose map-side partial agg does nearly all the reduction.
+# Nothing is all-pairs over ROWS, and at 100 TB the reduce output is
+# still 2,080 cells; n_vecs rides the same pass on the (0,0) cell's
+# count, so the whole plan is genuinely one scan. The d x d eigen-solve is driver-side numpy on that tiny
 # matrix (a documented tiny-relation collect, like the k-means
 # centroid step); power iteration was rejected because synthetic
 # embeddings have a near-degenerate top eigen-gap, where it converges
@@ -533,24 +537,48 @@ def embedding_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("bigint"),
     )
-    e = emb.select("vec_id", F.posexplode(q).alias("i", "qv"))
-    a, b = e.alias("a"), e.alias("b")
-    gram = (
-        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("b.i")))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.sum(
-                (F.col("a.qv") * F.col("b.qv")).cast("decimal(38,0)")
-            ).alias("g")
+    # Row-LOCAL upper-triangle pair expansion: both factors of every
+    # Gram product live in the same row's array, so no self-join and no
+    # pre-aggregation exchange — each row emits its d*(d+1)/2
+    # (i, j, q_i*q_j) cells in place and the ONLY shuffle is the final
+    # 2,080-key hash aggregate (with map-side partial agg doing almost
+    # all the reduction). Each cell also carries a count, so n_vecs
+    # rides the same single pass via the (0,0) cell instead of a
+    # second table scan.
+    pair_cells = F.flatten(
+        F.transform(
+            q,
+            lambda x, i: F.transform(
+                F.slice(q, i + 1, F.size(q) - i),
+                lambda y, j: F.struct(
+                    i.alias("i"),
+                    (i + j).alias("j"),
+                    (x * y).cast("decimal(38,0)").alias("p"),
+                ),
+            ),
         )
+    )
+    gram = (
+        emb.select(F.explode(pair_cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("g"), F.count(F.lit(1)).alias("cnt"))
     )
     cells = gram.collect()  # d*(d+1)/2 cells — metadata-sized, like the
     # k-means centroid collect; the N-row data pass stayed distributed
+    if not cells:
+        # empty table: mirror the oracle's global aggregate over zero
+        # rows (COUNT = 0, SUM = NULL) with vacuously-true bounds
+        return spark.createDataFrame(
+            [(0, None, True, True)],
+            "n_vecs BIGINT, trace_q BIGINT, resid_ok BOOLEAN, eig_bounded BOOLEAN",
+        )
     d = 1 + max(c["i"] for c in cells)
     G = np.zeros((d, d), dtype=np.float64)
+    n_vecs = 0
     for c in cells:
         G[c["i"], c["j"]] = G[c["j"], c["i"]] = float(c["g"])
-    n_vecs = emb.count()
+        if c["i"] == 0 and c["j"] == 0:
+            n_vecs = int(c["cnt"])
     trace_q = int(sum(int(c["g"]) for c in cells if c["i"] == c["j"]))
     # exact symmetric eigensolve on the tiny d x d matrix:
     # deterministic (fixed input, no RNG) and immune to the
@@ -560,7 +588,9 @@ def embedding_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = eigvecs[:, -1]
     resid = float(np.linalg.norm(G @ v - lam * v))
     resid_ok = bool(resid <= 1e-9 * max(lam, 1.0))
-    eig_bounded = bool(0.0 < lam <= float(trace_q) * (1.0 + 1e-12))
+    # >= 0, not > 0: an all-zero embedding cloud legitimately has
+    # lambda = 0 and must still satisfy the bound (PSD: 0 <= lam <= tr)
+    eig_bounded = bool(0.0 <= lam <= float(trace_q) * (1.0 + 1e-12) + 1e-12)
     return spark.createDataFrame(
         [(int(n_vecs), trace_q, resid_ok, eig_bounded)],
         "n_vecs BIGINT, trace_q BIGINT, resid_ok BOOLEAN, eig_bounded BOOLEAN",

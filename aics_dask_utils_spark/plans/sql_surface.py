@@ -246,21 +246,32 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_scripting_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
+    # enable scripting only for the script's execution (the script runs
+    # inside spark.sql; only the final SELECT is returned lazily), then
+    # restore the session's prior value so shared sweep/test sessions
+    # keep rejecting multi-statement SQL everywhere else
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
-        """
-        BEGIN
-          DECLARE t DOUBLE DEFAULT 1000.0;
-          DECLARE n BIGINT DEFAULT 0;
-          SET n = (SELECT COUNT(*) FROM orders_script WHERE o_totalprice > t);
-          WHILE n > 1000 DO
-            SET t = t * 2.0;
-            SET n = (SELECT COUNT(*) FROM orders_script WHERE o_totalprice > t);
-          END WHILE;
-          SELECT t AS threshold, n AS n_above;
-        END
-        """
-    )
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE t DOUBLE DEFAULT 1000.0;
+              DECLARE n BIGINT DEFAULT 0;
+              SET n = (SELECT COUNT(*) FROM orders_script WHERE o_totalprice > t);
+              WHILE n > 1000 DO
+                SET t = t * 2.0;
+                SET n = (SELECT COUNT(*) FROM orders_script WHERE o_totalprice > t);
+              END WHILE;
+              SELECT t AS threshold, n AS n_above;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
 # --------------------------------------------------------------------------

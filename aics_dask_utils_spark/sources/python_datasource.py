@@ -205,9 +205,11 @@ class GraftFileWriter(DataSourceWriter):
     job's commit/abort sweep can never delete another in-flight job's
     staged parts, and the append-mode read-merge-write of ``_SUCCESS``
     is serialized under an advisory file lock. A job that crashes before
-    commit/abort leaves its staging directory behind; it is invisible to
-    manifest-trusting readers and any later OVERWRITE commit sweeps all
-    stale staging directories."""
+    commit/abort leaves its staging directory behind; it is inert —
+    invisible to manifest-trusting readers and never swept by other
+    jobs (no commit can tell a crashed job's staging from an in-flight
+    one's) — so reclaim stale ``_staging-*`` dirs out-of-band once no
+    write is running."""
 
     def __init__(self, options, overwrite: bool):
         import uuid
@@ -245,6 +247,10 @@ class GraftFileWriter(DataSourceWriter):
         import os
         import shutil
 
+        # a zero-task write (empty zero-partition frame) never ran
+        # write(), so nothing created the output dir yet — the commit
+        # of an empty-but-valid manifest must still succeed
+        os.makedirs(self.path, exist_ok=True)
         # promote exactly the staged files the successful attempts
         # named; anything else in this job's staging is a dead
         # attempt's orphan
@@ -384,15 +390,24 @@ from pyspark.sql.datasource import DataSourceStreamWriter
 
 
 class GraftStreamFileWriter(DataSourceStreamWriter):
+    """HARD CONTRACT: one streaming query per output path. The
+    committed namespace is per-path ``_manifest-<batchId>`` — epoch
+    numbers only mean anything within a single query's checkpoint
+    lineage, so a second concurrent query writing the same path would
+    collide on batch ids and replay-retract the first query's
+    committed files. The query-scoped staging dir below only protects
+    the STAGED parts of a query that is shutting down while its
+    replacement (same checkpoint, hence same epoch sequence) starts up;
+    it does not make two independent queries on one path meaningful."""
+
     def __init__(self, options):
         import uuid
 
         self.path = options.get("path")
         if not self.path:
             raise ValueError("graftsink_stream requires .option('path', ...)")
-        # query-scoped staging (one stream writer per query; micro-batch
-        # epochs within it are sequential): a concurrent query writing
-        # the same path can never have its staged parts swept by ours
+        # query-scoped staging: a successor/overlapping instance of the
+        # query can never sweep this instance's staged parts
         self._staging = f"{_STAGING_PREFIX}{uuid.uuid4().hex[:12]}"
 
     def write(self, iterator) -> _PartCommit:
@@ -420,6 +435,9 @@ class GraftStreamFileWriter(DataSourceStreamWriter):
         import os
         import shutil
 
+        # an all-empty epoch may have run zero write() tasks on a
+        # fresh path; its (empty) manifest must still publish
+        os.makedirs(self.path, exist_ok=True)
         # Same ordering invariant as the batch overwrite path: promote
         # first, swap the manifest in atomically, retract LAST. A
         # REPLAYED batch id (restart between commit and the engine

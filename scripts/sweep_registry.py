@@ -3,10 +3,11 @@ DuckDB oracle at the given SF dir and write a per-plan PASS/FAIL log.
 
 Usage: python scripts/sweep_registry.py <sf_dir> <log_path> [tag]
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from aics_dask_utils_spark.session import get_spark
 from aics_dask_utils_spark.testing import run_plan_vs_oracle, duckdb_connection

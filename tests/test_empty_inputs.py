@@ -228,3 +228,19 @@ def test_asof_fractional_tolerance(spark):
 
     assert run(0.5) == 99   # 400ms gap inside 500ms tolerance
     assert run(0.3) is None  # outside 300ms tolerance
+
+
+def test_quality_features_empty_text_is_null_not_divide_by_zero(spark):
+    """Empty text has n_chars = 0; under ANSI (the session default) the
+    punct-ratio division must yield NULL (try_divide), not throw
+    DIVIDE_BY_ZERO, and the composite score must still be defined
+    (LEAST skips the NULL term on both engines)."""
+    from aics_dask_utils_spark.operators.text import quality_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in quality_features(df, "text").collect()}
+    assert rows[1]["punct_ratio"] is None
+    assert rows[1]["quality_score"] is not None
+    assert rows[2]["punct_ratio"] is not None

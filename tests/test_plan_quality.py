@@ -441,3 +441,15 @@ def test_registry_free_of_scale_antipatterns(spark, sf_dir):
         if "BatchEvalPython" in p:
             bad.append((name, "BatchEvalPython (row-at-a-time Python)"))
     assert not bad, bad
+
+
+def test_sql_scripting_plan_restores_session_conf(spark, sf_dir):
+    """sql_scripting_batch must leave the session's scripting conf
+    exactly as it found it (set-for-the-script, restore-in-finally) —
+    shared sweep/test sessions must not accumulate plan side effects."""
+    from aics_dask_utils_spark.plans import all_plans
+
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    rows = all_plans()["sql_scripting_batch"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert spark.conf.get("spark.sql.scripting.enabled", None) == prev

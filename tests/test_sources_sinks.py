@@ -469,3 +469,32 @@ def test_read_graft_table_empty_manifest(spark, tmp_path):
     df = read_graft_table(spark, str(out))
     assert df.columns == ["value"]
     assert df.count() == 0
+
+
+def test_graftsink_zero_task_write_commits_empty_manifest(tmp_path, spark):
+    """A commit with zero task messages on a brand-new path must still
+    publish the empty manifest (no write() task ever created the
+    directory) and read back as a typed empty frame."""
+    import json
+    import os
+
+    from aics_dask_utils_spark.sources.python_datasource import (
+        GraftFileWriter,
+        GraftStreamFileWriter,
+        read_graft_table,
+    )
+
+    out = str(tmp_path / "never_created")
+    w = GraftFileWriter({"path": out}, overwrite=False)
+    w.commit([])  # must not raise FileNotFoundError
+    assert json.load(open(os.path.join(out, "_SUCCESS"))) == {
+        "files": [],
+        "total_rows": 0,
+    }
+    assert read_graft_table(spark, out).count() == 0
+
+    out2 = str(tmp_path / "stream_never_created")
+    sw = GraftStreamFileWriter({"path": out2})
+    sw.commit([], 0)  # empty epoch on a fresh path
+    m = json.load(open(os.path.join(out2, "_manifest-0000000000.json")))
+    assert m["files"] == [] and m["rows"] == 0
