@@ -487,25 +487,33 @@ def ann_topk_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via a ONE-PASS distributed Gram matrix + driver-side eigen-solve.
 #
 # Scale shape: the data pass reduces N vectors to a d x d Gram (d=64 →
-# 2,080 upper-triangle cells) with ZERO joins — both factors of every
-# product live in the same row's array, so each row expands its
-# upper-triangle (i, j, q_i*q_j) cells row-locally (nested transform +
-# flatten + explode) and the only shuffle is the final 2,080-key hash
-# aggregate, whose map-side partial agg does nearly all the reduction.
-# Nothing is all-pairs over ROWS, and at 100 TB the reduce output is
-# still 2,080 cells; n_vecs rides the same pass on the (0,0) cell's
-# count, so the whole plan is genuinely one scan. The d x d eigen-solve is driver-side numpy on that tiny
-# matrix (a documented tiny-relation collect, like the k-means
-# centroid step); power iteration was rejected because synthetic
-# embeddings have a near-degenerate top eigen-gap, where it converges
-# arbitrarily slowly. Determinism: values quantize to integers
-# (round(v*1e6), the embedding_quantize idiom) so the Gram is
-# integer-EXACT — partial-agg order can't perturb it — and sums
-# accumulate in decimal(38,0) (ANSI-safe; |v|<0.6 keeps the final
-# trace well under int64). The oracle checks the exact integer trace
-# and vector count; the eigen outputs are certified by in-plan bounds
-# (residual ||Gv - λv|| <= 1e-9·λ; 0 < λ <= trace), the same
-# exact+bound contract as the sketch plans.
+# 2,080 upper-triangle cells) with ZERO joins: an Arrow-batched
+# mapInPandas computes each batch's PARTIAL Gram as one numpy int64
+# matmul (Q^T Q — the treeAggregate-of-outer-products shape Spark ML's
+# RowMatrix uses) and emits 2,080 (i, j, partial, batch_rows) cells;
+# the only shuffle is the final 2,080-key hash aggregate. A pure
+# expression formulation (nested transform/flatten/explode) was
+# measured 40x slower — nested higher-order lambdas evaluate
+# interpreted per element, ~d^2 Catalyst evals per row — while numpy
+# does the same d^2 work vectorized per THOUSANDS of rows. Nothing is
+# all-pairs over ROWS, and at 100 TB the reduce output is still 2,080
+# cells; n_vecs rides the same pass on the (0,0) cell's row count, so
+# the whole plan is genuinely one scan. The d x d eigen-solve is
+# driver-side numpy on that tiny matrix (a documented tiny-relation
+# collect, like the k-means centroid step); power iteration was
+# rejected because synthetic embeddings have a near-degenerate top
+# eigen-gap, where it converges arbitrarily slowly.
+#
+# Determinism: values quantize to integers (sign-aware
+# floor(|v·1e6|+0.5), bit-matching Spark/DuckDB ROUND's
+# half-away-from-zero) so every partial Gram is integer-EXACT in int64
+# (|v| < 0.6 → |q| <= 6e5 → a 10k-row Arrow batch's cell sum <= 3.6e15,
+# far under 2^63) and the cross-batch sum accumulates in decimal(38,0)
+# (ANSI-safe) — batch/partition order cannot perturb a single bit. The
+# oracle checks the exact integer trace and vector count; the eigen
+# outputs are certified by in-plan bounds (residual ||Gv - λv|| <=
+# 1e-9·λ; 0 <= λ <= trace), the same exact+bound contract as the
+# sketch plans.
 # --------------------------------------------------------------------------
 @register(
     "embedding_pca_gram",
@@ -533,35 +541,41 @@ def embedding_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = F.transform(
-        "embedding",
-        lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("bigint"),
-    )
-    # Row-LOCAL upper-triangle pair expansion: both factors of every
-    # Gram product live in the same row's array, so no self-join and no
-    # pre-aggregation exchange — each row emits its d*(d+1)/2
-    # (i, j, q_i*q_j) cells in place and the ONLY shuffle is the final
-    # 2,080-key hash aggregate (with map-side partial agg doing almost
-    # all the reduction). Each cell also carries a count, so n_vecs
-    # rides the same single pass via the (0,0) cell instead of a
-    # second table scan.
-    pair_cells = F.flatten(
-        F.transform(
-            q,
-            lambda x, i: F.transform(
-                F.slice(q, i + 1, F.size(q) - i),
-                lambda y, j: F.struct(
-                    i.alias("i"),
-                    (i + j).alias("j"),
-                    (x * y).cast("decimal(38,0)").alias("p"),
-                ),
-            ),
-        )
-    )
+
+    def _gram_partials(batches):
+        # executor-side: one int64 matmul per Arrow batch — the
+        # vectorized equivalent of summing per-row outer products.
+        # Integer arithmetic keeps every partial exact, so the final
+        # cross-batch sum is independent of batch/partition order.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            w = Q * 1000000.0
+            # half-away-from-zero, matching Spark F.round / DuckDB ROUND
+            qn = (np.sign(w) * np.floor(np.abs(w) + 0.5)).astype(np.int64)
+            G = qn.T @ qn
+            iu, ju = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int64),
+                    "j": ju.astype(np.int64),
+                    "p": G[iu, ju],
+                    "n_rows": np.int64(len(pdf)),
+                }
+            )
+
     gram = (
-        emb.select(F.explode(pair_cells).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.p").alias("g"), F.count(F.lit(1)).alias("cnt"))
+        emb.select("embedding")
+        .mapInPandas(_gram_partials, "i bigint, j bigint, p bigint, n_rows bigint")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("p").cast("decimal(38,0)")).alias("g"),
+            F.sum("n_rows").alias("cnt"),
+        )
     )
     cells = gram.collect()  # d*(d+1)/2 cells — metadata-sized, like the
     # k-means centroid collect; the N-row data pass stayed distributed
