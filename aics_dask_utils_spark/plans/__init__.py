@@ -77,10 +77,14 @@ def register(
 #   slots 38-40: the pure-Python connector matrix, re-attested because
 #     its commit protocol changed this round (job-scoped staging,
 #     locked manifest merge, promote-before-retract epoch replay).
-#   slots 41-50: insurance re-attests of the ten most intricate
+#   slots 41-47: insurance re-attests of the most intricate
 #     already-green plans (stateful streaming, stream-stream join,
-#     incremental dedup, image dedup, k-means, CDC, SCD2, span dedup,
-#     corpus pipeline, MinHash LSH).
+#     incremental dedup, image dedup, k-means, CDC, SCD2).
+#   slots 48-50: three late-round-5 additions (per-source caps,
+#     binned-ECDF KS+PSI drift, Welch A/B t-test) — in-window on
+#     arrival, displacing three insurance re-attests that have been
+#     driver-green since round 2 (span dedup, corpus pipeline,
+#     MinHash LSH).
 #
 # Slots 51+: every remaining plan (all driver-attested r1-r4) in
 # registration order. ``WINDOW_CRITICAL`` below is guard-tested to sit
@@ -131,7 +135,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "source_python_datasource",
     "sink_python_datasource_roundtrip",
     "stream_python_source_exec",
-    # -- slots 41-50: insurance re-attests of the most intricate plans --
+    # -- slots 41-47: insurance re-attests of the most intricate plans --
     "stream_session_state_exec",
     "stream_stream_join_exec",
     "pipeline_incremental_dedup",
@@ -139,9 +143,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "kmeans_embeddings",
     "sink_cdc_apply",
     "sink_scd2_history",
-    "text_span_dedup",
-    "pipeline_clean_corpus",
-    "dedup_minhash_lsh",
+    # -- slots 48-50: late round-5 additions (attested on arrival) --
+    "pipeline_source_caps",
+    "events_value_drift",
+    "events_welch_ttest",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
@@ -191,6 +196,9 @@ WINDOW_CRITICAL: frozenset[str] = frozenset({
     "source_python_datasource",
     "sink_python_datasource_roundtrip",
     "stream_python_source_exec",
+    "pipeline_source_caps",
+    "events_value_drift",
+    "events_welch_ttest",
 })
 
 

@@ -1155,3 +1155,225 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift diagnostics (EXT, data-validation tooling).
+#
+# At 100 TB nobody computes an exact Kolmogorov-Smirnov statistic (it
+# needs a global sort / rank of every observation); production drift
+# monitors histogram both samples onto a FIXED grid and compare the
+# binned ECDFs — one map-side-combined groupBy, then all statistics
+# derive from the <=100-cell grid. The grid is pinned (width 5 over
+# [0, 500), last bin absorbs the tail) so results are deterministic
+# and the DuckDB oracle can replay them bit-for-bit.
+# ---------------------------------------------------------------------------
+
+#: Fixed drift-grid geometry shared by the plan and its oracle.
+_DRIFT_BIN_WIDTH = 5.0
+_DRIFT_LAST_BIN = 99
+#: Laplace-smoothing mass for PSI: 0.5 per cell over a nominal
+#: 100-cell grid -> +50 in the denominator.
+_DRIFT_SMOOTH_DEN = 50.0
+
+
+@register(
+    "events_value_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR(value / 5.0) AS INT), 99) AS bin
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    b AS (
+      SELECT bin,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM e GROUP BY bin
+    ),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                 CAST(SUM(cb) AS BIGINT) AS n_b FROM b),
+    c AS (
+      SELECT bin, ca, cb,
+             SUM(ca) OVER (ORDER BY bin) AS cua,
+             SUM(cb) OVER (ORDER BY bin) AS cub
+      FROM b
+    )
+    SELECT t.n_a, t.n_b,
+           ROUND(MAX(ABS(CAST(cua AS DOUBLE) / t.n_a
+                         - CAST(cub AS DOUBLE) / t.n_b)), 9) AS ks_d,
+           ROUND(list_reduce(
+             [0.0] || list(
+               ((CAST(ca AS DOUBLE) + 0.5) / (t.n_a + 50.0)
+                - (CAST(cb AS DOUBLE) + 0.5) / (t.n_b + 50.0))
+               * ln(((CAST(ca AS DOUBLE) + 0.5) / (t.n_a + 50.0))
+                    / ((CAST(cb AS DOUBLE) + 0.5) / (t.n_b + 50.0)))
+               ORDER BY bin),
+             (a, x) -> a + x), 6) AS psi
+    FROM c CROSS JOIN t
+    GROUP BY t.n_a, t.n_b
+    """,
+    doc="two-sample distribution drift between the click and purchase "
+    "value distributions: binned-ECDF Kolmogorov-Smirnov sup-distance "
+    "plus the Population Stability Index on a pinned 100-cell grid "
+    "(width 5, tail-absorbing last bin; PSI Laplace-smoothed 0.5/cell). "
+    "The production shape of train/serve and day-over-day drift "
+    "monitoring: ONE map-side-combined groupBy collapses both samples "
+    "to the grid, cumulative counts stay exact integers so the KS term "
+    "set is engine-identical, and the PSI doubles fold in pinned bin "
+    "order (the mutual-info trick) so the sum is partition- and "
+    "engine-independent. Exact KS would need a global rank of every "
+    "observation - this is the statistic you can actually afford at "
+    "100 TB (EXT events/data-validation)",
+    tags=("events", "agg"),
+)
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pair = ev.filter(F.col("event_type").isin("click", "purchase"))
+    bin_ = F.least(
+        F.floor(F.col("value") / F.lit(_DRIFT_BIN_WIDTH)),
+        F.lit(_DRIFT_LAST_BIN),
+    ).cast("int")
+    cells = pair.groupBy(bin_.alias("bin")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    one = cells.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.array_sort(F.collect_list(F.struct("bin", "ca", "cb"))).alias("grid"),
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    ks_init = F.struct(
+        F.lit(0).cast("long").alias("cum_a"),
+        F.lit(0).cast("long").alias("cum_b"),
+        F.lit(0.0).alias("d"),
+    )
+    ks = F.aggregate(
+        "grid",
+        ks_init,
+        lambda acc, x: F.struct(
+            (acc["cum_a"] + x["ca"]).alias("cum_a"),
+            (acc["cum_b"] + x["cb"]).alias("cum_b"),
+            F.greatest(
+                acc["d"],
+                F.abs(
+                    (acc["cum_a"] + x["ca"]).cast("double") / na_d
+                    - (acc["cum_b"] + x["cb"]).cast("double") / nb_d
+                ),
+            ).alias("d"),
+        ),
+    )["d"]
+
+    def _p(x, cnt, n_d):
+        # Mirrors the oracle text exactly: (cnt + 0.5) / (n + 50.0).
+        return (x[cnt].cast("double") + F.lit(0.5)) / (
+            n_d + F.lit(_DRIFT_SMOOTH_DEN)
+        )
+
+    psi = F.aggregate(
+        "grid",
+        F.lit(0.0),
+        lambda a, x: a
+        + (_p(x, "ca", na_d) - _p(x, "cb", nb_d))
+        * F.log(_p(x, "ca", na_d) / _p(x, "cb", nb_d)),
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round(ks, 9).alias("ks_d"),
+        F.round(psi, 6).alias("psi"),
+    )
+
+
+@register(
+    "events_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv2
+      FROM events GROUP BY event_type
+    ),
+    b AS (SELECT n AS n_b, sv AS svb, sv2 AS sv2b
+          FROM g WHERE event_type = 'view'),
+    a AS (SELECT event_type, n AS n_a, sv AS sva, sv2 AS sv2a
+          FROM g WHERE event_type <> 'view')
+    SELECT event_type, n_a, n_b,
+           ROUND(sva / n_a - svb / n_b, 6) AS mean_diff,
+           ROUND((sva / n_a - svb / n_b)
+                 / sqrt(((sv2a - sva * sva / n_a) / (n_a - 1)) / n_a
+                        + ((sv2b - svb * svb / n_b) / (n_b - 1)) / n_b),
+                 6) AS t_stat,
+           ROUND(pow(((sv2a - sva * sva / n_a) / (n_a - 1)) / n_a
+                     + ((sv2b - svb * svb / n_b) / (n_b - 1)) / n_b, 2)
+                 / (pow(((sv2a - sva * sva / n_a) / (n_a - 1)) / n_a, 2)
+                      / (n_a - 1)
+                    + pow(((sv2b - svb * svb / n_b) / (n_b - 1)) / n_b, 2)
+                      / (n_b - 1)), 6) AS df
+    FROM a CROSS JOIN b
+    ORDER BY event_type
+    """,
+    doc="per-variant Welch's t-test against the 'view' baseline: the "
+    "A/B-experiment primitive, computed from moments only (count, "
+    "exact-decimal sum, exact-decimal sum of squares - one keyed scan "
+    "with map-side partials, same cost as any grouped agg; the "
+    "reference's gather-then-scipy pattern would collect the raw "
+    "column). Mean, variance, t and the Welch-Satterthwaite df all "
+    "derive in closed form from the 5-row moment grid, every double "
+    "expression mirrored token-for-token in the oracle so results are "
+    "bit-stable across engines and partitionings. At 100 TB this is "
+    "how you score thousands of experiment cells in one pass "
+    "(EXT events/experimentation)",
+    tags=("events", "agg"),
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("sv"),
+        F.sum(v * v).cast("double").alias("sv2"),
+    )
+    base = (
+        g.filter(F.col("event_type") == "view")
+        .select(
+            F.col("n").alias("n_b"),
+            F.col("sv").alias("svb"),
+            F.col("sv2").alias("sv2b"),
+        )
+    )
+    arms = g.filter(F.col("event_type") != "view").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("sv").alias("sva"),
+        F.col("sv2").alias("sv2a"),
+    )
+    j = arms.crossJoin(F.broadcast(base))
+    mean_diff = F.col("sva") / F.col("n_a") - F.col("svb") / F.col("n_b")
+    se2a = (
+        (F.col("sv2a") - F.col("sva") * F.col("sva") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+    ) / F.col("n_a")
+    se2b = (
+        (F.col("sv2b") - F.col("svb") * F.col("svb") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    ) / F.col("n_b")
+    df = F.pow(se2a + se2b, 2) / (
+        F.pow(se2a, 2) / (F.col("n_a") - 1) + F.pow(se2b, 2) / (F.col("n_b") - 1)
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.round(mean_diff / F.sqrt(se2a + se2b), 6).alias("t_stat"),
+        F.round(df, 6).alias("df"),
+    ).orderBy("event_type")

@@ -940,3 +940,64 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Per-source document cap for ``pipeline_source_caps``.
+CAP_PER_SOURCE = 10
+
+
+@register(
+    "pipeline_source_caps",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ) t
+    WHERE rk <= 10
+    ORDER BY source, doc_id
+    """,
+    doc="per-source document caps (the RefinedWeb/C4 host-level cap): "
+    "keep at most CAP_PER_SOURCE docs per source, preferring longer "
+    "documents with a doc_id tiebreak, so no single domain dominates "
+    "the training mixture. The oracle states the plain rank; the Spark "
+    "plan is the SKEW-AWARE two-path version a 100 TB corpus needs: a "
+    "tiny per-source count relation (map-side combined) broadcast-"
+    "splits the scan - sources already under the cap keep every row "
+    "WITHOUT sorting (at web scale that is almost all of them), and "
+    "only the oversized sources pay the partition-sort for row_number. "
+    "A mega-domain still lands in one window task; the count relation "
+    "is exactly the `agg_key_skew_profile` diagnostic that tells you "
+    "to pre-slice it (EXT pipeline/mixture)",
+    tags=("pipeline", "dedup"),
+)
+def pipeline_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    under = counts.filter(F.col("cnt") <= CAP_PER_SOURCE).select("source")
+    over = counts.filter(F.col("cnt") > CAP_PER_SOURCE).select("source")
+    keep_all = docs.join(F.broadcast(under), "source", "left_semi")
+    capped = (
+        docs.join(F.broadcast(over), "source", "left_semi")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= CAP_PER_SOURCE)
+        .drop("rk")
+    )
+    return (
+        keep_all.unionByName(capped)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")
+    )

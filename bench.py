@@ -108,6 +108,10 @@ HEADLINE = [
     "agg_corr_matrix",
     "embedding_pca_gram",
     "text_quality_calibrated",
+    # late round-5 additions
+    "pipeline_source_caps",
+    "events_value_drift",
+    "events_welch_ttest",
 ]
 
 

@@ -453,3 +453,36 @@ def test_sql_scripting_plan_restores_session_conf(spark, sf_dir):
     rows = all_plans()["sql_scripting_batch"].fn(spark, sf_dir).collect()
     assert len(rows) == 1
     assert spark.conf.get("spark.sql.scripting.enabled", None) == prev
+
+
+def test_source_caps_split_broadcasts_and_single_window(spark, sf_dir):
+    # The skew-aware cap must (a) broadcast BOTH sides of the
+    # under/over-cap split so the corpus scan never shuffles for the
+    # split, and (b) pay exactly ONE window sort — only the oversized
+    # sources are ranked; the under-cap path keeps rows sort-free.
+    plan = _formatted(spark, "pipeline_source_caps", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    import re
+
+    assert len(re.findall(r"\bWindow \(\d+\)", plan)) == 1, plan
+    # Bonus pin: Spark pushes the rank limit below the shuffle
+    # (WindowGroupLimit), so even the ranked path ships at most
+    # cap-per-source rows per source into the window sort.
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_value_drift_single_grid_shuffle(spark, sf_dir):
+    # Drift stats must collapse the event scan to the fixed grid with a
+    # partially-aggregated groupBy; the KS/PSI folds then run over the
+    # tiny collected grid — no window over raw rows, no second scan.
+    plan = _formatted(spark, "events_value_drift", sf_dir)
+    assert "partial_sum" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_welch_ttest_is_moments_only(spark, sf_dir):
+    # One keyed scan with map-side partials; the baseline row joins
+    # back as a broadcast, never a shuffle or a sort of the raw column.
+    plan = _formatted(spark, "events_welch_ttest", sf_dir)
+    assert "partial_sum" in plan, plan
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
