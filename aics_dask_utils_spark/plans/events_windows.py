@@ -1169,12 +1169,11 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the DuckDB oracle can replay them bit-for-bit.
 # ---------------------------------------------------------------------------
 
-#: Fixed drift-grid geometry shared by the plan and its oracle.
+#: Fixed drift-grid geometry shared by the plan and its oracle (the
+#: PSI smoothing denominator, +50.0, is 0.5 per cell over the
+#: 100-cell grid — derived inside the operator from n_bins).
 _DRIFT_BIN_WIDTH = 5.0
 _DRIFT_LAST_BIN = 99
-#: Laplace-smoothing mass for PSI: 0.5 per cell over a nominal
-#: 100-cell grid -> +50 in the denominator.
-_DRIFT_SMOOTH_DEN = 50.0
 
 
 @register(
@@ -1228,66 +1227,17 @@ _DRIFT_SMOOTH_DEN = 50.0
     tags=("events", "agg"),
 )
 def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import binned_ecdf_drift
+
     ev = load_table(spark, sf_dir, "events")
-    pair = ev.filter(F.col("event_type").isin("click", "purchase"))
-    bin_ = F.least(
-        F.floor(F.col("value") / F.lit(_DRIFT_BIN_WIDTH)),
-        F.lit(_DRIFT_LAST_BIN),
-    ).cast("int")
-    cells = pair.groupBy(bin_.alias("bin")).agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("long")
-        .alias("ca"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("cb"),
-    )
-    one = cells.agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cb").cast("long").alias("n_b"),
-        F.array_sort(F.collect_list(F.struct("bin", "ca", "cb"))).alias("grid"),
-    )
-    na_d = F.col("n_a").cast("double")
-    nb_d = F.col("n_b").cast("double")
-    ks_init = F.struct(
-        F.lit(0).cast("long").alias("cum_a"),
-        F.lit(0).cast("long").alias("cum_b"),
-        F.lit(0.0).alias("d"),
-    )
-    ks = F.aggregate(
-        "grid",
-        ks_init,
-        lambda acc, x: F.struct(
-            (acc["cum_a"] + x["ca"]).alias("cum_a"),
-            (acc["cum_b"] + x["cb"]).alias("cum_b"),
-            F.greatest(
-                acc["d"],
-                F.abs(
-                    (acc["cum_a"] + x["ca"]).cast("double") / na_d
-                    - (acc["cum_b"] + x["cb"]).cast("double") / nb_d
-                ),
-            ).alias("d"),
-        ),
-    )["d"]
-
-    def _p(x, cnt, n_d):
-        # Mirrors the oracle text exactly: (cnt + 0.5) / (n + 50.0).
-        return (x[cnt].cast("double") + F.lit(0.5)) / (
-            n_d + F.lit(_DRIFT_SMOOTH_DEN)
-        )
-
-    psi = F.aggregate(
-        "grid",
-        F.lit(0.0),
-        lambda a, x: a
-        + (_p(x, "ca", na_d) - _p(x, "cb", nb_d))
-        * F.log(_p(x, "ca", na_d) / _p(x, "cb", nb_d)),
-    )
-    return one.select(
-        "n_a",
-        "n_b",
-        F.round(ks, 9).alias("ks_d"),
-        F.round(psi, 6).alias("psi"),
+    return binned_ecdf_drift(
+        ev,
+        "value",
+        "event_type",
+        "click",
+        "purchase",
+        bin_width=_DRIFT_BIN_WIDTH,
+        n_bins=_DRIFT_LAST_BIN + 1,
     )
 
 
@@ -1335,45 +1285,7 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "agg"),
 )
 def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import welch_ttest
+
     ev = load_table(spark, sf_dir, "events")
-    v = F.col("value").cast("decimal(18,2)")
-    g = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(v).cast("double").alias("sv"),
-        F.sum(v * v).cast("double").alias("sv2"),
-    )
-    base = (
-        g.filter(F.col("event_type") == "view")
-        .select(
-            F.col("n").alias("n_b"),
-            F.col("sv").alias("svb"),
-            F.col("sv2").alias("sv2b"),
-        )
-    )
-    arms = g.filter(F.col("event_type") != "view").select(
-        "event_type",
-        F.col("n").alias("n_a"),
-        F.col("sv").alias("sva"),
-        F.col("sv2").alias("sv2a"),
-    )
-    j = arms.crossJoin(F.broadcast(base))
-    mean_diff = F.col("sva") / F.col("n_a") - F.col("svb") / F.col("n_b")
-    se2a = (
-        (F.col("sv2a") - F.col("sva") * F.col("sva") / F.col("n_a"))
-        / (F.col("n_a") - 1)
-    ) / F.col("n_a")
-    se2b = (
-        (F.col("sv2b") - F.col("svb") * F.col("svb") / F.col("n_b"))
-        / (F.col("n_b") - 1)
-    ) / F.col("n_b")
-    df = F.pow(se2a + se2b, 2) / (
-        F.pow(se2a, 2) / (F.col("n_a") - 1) + F.pow(se2b, 2) / (F.col("n_b") - 1)
-    )
-    return j.select(
-        "event_type",
-        "n_a",
-        "n_b",
-        F.round(mean_diff, 6).alias("mean_diff"),
-        F.round(mean_diff / F.sqrt(se2a + se2b), 6).alias("t_stat"),
-        F.round(df, 6).alias("df"),
-    ).orderBy("event_type")
+    return welch_ttest(ev, "value", "event_type", "view")

@@ -974,30 +974,17 @@ CAP_PER_SOURCE = 10
     tags=("pipeline", "dedup"),
 )
 def pipeline_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..operators.stats import cap_per_key
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
-    under = counts.filter(F.col("cnt") <= CAP_PER_SOURCE).select("source")
-    over = counts.filter(F.col("cnt") > CAP_PER_SOURCE).select("source")
-    keep_all = docs.join(F.broadcast(under), "source", "left_semi")
-    capped = (
-        docs.join(F.broadcast(over), "source", "left_semi")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("source").orderBy(
-                    F.col("n_chars").desc(), F.col("doc_id")
-                )
-            ),
-        )
-        .filter(F.col("rk") <= CAP_PER_SOURCE)
-        .drop("rk")
+    kept = cap_per_key(
+        docs,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        CAP_PER_SOURCE,
     )
-    return (
-        keep_all.unionByName(capped)
-        .select("doc_id", "source", "n_chars")
-        .orderBy("source", "doc_id")
+    return kept.select("doc_id", "source", "n_chars").orderBy(
+        "source", "doc_id"
     )
