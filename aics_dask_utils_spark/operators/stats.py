@@ -46,15 +46,22 @@ def binned_ecdf_drift(
 
     Exact KS needs a global rank of every observation — unaffordable
     at scale. The binned statistic is ONE map-side-combined groupBy
-    onto ``n_bins`` cells (``floor(value / bin_width)``, the last cell
-    absorbing the tail); cumulative counts stay exact integers so the
-    KS term set is engine-identical, and the PSI doubles fold in
-    pinned bin order over the collected grid.
+    onto ``n_bins`` cells (``floor(value / bin_width)``, both edge
+    cells absorbing out-of-range values); cumulative counts stay exact
+    integers so the KS term set is engine-identical, and the PSI
+    doubles fold in pinned bin order over the collected grid. Rows
+    whose ``group_col`` is neither label (including NULL) are ignored;
+    if either sample is empty, ks_d degrades to 0.0 rather than
+    erroring — check ``n_a``/``n_b`` before trusting the statistics.
     """
     smooth_den = 0.5 * n_bins
     pair = df.filter(F.col(group_col).isin(label_a, label_b))
+    # Both grid edges absorb: values below 0 clamp into bin 0 the same
+    # way the tail clamps into the last bin, so the cell count is
+    # bounded by n_bins for ANY input domain.
     bin_ = F.least(
-        F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)
+        F.greatest(F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(0)),
+        F.lit(n_bins - 1),
     ).cast("int")
     is_a = F.col(group_col) == label_a
     cells = pair.groupBy(bin_.alias("bin")).agg(
@@ -138,7 +145,8 @@ def welch_ttest(
     DIVIDE_BY_ZERO for every numeric type (including double), so the
     zero-able denominators — (n-1) for singleton groups, the standard
     error for zero-variance pairs — go through ``try_divide``, whose
-    NULL propagates to t/df.
+    NULL propagates to t/df. Rows whose ``variant_col`` is NULL match
+    neither the baseline filter nor its negation and are excluded.
     """
     v = F.col(value_col).cast(value_decimal)
     g = df.groupBy(variant_col).agg(
@@ -206,16 +214,32 @@ def cap_per_key(
     below-shuffle WindowGroupLimit so at most ~k rows per key reach
     the window sort. ``order_cols`` must be a total order within every
     key (include a unique tiebreak) or the kept set is nondeterministic.
+    NULL key values form their own group and are capped like any other
+    (the split joins are null-safe), matching groupBy semantics.
     """
+    import operator
+    from functools import reduce
+
     from pyspark.sql.window import Window as W
 
     keys = list(key_cols)
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
-    under = counts.filter(F.col("cnt") <= k).select(*keys)
-    over = counts.filter(F.col("cnt") > k).select(*keys)
-    keep_all = df.join(F.broadcast(under), keys, "left_semi")
+
+    def _semi(pred):
+        # Null-safe semi join against the (aliased) key list so
+        # NULL-keyed rows route to their branch instead of vanishing.
+        side = counts.filter(pred).select(
+            *[F.col(c).alias(f"__ck_{c}") for c in keys]
+        )
+        cond = reduce(
+            operator.and_,
+            [df[c].eqNullSafe(side[f"__ck_{c}"]) for c in keys],
+        )
+        return df.join(F.broadcast(side), cond, "left_semi")
+
+    keep_all = _semi(F.col("cnt") <= k)
     capped = (
-        df.join(F.broadcast(over), keys, "left_semi")
+        _semi(F.col("cnt") > k)
         .withColumn(
             "__rk",
             F.row_number().over(

@@ -18,14 +18,15 @@ from aics_dask_utils_spark.operators.stats import (
     welch_ttest,
 )
 
-# 2-dp values in [0, 600): exactly representable in decimal(18,2) and
-# spanning the drift grid including its tail-absorbing last bin.
-_val2dp = st.integers(min_value=0, max_value=59999).map(lambda i: i / 100.0)
+# 2-dp values: exactly representable in decimal(18,2) and spanning the
+# drift grid INCLUDING both absorbing edges (negatives clamp into bin 0,
+# the tail into the last bin).
+_val2dp = st.integers(min_value=-10000, max_value=59999).map(lambda i: i / 100.0)
 
 
 def _drift_numpy(a, b, bin_width=5.0, n_bins=100):
-    ba = np.minimum(np.floor(np.asarray(a) / bin_width).astype(int), n_bins - 1)
-    bb = np.minimum(np.floor(np.asarray(b) / bin_width).astype(int), n_bins - 1)
+    ba = np.clip(np.floor(np.asarray(a) / bin_width).astype(int), 0, n_bins - 1)
+    bb = np.clip(np.floor(np.asarray(b) / bin_width).astype(int), 0, n_bins - 1)
     ca = np.bincount(ba, minlength=n_bins).astype(float)
     cb = np.bincount(bb, minlength=n_bins).astype(float)
     ks = float(np.max(np.abs(np.cumsum(ca) / len(a) - np.cumsum(cb) / len(b))))
@@ -165,3 +166,15 @@ def test_drift_empty_frame_yields_one_null_row(spark):
     df = spark.createDataFrame([], "grp string, value double")
     got = binned_ecdf_drift(df, "value", "grp", "a", "b").collect()[0]
     assert got["n_a"] is None and got["n_b"] is None
+
+
+def test_cap_per_key_null_keys_form_their_own_group(spark):
+    from pyspark.sql import functions as F
+
+    data = [(None, 5, 1), (None, 3, 2), (None, 9, 3), ("k", 1, 4)]
+    df = spark.createDataFrame(data, "key string, val long, uid long")
+    kept = cap_per_key(df, ["key"], [F.col("val").desc(), F.col("uid")], 2)
+    got = {r["uid"] for r in kept.collect()}
+    # NULL group capped to its top-2 by val desc (uids 3 and 1); the
+    # non-null singleton survives untouched.
+    assert got == {3, 1, 4}
