@@ -17,6 +17,11 @@ the LLM-data-pipeline north star (SURVEY §2b). Registry plans
 (`plans/events_windows.py`, `plans/llm_pipeline.py`) delegate here and
 pin each result against a DuckDB oracle; `tests/test_stats_operators.py`
 property-tests the operators on random frames against numpy.
+
+`mann_whitney_u` is library-only this round: the round-5 driver window
+is fully allocated and a plan must be attested the round it registers,
+so its registry plan (+ DuckDB oracle, both straightforward — the same
+grid CTE as `events_value_drift`) takes a round-6 window slot.
 """
 
 from __future__ import annotations
@@ -250,3 +255,89 @@ def cap_per_key(
         .drop("__rk")
     )
     return keep_all.unionByName(capped)
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+    *,
+    bin_width: float = 5.0,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Binned two-sample Mann-Whitney U with a tie-corrected normal z.
+
+    Returns a 1-row frame ``(n_a, n_b, u_stat, z_score)``. The
+    nonparametric complement of :func:`welch_ttest`: no normality
+    assumption, robust to heavy tails — the right default for skewed
+    production metrics (latencies, revenues).
+
+    Exact U needs a global rank of every observation; like
+    :func:`binned_ecdf_drift` this uses the pinned histogram grid
+    instead, treating each cell as one midrank tie group (the standard
+    tie treatment, so U = sum_i ca_i * (cumB_{<i} + cb_i/2)) — ONE
+    map-side-combined groupBy, then pinned-order folds over the
+    <= n_bins collected cells. The tie-corrected variance
+    n_a*n_b/12 * ((n+1) - sum(t^3 - t)/(n*(n-1))) uses the cell totals
+    as tie-group sizes. Accumulation is double (a test statistic, not
+    an accounting sum) but partition- and engine-deterministic because
+    every fold runs in bin order over exact integer cell counts.
+    Degenerate inputs (a sample empty, all values in one cell) yield
+    NULL z via ``try_divide``, never an error. No continuity
+    correction is applied.
+    """
+    pair = df.filter(F.col(group_col).isin(label_a, label_b))
+    bin_ = F.least(
+        F.greatest(F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    is_a = F.col(group_col) == label_a
+    cells = pair.groupBy(bin_.alias("bin")).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    one = cells.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.array_sort(F.collect_list(F.struct("bin", "ca", "cb"))).alias("grid"),
+    )
+    u_init = F.struct(
+        F.lit(0).cast("long").alias("cum_b"),
+        F.lit(0.0).alias("u"),
+    )
+    u = F.aggregate(
+        "grid",
+        u_init,
+        lambda acc, x: F.struct(
+            (acc["cum_b"] + x["cb"]).alias("cum_b"),
+            (
+                acc["u"]
+                + x["ca"].cast("double")
+                * (acc["cum_b"].cast("double") + x["cb"].cast("double") / 2.0)
+            ).alias("u"),
+        ),
+    )["u"]
+    tie_sum = F.aggregate(
+        "grid",
+        F.lit(0.0),
+        lambda a, x: a
+        + (
+            F.pow((x["ca"] + x["cb"]).cast("double"), 3)
+            - (x["ca"] + x["cb"]).cast("double")
+        ),
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    n_d = na_d + nb_d
+    var = (na_d * nb_d / 12.0) * (
+        (n_d + 1.0) - F.try_divide(tie_sum, n_d * (n_d - 1.0))
+    )
+    z = F.try_divide(u - na_d * nb_d / 2.0, F.sqrt(var))
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -178,3 +178,67 @@ def test_cap_per_key_null_keys_form_their_own_group(spark):
     # NULL group capped to its top-2 by val desc (uids 3 and 1); the
     # non-null singleton survives untouched.
     assert got == {3, 1, 4}
+
+
+def _mwu_numpy(a, b, bin_width=5.0, n_bins=100):
+    # Independent formulation: midranks over the binned pooled sample,
+    # U = R_a - n_a(n_a+1)/2 (the rank-sum identity), tie-corrected z.
+    ba = np.clip(np.floor(np.asarray(a) / bin_width).astype(int), 0, n_bins - 1)
+    bb = np.clip(np.floor(np.asarray(b) / bin_width).astype(int), 0, n_bins - 1)
+    pooled = np.concatenate([ba, bb])
+    order = np.argsort(pooled, kind="stable")
+    ranks = np.empty(len(pooled))
+    sv = pooled[order]
+    i, r = 0, 1
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (r + (r + j - i)) / 2.0
+        r += j - i + 1
+        i = j + 1
+    na, nb_ = len(a), len(b)
+    u = ranks[:na].sum() - na * (na + 1) / 2.0
+    n = na + nb_
+    t = np.bincount(pooled).astype(float)
+    tie = float(np.sum(t**3 - t))
+    var = na * nb_ / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u - na * nb_ / 2.0) / math.sqrt(var) if var > 0 else None
+    return u, z
+
+
+@given(
+    a=st.lists(_val2dp, min_size=1, max_size=80),
+    b=st.lists(_val2dp, min_size=1, max_size=80),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mann_whitney_matches_rank_sum_recompute(spark, a, b):
+    from aics_dask_utils_spark.operators.stats import mann_whitney_u
+
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = mann_whitney_u(df, "value", "grp", "a", "b").collect()[0]
+    u, z = _mwu_numpy(a, b)
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert math.isclose(got["u_stat"], u, rel_tol=1e-9, abs_tol=1e-5)
+    assert 0.0 <= got["u_stat"] <= len(a) * len(b)
+    if z is None:
+        assert got["z_score"] is None
+    else:
+        assert math.isclose(got["z_score"], z, rel_tol=1e-6, abs_tol=1e-5)
+
+
+def test_mann_whitney_all_tied_yields_null_z(spark):
+    from aics_dask_utils_spark.operators.stats import mann_whitney_u
+
+    # Every value lands in one cell: variance fully tie-corrected to 0,
+    # z must be NULL (try_divide), U must be the midrank value na*nb/2.
+    rows = [("a", 1.0)] * 4 + [("b", 2.0)] * 3  # bins: all -> cell 0
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = mann_whitney_u(df, "value", "grp", "a", "b").collect()[0]
+    assert got["u_stat"] == 4 * 3 / 2.0
+    assert got["z_score"] is None
