@@ -102,9 +102,13 @@ def ngram_jaccard_pairs(
     )
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sg").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sg").alias("n2"))
+    # No broadcast hint on sizes: it is O(corpus docs) — at billions of
+    # docs a forced build-side broadcast OOMs the driver (r5 verdict).
+    # Unhinted, AQE broadcasts the genuinely small side (`inter`, the
+    # co-shingled pair set) and the sizes relation streams.
     return (
-        inter.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        inter.join(s1, "d1")
+        .join(s2, "d2")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -274,9 +278,13 @@ def minhash_lsh_pairs(
     )
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sg").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sg").alias("n2"))
+    # No broadcast hint on sizes: O(corpus docs), not O(candidates) —
+    # a forced broadcast is a driver-OOM at billions of docs (r5
+    # verdict). Unhinted, AQE broadcasts `inter` (small by LSH
+    # construction: only banded candidate pairs) instead.
     return (
-        inter.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        inter.join(s1, "d1")
+        .join(s2, "d2")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -339,12 +347,13 @@ def embedding_near_dup_pairs(
         F.col(block_col).alias("blk"),
         F.col("__u").alias("u2"),
     )
-    # Broadcast the probe side: a shuffle join on `blk` would cap
-    # parallelism at the number of blocks (few blocks here; at corpus
-    # scale the block count is large and this becomes a co-partitioned
-    # join on blk instead).
+    # No broadcast hint: `b` is the FULL unit-vector relation —
+    # O(corpus) build side, a driver OOM at billions of vectors. At
+    # test scale AQE re-derives the broadcast (b is tiny), so the few-
+    # blocks parallelism cap never bites; at corpus scale the block
+    # count is large and this runs as a co-partitioned join on blk.
     return (
-        a.join(F.broadcast(b), ["blk"])
+        a.join(b, ["blk"])
         .where(F.col("v1") < F.col("v2"))
         .withColumn("cosine", vec_dot("u1", "u2"))
         .where(F.col("cosine") >= threshold)
@@ -629,8 +638,10 @@ def semdedup(
         "cid", F.col("vid").alias("v1"), F.col("u").alias("u1")
     )
     b = with_sim.select("cid", F.col("vid").alias("v2"), F.col("u").alias("u2"))
+    # Unhinted: `b` carries every unit vector (O(corpus)); the cid
+    # equi-join co-partitions at scale, AQE broadcasts when tiny.
     pairs = (
-        a.join(F.broadcast(b), "cid")
+        a.join(b, "cid")
         .where(F.col("v1") < F.col("v2"))
         .where(vec_dot("u1", "u2") >= threshold)
         .select("v1", "v2")
@@ -887,9 +898,11 @@ def shingle_containment_pairs(
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sg").alias("n2"))
     c1 = F.col("inter").cast("double") / F.col("n1")
     c2 = F.col("inter").cast("double") / F.col("n2")
+    # Unhinted sizes joins (O(corpus) build side = driver OOM at
+    # billions of docs); AQE broadcasts the small `inter` side instead.
     return (
-        inter.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        inter.join(s1, "d1")
+        .join(s2, "d2")
         .withColumn("c1_in_2", c1)
         .withColumn("c2_in_1", c2)
         .withColumn("containment", F.greatest(c1, c2))

@@ -55,12 +55,19 @@ def binned_ecdf_drift(
     cells absorbing out-of-range values); cumulative counts stay exact
     integers so the KS term set is engine-identical, and the PSI
     doubles fold in pinned bin order over the collected grid. Rows
-    whose ``group_col`` is neither label (including NULL) are ignored;
-    if either sample is empty, ks_d degrades to 0.0 rather than
-    erroring — check ``n_a``/``n_b`` before trusting the statistics.
+    whose ``group_col`` is neither label (including NULL) are ignored,
+    and so are NULL ``value_col`` rows — a NULL value has no bin, and
+    letting it form a NULL bin group would both skew n_a/n_b and sort
+    engine-dependently (Spark array_sort vs SQL window ORDER BY place
+    NULL differently). If either sample is empty, ks_d degrades to 0.0
+    rather than erroring — check ``n_a``/``n_b`` before trusting the
+    statistics.
     """
     smooth_den = 0.5 * n_bins
-    pair = df.filter(F.col(group_col).isin(label_a, label_b))
+    pair = df.filter(
+        F.col(group_col).isin(label_a, label_b)
+        & F.col(value_col).isNotNull()
+    )
     # Both grid edges absorb: values below 0 clamp into bin 0 the same
     # way the tail clamps into the last bin, so the cell count is
     # bounded by n_bins for ANY input domain.
@@ -151,10 +158,13 @@ def welch_ttest(
     zero-able denominators — (n-1) for singleton groups, the standard
     error for zero-variance pairs — go through ``try_divide``, whose
     NULL propagates to t/df. Rows whose ``variant_col`` is NULL match
-    neither the baseline filter nor its negation and are excluded.
+    neither the baseline filter nor its negation and are excluded, and
+    NULL ``value_col`` rows are filtered out up front — counting them
+    in n while SUM skips them would silently bias every mean and
+    variance (oracles must mirror with WHERE value IS NOT NULL).
     """
     v = F.col(value_col).cast(value_decimal)
-    g = df.groupBy(variant_col).agg(
+    g = df.filter(F.col(value_col).isNotNull()).groupBy(variant_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(v).cast("double").alias("sv"),
         F.sum(v * v).cast("double").alias("sv2"),
@@ -286,9 +296,14 @@ def mann_whitney_u(
     every fold runs in bin order over exact integer cell counts.
     Degenerate inputs (a sample empty, all values in one cell) yield
     NULL z via ``try_divide``, never an error. No continuity
-    correction is applied.
+    correction is applied. NULL ``value_col`` rows are excluded (no
+    bin, and a NULL bin group would skew n and sort engine-dependently)
+    as are rows whose ``group_col`` is neither label.
     """
-    pair = df.filter(F.col(group_col).isin(label_a, label_b))
+    pair = df.filter(
+        F.col(group_col).isin(label_a, label_b)
+        & F.col(value_col).isNotNull()
+    )
     bin_ = F.least(
         F.greatest(F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(0)),
         F.lit(n_bins - 1),

@@ -60,145 +60,114 @@ def register(
 # ``queries()`` yields them and has only ever reached the FIRST 50.
 # ``PRIORITY_WINDOW`` pins that order deliberately, re-cut each round:
 #
-# Round-5 cut — the full-registry-attestation closer. After round 4
-# the gate went 49/50 (the one failure: dedup_components_star, ANSI
-# overflow, fixed this round); cumulatively 192/224 plans carry a
-# green CORRECTNESS row and exactly 31 have never been in a window.
+# Round-6 cut. Round 5 closed full-registry attestation (232/232 ever
+# attested, 231/232 ever-green; sole red: scalar_math, a DECIMAL(18,4)
+# final-column hash-rendering trap, values bit-equal). This round:
 #
-#   slot 1: dedup_components_star — the round-4 failure, re-attested
-#     first (convergence signature now sums xxhash64 as decimal(38,0)).
-#   slots 2-32: the 31 never-attested plans (round-4's queue slots
-#     51-81, promoted verbatim) — closes attestation for every plan
-#     registered through round 4.
-#   slots 33-37: the five round-5 additions (SQL scripting loop,
-#     GROUP/ORDER BY ALL, one-scan correlation matrix, Gram-matrix
-#     PCA, per-lang calibrated quality gate) — new plans always enter
-#     the registry INSIDE the window so none is ever unattested.
-#   slots 38-40: the pure-Python connector matrix, re-attested because
-#     its commit protocol changed this round (job-scoped staging,
-#     locked manifest merge, promote-before-retract epoch replay).
-#   slots 41-47: insurance re-attests of the most intricate
-#     already-green plans (stateful streaming, stream-stream join,
-#     incremental dedup, image dedup, k-means, CDC, SCD2).
-#   slots 48-50: three late-round-5 additions (per-source caps,
-#     binned-ECDF KS+PSI drift, Welch A/B t-test) — in-window on
-#     arrival, displacing three insurance re-attests that have been
-#     driver-green since round 2 (span dedup, corpus pipeline,
-#     MinHash LSH).
+#   slot 1: scalar_math — the r5 red, fixed (net_dec now rounds
+#     through DECIMAL(18,4) but lands as DOUBLE on both engines; the
+#     local harness now REFUSES decimal final columns the way the
+#     driver's hash punishes them).
+#   slot 2: events_mann_whitney — the round-6 addition (binned
+#     Mann-Whitney U, its oracle pre-validated bit-for-bit at three
+#     SFs in round 5); new plans always enter inside the window.
+#   slots 3-4: events_value_drift / events_welch_ttest — their oracles
+#     changed this round (drift oracle gained the GREATEST(...,0) edge
+#     clamp it was missing — ADVICE medium — and both operators now
+#     exclude NULL values with WHERE value IS NOT NULL mirrored).
+#   slots 5-13: the dedup verification plans whose physical plan
+#     changed this round (the O(corpus) `sizes`/unit-vector broadcast
+#     hints removed per the r5 verdict — AQE now picks the small side;
+#     values identical, re-attested on principle: ngram_jaccard,
+#     minhash_lsh + its two components variants, clean_corpus,
+#     shingle_containment, embedding_cosine, embedding_components,
+#     semantic_clusters).
+#   slots 14-50: insurance re-attests of the 37 oldest green rows —
+#     the round-1 vintage TPC-H battery (q1-q22 minus the q12 r3
+#     re-attest), sql_entry_point, global_topn, the round-1 join and
+#     agg batteries, events_resample_ffill — none has been through a
+#     driver window since round 1/2.
 #
-# Slots 51+: every remaining plan (all driver-attested r1-r4) in
-# registration order. ``WINDOW_CRITICAL`` below is guard-tested to sit
-# inside the first 50.
+# Slots 51+: every remaining plan (all driver-attested, all ever-green)
+# in registration order. ``WINDOW_CRITICAL`` below is guard-tested to
+# sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slot 1: the r4 failure, fixed --
-    "dedup_components_star",
-    # -- slots 2-32: the last 31 never-attested plans --
-    "window_trailing_range",
+    # -- slot 1: the r5 red row, fixed --
+    # -- slots 2-4: new/changed stats plans --
+    # -- slots 5-13: de-broadcast dedup verification plans --
     "scalar_math",
-    "scalar_json",
-    "dedup_keep_first_per_source",
-    "ann_topk_brute",
-    "dedup_minhash_components",
-    "ann_topk_pandas",
-    "dedup_simhash_near",
-    "dedup_embedding_components",
-    "text_token_stats",
-    "text_top_bigrams",
-    "text_normalize_nfc",
-    "events_sliding",
-    "events_rate_per_type",
-    "events_daily_active",
-    "events_daily_growth",
-    "events_ewma",
-    "stream_session_exec",
-    "stream_stateful_count_exec",
-    "stream_sliding_exec",
-    "source_orc_roundtrip",
-    "sink_compacted_files",
-    "ann_topk_learned_ivf",
-    "ann_topk_pq",
-    "sample_bernoulli",
-    "sample_train_test_split",
-    "sample_balance_langs",
-    "sample_temperature_mix",
-    "text_unigram_lm_score",
-    "pipeline_token_budget",
-    "dedup_repeated_chunks",
-    # -- slots 33-37: round-5 additions (attested the round they land) --
-    "sql_scripting_batch",
-    "sql_group_by_all",
-    "agg_corr_matrix",
-    "embedding_pca_gram",
-    "text_quality_calibrated",
-    # -- slots 38-40: connector matrix on the hardened r5 protocol --
-    "source_python_datasource",
-    "sink_python_datasource_roundtrip",
-    "stream_python_source_exec",
-    # -- slots 41-47: insurance re-attests of the most intricate plans --
-    "stream_session_state_exec",
-    "stream_stream_join_exec",
-    "pipeline_incremental_dedup",
-    "multimodal_image_dedup",
-    "kmeans_embeddings",
-    "sink_cdc_apply",
-    "sink_scd2_history",
-    # -- slots 48-50: late round-5 additions (attested on arrival) --
-    "pipeline_source_caps",
+    "events_mann_whitney",
     "events_value_drift",
     "events_welch_ttest",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_components",
+    "dedup_components_star",
+    "pipeline_clean_corpus",
+    "dedup_shingle_containment",
+    "dedup_embedding_cosine",
+    "dedup_embedding_components",
+    "dedup_semantic_clusters",
+    # -- slots 14-50: oldest-green insurance re-attests (r1/r2 vintage) --
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_values",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_or_pushdown",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "sql_entry_point",
+    "global_topn",
+    "join_full_outer",
+    "join_theta",
+    "join_interval_bucketed",
+    "agg_argminmax",
+    "agg_cube",
+    "agg_frequent_pairs",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_mode_median",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_stats",
+    "agg_unpivot",
+    "events_resample_ffill",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
-#: this round: the re-attested r4 failure, the 31 never-attested
-#: plans whose green rows close full-registry attestation, the five
-#: round-5 additions, and the connector matrix whose protocol changed.
-#: Guard-tested in tests/test_plan_quality.py so a slot can never
-#: silently slip below the window cut.
+#: this round: the fixed r5 red row, the round-6 addition, and every
+#: plan whose operator code or oracle SQL changed in round 6. Guard-
+#: tested in tests/test_plan_quality.py so a slot can never silently
+#: slip below the window cut.
 WINDOW_CRITICAL: frozenset[str] = frozenset({
-    "dedup_components_star",
-    "window_trailing_range",
     "scalar_math",
-    "scalar_json",
-    "dedup_keep_first_per_source",
-    "ann_topk_brute",
-    "dedup_minhash_components",
-    "ann_topk_pandas",
-    "dedup_simhash_near",
-    "dedup_embedding_components",
-    "text_token_stats",
-    "text_top_bigrams",
-    "text_normalize_nfc",
-    "events_sliding",
-    "events_rate_per_type",
-    "events_daily_active",
-    "events_daily_growth",
-    "events_ewma",
-    "stream_session_exec",
-    "stream_stateful_count_exec",
-    "stream_sliding_exec",
-    "source_orc_roundtrip",
-    "sink_compacted_files",
-    "ann_topk_learned_ivf",
-    "ann_topk_pq",
-    "sample_bernoulli",
-    "sample_train_test_split",
-    "sample_balance_langs",
-    "sample_temperature_mix",
-    "text_unigram_lm_score",
-    "pipeline_token_budget",
-    "dedup_repeated_chunks",
-    "sql_scripting_batch",
-    "sql_group_by_all",
-    "agg_corr_matrix",
-    "embedding_pca_gram",
-    "text_quality_calibrated",
-    "source_python_datasource",
-    "sink_python_datasource_roundtrip",
-    "stream_python_source_exec",
-    "pipeline_source_caps",
+    "events_mann_whitney",
     "events_value_drift",
     "events_welch_ttest",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_components",
+    "dedup_components_star",
+    "pipeline_clean_corpus",
+    "dedup_shingle_containment",
+    "dedup_embedding_cosine",
+    "dedup_embedding_components",
+    "dedup_semantic_clusters",
 })
 
 

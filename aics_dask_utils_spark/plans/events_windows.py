@@ -1180,9 +1180,13 @@ _DRIFT_LAST_BIN = 99
     "events_value_drift",
     oracle="""
     WITH e AS (
+      -- bin mirrors the operator exactly: BOTH edges clamp
+      -- (GREATEST .. 0 for values below the grid, LEAST .. 99 for the
+      -- tail) and NULL values are excluded, matching the Spark side.
       SELECT event_type,
-             LEAST(CAST(FLOOR(value / 5.0) AS INT), 99) AS bin
-      FROM events WHERE event_type IN ('click', 'purchase')
+             LEAST(GREATEST(CAST(FLOOR(value / 5.0) AS INT), 0), 99) AS bin
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     ),
     b AS (
       SELECT bin,
@@ -1250,7 +1254,7 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
              CAST(SUM(CAST(value AS DECIMAL(18,2))
                       * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv2
-      FROM events GROUP BY event_type
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
     ),
     b AS (SELECT n AS n_b, sv AS svb, sv2 AS sv2b
           FROM g WHERE event_type = 'view'),
@@ -1289,3 +1293,78 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return welch_ttest(ev, "value", "event_type", "view")
+
+
+@register(
+    "events_mann_whitney",
+    oracle="""
+    WITH e AS (
+      -- bin mirrors the operator: both grid edges clamp, NULL values
+      -- excluded (same fixed grid as events_value_drift).
+      SELECT event_type,
+             LEAST(GREATEST(CAST(FLOOR(value / 5.0) AS INT), 0), 99) AS bin
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT bin,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM e GROUP BY bin
+    ),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                 CAST(SUM(cb) AS BIGINT) AS n_b FROM b),
+    c AS (
+      SELECT bin, ca, cb,
+             COALESCE(SUM(cb) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_b_before
+      FROM b
+    ),
+    u AS (
+      SELECT list_reduce([0.0] || list(
+               CAST(ca AS DOUBLE)
+               * (CAST(cum_b_before AS DOUBLE) + CAST(cb AS DOUBLE) / 2.0)
+               ORDER BY bin), (a, x) -> a + x) AS u_raw,
+             list_reduce([0.0] || list(
+               pow(CAST(ca + cb AS DOUBLE), 3) - CAST(ca + cb AS DOUBLE)
+               ORDER BY bin), (a, x) -> a + x) AS tie_sum
+      FROM c
+    )
+    SELECT t.n_a, t.n_b,
+           ROUND(u.u_raw, 6) AS u_stat,
+           ROUND((u.u_raw - CAST(t.n_a AS DOUBLE) * t.n_b / 2.0)
+                 / sqrt((CAST(t.n_a AS DOUBLE) * t.n_b / 12.0)
+                        * ((CAST(t.n_a AS DOUBLE) + t.n_b + 1.0)
+                           - u.tie_sum / ((CAST(t.n_a AS DOUBLE) + t.n_b)
+                                          * (CAST(t.n_a AS DOUBLE) + t.n_b
+                                             - 1.0)))),
+                 6) AS z_score
+    FROM u CROSS JOIN t
+    """,
+    doc="binned two-sample Mann-Whitney U (click vs purchase values) "
+    "with a tie-corrected normal z: the nonparametric complement of "
+    "events_welch_ttest — no normality assumption, robust to the heavy "
+    "tails production metrics actually have. Exact U needs a global "
+    "rank; this reuses the pinned 100-cell drift grid, treating each "
+    "cell as one midrank tie group (U = sum_i ca_i*(cumB_<i + cb_i/2), "
+    "the standard tie treatment) — ONE map-side-combined groupBy, then "
+    "pinned-bin-order folds over the <=100 collected cells, every "
+    "double expression mirrored token-for-token in the oracle. The "
+    "oracle was pre-validated bit-for-bit at sf0.001/0.01/0.1 in round "
+    "5 before registration (EXT events/experimentation)",
+    tags=("events", "agg"),
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_whitney_u(
+        ev,
+        "value",
+        "event_type",
+        "click",
+        "purchase",
+        bin_width=_DRIFT_BIN_WIDTH,
+        n_bins=_DRIFT_LAST_BIN + 1,
+    )

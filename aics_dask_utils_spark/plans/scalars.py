@@ -107,11 +107,16 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SQRT(l_quantity), 6)                   AS sqrt_qty,
            ROUND(EXP(l_discount), 6)                    AS exp_disc,
            CAST(l_quantity AS BIGINT) % 5               AS qty_mod5,
-           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net_dec
+           CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                AS DOUBLE)                            AS net_dec
     FROM lineitem
     """,
     doc="math battery (E34) incl. decimal cast; transcendentals rounded to "
-    "6dp (libm low-bit variance across engines)",
+    "6dp (libm low-bit variance across engines). net_dec rounds through "
+    "DECIMAL(18,4) but lands as DOUBLE: a decimal-typed FINAL column is "
+    "a driver-hash trap (Spark renders fixed-scale 43683.0600, DuckDB's "
+    "pandas fetch 43683.06 — bit-equal values, different hashes; the r5 "
+    "red row). 4-dp exact values convert to identical doubles.",
     tags=("scalar",),
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,6 +134,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod5"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .cast("decimal(18,4)")
+        .cast("double")
         .alias("net_dec"),
     )
 

@@ -38,21 +38,36 @@ def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 def _normalize_cell(v):
     """Make heterogeneous cells sortable/comparable across engines:
-    Decimal -> float, date -> Timestamp.
+    date -> Timestamp.
 
     List/ndarray cells are REFUSED: the driver's canonicalizer runs a
     raw pandas ``sort_values`` over every column and list cells raise
     ``TypeError: unhashable type`` there (round-2 failure class). The
     local gate must fail the same way, not tuple-normalize the problem
     away — plans serialize arrays (concat_ws <-> array_to_string) or
-    explode them to rows before the final select."""
+    explode them to rows before the final select.
+
+    Decimal cells are REFUSED too (round-5 failure class,
+    ``scalar_math``): the driver's value hash renders Spark's
+    fixed-scale DECIMAL(18,4) as ``43683.0600`` while DuckDB's pandas
+    fetch gives float64 ``43683.06`` — bit-equal values, different
+    hashes. This harness used to normalize Decimal -> float, which is
+    exactly how the local 50/50-green gate missed the driver's 49/50.
+    Plans must ``CAST(... AS DOUBLE)`` (or BIGINT) the final column on
+    BOTH engines; decimals are fine mid-plan for exact accumulation."""
     import datetime
     import decimal
 
     import numpy as np
 
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        raise TypeError(
+            "Decimal-typed result cell: the driver's value hash renders "
+            "Spark fixed-scale decimals ('43683.0600') differently from "
+            "DuckDB's float64 fetch ('43683.06') even when values are "
+            "bit-equal (round-5 scalar_math). CAST the final column to "
+            "DOUBLE/BIGINT on both engines; keep decimals mid-plan only."
+        )
     if isinstance(v, (list, tuple, np.ndarray)):
         raise TypeError(
             "list-typed result cell: the driver's canonicalizer cannot "
@@ -169,8 +184,14 @@ def assert_scalar_schema(schema, context: str = "") -> None:
     ArrayType/StructType/MapType — the driver's canonicalizer sorts raw
     pandas cells and crashes on unhashable list cells (round-2 failure
     class: ``multimodal_decode_slice``, ``kmeans_embeddings``). Arrays
-    are fine mid-plan; serialize or explode before the last select."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    are fine mid-plan; serialize or explode before the last select.
+
+    DecimalType is refused for the same reason (round-5 failure class:
+    ``scalar_math``): the driver's hash renders Spark's fixed-scale
+    decimal text differently from DuckDB's float64 fetch even when the
+    values are bit-equal. Accumulate in decimal mid-plan; CAST the
+    final column to DOUBLE (or BIGINT) on both engines."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     bad = [
         f.name
@@ -181,6 +202,13 @@ def assert_scalar_schema(schema, context: str = "") -> None:
         f"{context}: complex-typed final columns {bad} — the driver's "
         "canonicalizer cannot sort ARRAY/STRUCT/MAP cells; serialize "
         "(concat_ws <-> array_to_string) or explode to rows"
+    )
+    dec = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not dec, (
+        f"{context}: decimal-typed final columns {dec} — the driver's "
+        "value hash renders Spark fixed-scale decimals differently from "
+        "DuckDB's float64 fetch even when bit-equal (r5 scalar_math); "
+        "CAST the final column to DOUBLE/BIGINT on both engines"
     )
 
 

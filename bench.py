@@ -112,13 +112,24 @@ HEADLINE = [
     "pipeline_source_caps",
     "events_value_drift",
     "events_welch_ttest",
+    # round-6 addition (name-hash grouping: adding it moves no other
+    # query's isolated group)
+    "events_mann_whitney",
 ]
 
 
-#: Queries per isolated-worker subprocess: small enough that one
-#: group's JVM state cannot meaningfully contaminate its members,
-#: large enough to amortize the ~10 s JVM startup.
-GROUP_SIZE = 7
+#: Number of isolated-worker groups. Assignment is a FIXED name-hash
+#: (crc32(name) % N_GROUPS), NOT positional slicing: rounds 4 and 5
+#: both produced phantom "regressions" because adding headline queries
+#: shifted every downstream group's composition, changing how much JVM
+#: warm-up each query's groupmates paid for it. With name-hash buckets
+#: an existing query NEVER changes group when the headline list grows —
+#: only the new query's own bucket gains a member — so isolated numbers
+#: stay comparable round-over-round. ~56 names / 9 groups ≈ 6-7 per
+#: group: small enough that one group's JVM state cannot meaningfully
+#: contaminate its members, large enough to amortize the ~10 s JVM
+#: startup.
+N_GROUPS = 9
 
 
 def _time_plans(spark, names: list[str]) -> dict[str, float]:
@@ -160,7 +171,23 @@ def _time_plans(spark, names: list[str]) -> dict[str, float]:
 
 
 def _groups(names: list[str]) -> list[list[str]]:
-    return [names[i : i + GROUP_SIZE] for i in range(0, len(names), GROUP_SIZE)]
+    """Deterministic name-hash bucketing (see N_GROUPS). Members are
+    sorted within a bucket and empty buckets dropped, so the grouping
+    is a pure function of the name set — independent of HEADLINE
+    order, insertions, or removals of other names."""
+    import zlib
+
+    buckets: list[list[str]] = [[] for _ in range(N_GROUPS)]
+    for n in names:
+        buckets[zlib.crc32(n.encode()) % N_GROUPS].append(n)
+    return [sorted(b) for b in buckets if b]
+
+
+#: Standing per-group JVM warm-up: one cheap single-scan aggregate
+#: executed (untimed) before a worker times its group, so the FIRST
+#: member of every group starts from the same partially-warmed JIT /
+#: parquet-reader / codegen state instead of billing the cold JVM.
+WARMUP_PLAN = "q6_forecast_revenue"
 
 
 def _isolated_worker(group_idx: int) -> None:
@@ -174,6 +201,8 @@ def _isolated_worker(group_idx: int) -> None:
         app_name=f"aics_dask_utils_spark-bench-iso{group_idx}",
         shuffle_partitions=CPUS,
     )
+    plans[WARMUP_PLAN].fn(spark, SF_DIR).count()  # per-group JIT warm-up
+    spark.catalog.clearCache()
     print(json.dumps(_time_plans(spark, group)))
     spark.stop()
 
@@ -306,8 +335,19 @@ def main() -> None:
         iso, skipped = _run_isolated(names)
         out["queries_isolated"] = iso
         out["isolated_total_sec"] = round(sum(iso.values()), 4)
+        # Always present so round-over-round diffs notice coverage
+        # changes; != 0 means the isolated numbers are PARTIAL and the
+        # missing queries' absence must not be read as improvement.
+        out["isolated_groups_skipped"] = skipped
         if skipped:
-            out["isolated_groups_skipped"] = skipped
+            print(
+                "=" * 72
+                + f"\nWARNING: isolated pass PARTIAL — {skipped} group(s) "
+                "skipped for budget; compare only the queries present in "
+                "queries_isolated, and only against other isolated runs.\n"
+                + "=" * 72,
+                file=sys.stderr,
+            )
     print(json.dumps(out))
 
 

@@ -52,7 +52,6 @@ def test_value_drift_matches_numpy_recompute(spark, sf_dir):
     b = ev.loc[ev.event_type == "purchase", "value"].to_numpy()
     bins = np.minimum(np.floor(np.concatenate([a, b]) / 5.0).astype(int), 99)
     ba, bb = bins[: len(a)], bins[len(a) :]
-    grid = np.arange(100)
     ca = np.bincount(ba, minlength=100).astype(float)
     cb = np.bincount(bb, minlength=100).astype(float)
     ks = np.max(np.abs(np.cumsum(ca) / len(a) - np.cumsum(cb) / len(b)))
@@ -65,7 +64,6 @@ def test_value_drift_matches_numpy_recompute(spark, sf_dir):
     assert row["psi"] == pytest.approx(psi, abs=1e-6)
     assert 0.0 <= row["ks_d"] <= 1.0
     assert row["psi"] >= 0.0  # each (pa-pb)·ln(pa/pb) term is non-negative
-    assert grid is not None
 
 
 def test_welch_ttest_matches_numpy_recompute(spark, sf_dir):

@@ -50,6 +50,38 @@ def test_gate_rejects_array_cells():
         assert_frames_match(arr, arr.copy(), context="array-output")
 
 
+def test_gate_rejects_decimal_cells():
+    """The local gate must refuse Decimal-typed result cells the way the
+    driver does (round-5 failure class: scalar_math's DECIMAL(18,4)
+    final column hashed as '43683.0600' on Spark vs float64 '43683.06'
+    on DuckDB; the old local gate normalized Decimal -> float and
+    passed, masking the only red row of the round)."""
+    import decimal
+
+    import pandas as pd
+    import pytest
+
+    from aics_dask_utils_spark.testing import assert_frames_match
+
+    dec = pd.DataFrame({"k": ["a"], "v": [decimal.Decimal("43683.0600")]})
+    with pytest.raises(TypeError, match="Decimal-typed result cell"):
+        assert_frames_match(dec, dec.copy(), context="decimal-output")
+
+
+def test_schema_lint_rejects_decimal_types(spark):
+    """A deliberately DECIMAL-returning plan must fail the registry lint
+    before it ever reaches the driver (round-5 scalar_math class)."""
+    from aics_dask_utils_spark.testing import assert_scalar_schema
+
+    df = spark.range(3).selectExpr("id", "CAST(id AS DECIMAL(18,4)) AS d")
+    with pytest.raises(AssertionError, match="decimal-typed final columns"):
+        assert_scalar_schema(df.schema, context="synthetic-decimal-plan")
+    ok = spark.range(3).selectExpr(
+        "id", "CAST(CAST(id AS DECIMAL(18,4)) AS DOUBLE) AS d"
+    )
+    assert_scalar_schema(ok.schema, context="decimal-cast-to-double-ok")
+
+
 def test_schema_lint_rejects_complex_types(spark):
     """A deliberately ARRAY-returning plan must fail the registry lint
     before it ever reaches the driver."""

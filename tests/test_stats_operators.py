@@ -244,61 +244,10 @@ def test_mann_whitney_all_tied_yields_null_z(spark):
     assert got["z_score"] is None
 
 
-#: Draft DuckDB oracle for the ROUND-6 registry plan of
-#: `mann_whitney_u` (click vs purchase on events, the same fixed grid
-#: as events_value_drift). Pre-validated here so the r6 registration
-#: is a paste: every double expression mirrors the operator's fold
-#: order token-for-token.
-MWU_ORACLE_DRAFT = """
-WITH e AS (
-  SELECT event_type,
-         LEAST(GREATEST(CAST(FLOOR(value / 5.0) AS INT), 0), 99) AS bin
-  FROM events WHERE event_type IN ('click', 'purchase')
-),
-b AS (
-  SELECT bin,
-         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
-         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
-  FROM e GROUP BY bin
-),
-t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
-             CAST(SUM(cb) AS BIGINT) AS n_b FROM b),
-c AS (
-  SELECT bin, ca, cb,
-         COALESCE(SUM(cb) OVER (ORDER BY bin
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS cum_b_before
-  FROM b
-),
-u AS (
-  SELECT list_reduce([0.0] || list(
-           CAST(ca AS DOUBLE)
-           * (CAST(cum_b_before AS DOUBLE) + CAST(cb AS DOUBLE) / 2.0)
-           ORDER BY bin), (a, x) -> a + x) AS u_raw,
-         list_reduce([0.0] || list(
-           pow(CAST(ca + cb AS DOUBLE), 3) - CAST(ca + cb AS DOUBLE)
-           ORDER BY bin), (a, x) -> a + x) AS tie_sum
-  FROM c
-)
-SELECT t.n_a, t.n_b,
-       ROUND(u.u_raw, 6) AS u_stat,
-       ROUND((u.u_raw - CAST(t.n_a AS DOUBLE) * t.n_b / 2.0)
-             / sqrt((CAST(t.n_a AS DOUBLE) * t.n_b / 12.0)
-                    * ((CAST(t.n_a AS DOUBLE) + t.n_b + 1.0)
-                       - u.tie_sum / ((CAST(t.n_a AS DOUBLE) + t.n_b)
-                                      * (CAST(t.n_a AS DOUBLE) + t.n_b
-                                         - 1.0)))),
-             6) AS z_score
-FROM u CROSS JOIN t
-"""
+def test_mann_whitney_registered_plan(spark, sf_dir, duck):
+    """The round-6 registered plan (the round-5 draft oracle, promoted)
+    must match its oracle here too, independent of the registry sweep,
+    so a stats-operator edit cannot silently break the registration."""
+    from aics_dask_utils_spark.testing import run_plan_vs_oracle
 
-
-def test_mann_whitney_round6_oracle_draft(spark, sf_dir, duck):
-    from aics_dask_utils_spark.operators.stats import mann_whitney_u
-    from aics_dask_utils_spark.sources import load_table
-    from aics_dask_utils_spark.testing import assert_frames_match
-
-    ev = load_table(spark, sf_dir, "events")
-    got = mann_whitney_u(ev, "value", "event_type", "click", "purchase")
-    want = duck.execute(MWU_ORACLE_DRAFT).df()
-    assert_frames_match(got.toPandas(), want, context="mwu-r6-oracle-draft")
+    run_plan_vs_oracle(spark, "events_mann_whitney", sf_dir, con=duck)
