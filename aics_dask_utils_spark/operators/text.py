@@ -144,8 +144,12 @@ def tf_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     """(doc, term, tf, idf, tfidf) rows. Smoothed idf = ln((N+1)/(df+1)).
 
     Shuffle profile: one explode (narrow), one groupBy(doc,term), one
-    groupBy(term) for df — the term dimension is tiny relative to the
-    corpus, so the df side is broadcast back onto the tf side.
+    groupBy(term) for df. The df side is term-dimension-sized — small
+    relative to the corpus but still growing with it (Heaps' law), so
+    it carries NO forced broadcast hint: both groupBys already hash on
+    ``term``-compatible keys, AQE broadcasts the df side while it fits
+    and falls back to a term-partitioned join when the vocabulary
+    outgrows the threshold.
     """
     n_docs = docs.select(F.countDistinct(id_col).alias("n")).withColumn(
         "j", F.lit(1)
@@ -158,7 +162,7 @@ def tf_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
         F.countDistinct(id_col).alias("df")
     )
     return (
-        tf.join(F.broadcast(df_counts), "term")
+        tf.join(df_counts, "term")
         .withColumn("j", F.lit(1))
         .join(F.broadcast(n_docs), "j")
         .drop("j")

@@ -599,9 +599,13 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
     )
     a, b = k.alias("a"), k.alias("b")
+    # Self-join blocked on lang (equi key) with an id-inequality
+    # residual. NO broadcast hint: both sides are the full keyed corpus
+    # (O(corpus)); the equi key makes this a shuffled hash join on
+    # lang, and AQE broadcasts only if one side actually fits.
     return (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

@@ -1184,7 +1184,7 @@ _DRIFT_LAST_BIN = 99
       -- (GREATEST .. 0 for values below the grid, LEAST .. 99 for the
       -- tail) and NULL values are excluded, matching the Spark side.
       SELECT event_type,
-             LEAST(GREATEST(CAST(FLOOR(value / 5.0) AS INT), 0), 99) AS bin
+             CAST(LEAST(GREATEST(FLOOR(value / 5.0), 0), 99) AS INT) AS bin
       FROM events
       WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     ),
@@ -1302,7 +1302,7 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- bin mirrors the operator: both grid edges clamp, NULL values
       -- excluded (same fixed grid as events_value_drift).
       SELECT event_type,
-             LEAST(GREATEST(CAST(FLOOR(value / 5.0) AS INT), 0), 99) AS bin
+             CAST(LEAST(GREATEST(FLOOR(value / 5.0), 0), 99) AS INT) AS bin
       FROM events
       WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     ),

@@ -80,8 +80,10 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     edges = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        # cust/supp are O(SF): no forced broadcast (lint-enforced);
+        # AQE re-derives the broadcast when the 2-column projection fits.
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
@@ -204,8 +206,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     edges = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        # cust/supp are O(SF): no forced broadcast (lint-enforced);
+        # AQE re-derives the broadcast when the 2-column projection fits.
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )

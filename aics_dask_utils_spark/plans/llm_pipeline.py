@@ -251,7 +251,9 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.log((F.col("cnt") + 1.0) / (F.col("n") + F.col("v"))), 6
     ).cast("decimal(30,6)")
     return (
-        tok.join(F.broadcast(vocab), "term")
+        # vocab grows with the corpus (Heaps' law) — no forced
+        # broadcast; tok and vocab share the term hash key.
+        tok.join(vocab, "term")
         .withColumn("j", F.lit(1))
         .join(F.broadcast(totals), "j")
         .groupBy("doc_id")
@@ -926,10 +928,10 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.log((F.col("cb") + 1.0) / (F.col("cnt") + F.col("v"))), 6
     ).cast("decimal(30,6)")
     return (
-        bg.join(F.broadcast(bc), ["prev", "nxt"])
-        .join(
-            F.broadcast(uni.withColumnRenamed("term", "prev")), "prev"
-        )
+        # bigram/unigram count relations grow with the corpus — no
+        # forced broadcast (AQE decides); only the 1-row vs is hinted.
+        bg.join(bc, ["prev", "nxt"])
+        .join(uni.withColumnRenamed("term", "prev"), "prev")
         .withColumn("j", F.lit(1))
         .join(F.broadcast(vs), "j")
         .groupBy("doc_id")

@@ -2,8 +2,15 @@
 
 Every plan is declarative DataFrame/SQL — Catalyst gets predicate
 pushdown, column pruning and join planning for free. Explicit
-``broadcast()`` hints mark the dimension sides that must never shuffle
-at 100 TB (region/nation/supplier are KBs even at SF-100k).
+``broadcast()`` hints are reserved for build sides whose size is
+INDEPENDENT of data scale — fixed-cardinality dims (region=5 rows,
+nation=25 rows) and aggregate-derived scalar relations. Anything
+O(SF) (customer/supplier/part/orders/lineitem, filtered or not) is
+left unhinted: at the 100 TB design point a forced broadcast of a
+linear relation is a guaranteed driver OOM, while AQE re-derives the
+same broadcast at runtime whenever the actual post-filter size is
+under ``spark.sql.autoBroadcastJoinThreshold``. The registry-wide
+lint in tests/test_plan_quality.py enforces this contract.
 """
 
 from __future__ import annotations
@@ -100,10 +107,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders⋈customer side selective, so the join prunes ~80% of
     # lineitems ahead of the group-by. (Pre-aggregating lineitem first —
     # the q18 trick — loses here because the join is reductive.)
+    # No broadcast hint on `cust`: filtered (1/5 by segment) but still
+    # O(SF) — at the 100 TB design point a forced broadcast of a linear
+    # relation fails; AQE picks broadcast itself when the post-filter
+    # size is under the threshold.
     return (
         li.join(
             orders.join(
-                F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+                cust, F.col("c_custkey") == F.col("o_custkey")
             ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -118,8 +129,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q5_region_revenue — 5-way star join. region/nation/supplier/customer are
-# all broadcast dims; lineitem is the only big side, touched once.
+# q5_region_revenue — 5-way star join. region/nation keep broadcast hints
+# (fixed cardinality); supplier/customer are O(SF) and rely on AQE.
+# lineitem is the only big side, touched once.
 # --------------------------------------------------------------------------
 @register(
     "q5_region_revenue",
@@ -153,11 +165,15 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
     )
+    # `cust` and the supplier-derived `dim` are O(SF) — no forced
+    # broadcast (would OOM the driver at 100 TB). Only the fixed-
+    # cardinality nation (25) / region (5) inside `dim` keep hints;
+    # AQE re-derives the small-side broadcasts at runtime when safe.
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(dim),
+            dim,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

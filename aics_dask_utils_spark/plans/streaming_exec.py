@@ -237,8 +237,9 @@ def stream_foreach_batch_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_nationkey
     """,
     doc="EXECUTED stream: stream-static enrichment join — the streaming "
-    "events micro-batches join a STATIC dimension (customer, broadcast; "
-    "re-planned per micro-batch, so dimension updates are picked up) "
+    "events micro-batches join a STATIC dimension (customer; unhinted, "
+    "size-planned broadcast at small scale, re-planned per micro-batch "
+    "so dimension updates are picked up) "
     "and aggregate per nation in complete mode. The standard 'enrich "
     "the firehose with reference data' topology (E41,E44 family)",
     tags=("streaming", "join"),
@@ -250,7 +251,11 @@ def stream_static_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    # No forced broadcast: customer is O(SF). The planner still builds a
+    # broadcast hash per micro-batch at small scale from the static
+    # side's file-size statistics; at 100 TB the dimension would exceed
+    # the broadcast bound and must fall back to a shuffled join.
+    joined = ev.join(cust, ev["user_id"] == cust["c_custkey"])
     agg = joined.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
     )

@@ -280,7 +280,9 @@ def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        ex.join(F.broadcast(vocab), "term")
+        # vocab is term-dimension-sized (Heaps' law — grows with the
+        # corpus): unhinted so AQE only broadcasts it while it fits.
+        ex.join(vocab, "term")
         .groupBy("doc_id")
         .agg(
             F.concat_ws(

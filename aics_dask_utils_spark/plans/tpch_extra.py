@@ -20,12 +20,20 @@ simplified schema (no commitdate/receiptdate/partsupp):
         filtered semi join; Q21 : EXISTS/NOT-EXISTS lineitem self-joins
         (all four adapted for the absent partsupp/receiptdate columns)
 
-Scale notes: every dimension side is explicitly broadcast; the only
-shuffles that survive at 100 TB are fact⋈fact on orderkey (AQE-planned
-sort-merge, co-partitionable by bucketing lineitem and orders on
-orderkey at write time) and the final aggregates. Q17's per-part
-average is a map-side-combinable pre-aggregation whose output is
-dimension-sized (one row per part), hence broadcast.
+Scale notes: explicit ``F.broadcast`` hints are reserved for relations
+whose size does NOT grow with the data — nation (25 rows), region
+(5 rows), and 1-row aggregate scalars (q15's max, q22's avg balance,
+q11's total). customer/supplier/part/orders/lineitem-derived sides
+are LEFT UNHINTED even when filtered: TPC-H sizes them linearly in SF
+(customer = 150k x SF, part = 200k x SF), so a forced broadcast is a
+guaranteed >8 GB broadcast failure / driver OOM at the 100 TB design
+point. AQE re-derives the identical broadcast at runtime whenever the
+actual post-filter build side is under the threshold, so small-scale
+plans (and bench times) are unchanged. The only shuffles that survive
+at 100 TB are fact⋈fact on orderkey (AQE-planned sort-merge,
+co-partitionable by bucketing lineitem and orders on orderkey at
+write time) and the final aggregates. The broadcast-hint contract is
+lint-enforced registry-wide in tests/test_plan_quality.py.
 """
 
 from __future__ import annotations
@@ -138,8 +146,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
@@ -180,7 +188,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -242,7 +250,8 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
     """,
     doc="TPC-H Q14: promo revenue share — conditional-ratio aggregate over "
-    "a broadcast part join (E14,E20,E35)",
+    "a part join (part is O(SF): unhinted, AQE picks the strategy) "
+    "(E14,E20,E35)",
     tags=("relational", "agg", "tpch"),
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +263,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     dec = "decimal(30,6)"
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             drounded(
                 F.lit(100.0)
@@ -303,7 +312,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -327,7 +336,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q17: per-part 0.2×avg(qty) threshold applied back to the "
     "fact — the correlated subquery decorrelated into a part-sized "
-    "pre-aggregate, which is broadcast (E14,E20)",
+    "pre-aggregate; both join sides are O(SF) so strategy is left to "
+    "AQE (at 100 TB this is a partkey-bucketed sort-merge) (E14,E20)",
     tags=("relational", "agg", "tpch"),
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,8 +347,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * davg("l_quantity")).alias("qty_lim")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(lim), F.col("pk") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(lim, F.col("pk") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("qty_lim"))
         .agg(
             drounded(dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
@@ -379,8 +389,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_dq") > 150)
     )
     return (
-        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -403,9 +413,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR (p_type = 'MEDIUM' AND p_size BETWEEN 10 AND 30 AND l_quantity > 5)
        OR (p_type = 'LARGE'  AND p_size BETWEEN 20 AND 50 AND l_quantity < 40)
     """,
-    doc="TPC-H Q19 shape: OR-of-ANDs residual over a broadcast join; "
-    "Catalyst extracts the common l_quantity/p_size bounds for pushdown "
-    "(E8,E14,E35)",
+    doc="TPC-H Q19 shape: OR-of-ANDs residual over a part join (O(SF), "
+    "AQE-planned); Catalyst extracts the common l_quantity/p_size "
+    "bounds for pushdown (E8,E14,E35)",
     tags=("relational", "join", "tpch"),
 )
 def q19_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,7 +429,7 @@ def q19_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_type") == "LARGE") & sz.between(20, 50) & (q < 40))
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
@@ -518,7 +528,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_year
     """,
     doc="TPC-H Q8 shape: one nation's share of PROMO-part revenue per "
-    "order year — conditional-ratio over a 5-way broadcast star (E14,E20,E33,E35)",
+    "order year — conditional-ratio over a 5-way star; only the "
+    "fixed-cardinality nation keeps a broadcast hint (E14,E20,E33,E35)",
     tags=("relational", "agg", "tpch"),
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,8 +542,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
     volumes = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -609,7 +620,7 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_type", "p_size")
@@ -672,9 +683,10 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q9 shape (partsupp absent — 0.6*p_retailprice*l_quantity "
     "stands in for ps_supplycost): 5-way join, profit per nation per "
-    "year. part/supplier/nation broadcast; the only big shuffle is "
-    "lineitem x orders on orderkey; the part LIKE filter prunes the "
-    "fact early via the broadcast hash (E13,E14,E20,E33)",
+    "year. nation broadcast (25 rows); part/supplier are O(SF) and "
+    "left to AQE — at small scale it still builds broadcast hashes and "
+    "the part LIKE filter prunes the fact early; the only big shuffle "
+    "is lineitem x orders on orderkey (E13,E14,E20,E33)",
     tags=("relational", "join", "agg", "tpch"),
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,9 +699,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.6
     ) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -729,7 +741,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem stands in for min ps_supplycost): the correlated "
     "min-subquery is decorrelated into a per-part window MIN + equality "
     "filter, so one shuffle on partkey serves both the aggregate and "
-    "the 'is the minimum' test; dims broadcast after (E13,E14,E25)",
+    "the 'is the minimum' test; nation broadcast, O(SF) dims AQE-"
+    "planned (E13,E14,E25)",
     tags=("relational", "join", "window", "tpch"),
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,8 +761,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = unit.withColumn("best_cost", F.min("unit_cost").over(w))
     return (
         best.where(F.col("unit_cost") == F.col("best_cost"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "s_acctbal",
@@ -785,7 +798,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q20 shape (partsupp absent — per supplier x part shipped "
     "quantity stands in for available stock): aggregation-filtered IN "
     "becomes groupBy + HAVING + left-semi join; the HAVING output is "
-    "supplier-cardinality, so the semi side broadcasts (E15,E20)",
+    "supplier-cardinality — still O(SF), so the semi side is unhinted "
+    "and AQE broadcasts it only when it is actually small (E15,E20)",
     tags=("relational", "join", "agg", "tpch"),
 )
 def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -796,7 +810,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     heavy = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("qty"))
         .where(F.col("qty") > 50)
@@ -804,7 +818,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         supplier.join(
-            F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+            heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
         )
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
@@ -861,7 +875,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

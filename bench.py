@@ -125,10 +125,16 @@ HEADLINE = [
 #: warm-up each query's groupmates paid for it. With name-hash buckets
 #: an existing query NEVER changes group when the headline list grows —
 #: only the new query's own bucket gains a member — so isolated numbers
-#: stay comparable round-over-round. ~56 names / 9 groups ≈ 6-7 per
-#: group: small enough that one group's JVM state cannot meaningfully
-#: contaminate its members, large enough to amortize the ~10 s JVM
-#: startup.
+#: stay comparable round-over-round. The hash does NOT balance bucket
+#: sizes: the current 60 names land as sizes [9, 8, 6, 9, 4, 6, 3, 10,
+#: 5], so the largest bucket (10) exceeds the 7-member ceiling the old
+#: positional GROUP_SIZE enforced, and adding a headline query still
+#: changes its co-members' warm-up amortization (bounded by the
+#: standing WARMUP_PLAN below). Raising N_GROUPS would re-bucket EVERY
+#: query (crc32 % 9 vs % 11 agree on nothing) and destroy exactly the
+#: round-over-round comparability this scheme exists for — so
+#: N_GROUPS stays frozen; revisit only in a round with no plan-change
+#: bench question in flight, accepting one cross-round discontinuity.
 N_GROUPS = 9
 
 

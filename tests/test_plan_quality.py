@@ -41,6 +41,13 @@ def test_q1_scan_prunes_columns(spark, sf_dir):
     [("q5_region_revenue", 3), ("q10_returned_items", 3), ("q7_nation_volume", 4)],
 )
 def test_star_joins_broadcast_dims(spark, sf_dir, name, n_broadcasts):
+    """Star joins still build broadcast hashes at test scale — but these
+    are OPTIMIZER-CHOSEN (size statistics / AQE), not forced: since
+    round 7 the O(SF) dimension sides (customer/supplier/part) carry no
+    ``F.broadcast`` hint — only fixed-cardinality nation/region do (see
+    test_no_unbounded_broadcast_hints). This pin proves de-hinting cost
+    nothing at small scale: the planner re-derives the same physical
+    joins from the actual input sizes."""
     plan = _formatted(spark, name, sf_dir)
     assert plan.count("BroadcastHashJoin") >= n_broadcasts, plan
 
@@ -486,3 +493,149 @@ def test_welch_ttest_is_moments_only(spark, sf_dir):
     plan = _formatted(spark, "events_welch_ttest", sf_dir)
     assert "partial_sum" in plan, plan
     assert "Window" not in plan and "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-hint lint (round 7).
+#
+# An F.broadcast hint FORCES the build side into executor+driver memory
+# regardless of its actual size — on a relation that grows with the
+# data (customer = 150k x SF, part = 200k x SF, any corpus-derived
+# vocabulary/pair relation) that is a guaranteed `Cannot broadcast
+# larger than 8GB` failure or driver OOM at the 100 TB design point.
+# Rounds 5-6 removed this class from the dedup operators; round 7
+# removed it from the TPC-H battery, graph edge-building, streaming
+# enrichment, TF-IDF and the LM-scoring plans. This lint freezes the
+# contract the way the DecimalType schema lint froze the hash-render
+# contract: every ``F.broadcast(...)`` call site in the package must
+# appear in the allowlist below, and every allowlist entry documents
+# WHY its relation is size-bounded independently of the data scale.
+# A new hint on an unlisted relation is a red test, not a review nit.
+# ---------------------------------------------------------------------------
+
+#: (file, first-arg source) -> justification. Categories:
+#:   fixed-dim   — fixed-cardinality dimension (region=5, nation=25)
+#:   scalar      — 1-row (or few-row) aggregate-derived relation
+#:   grid        — bounded category grid (langs x sources, event types,
+#:                 strata, histogram/quantile edges, epochs)
+#:   contract    — bounded by a documented API contract (query set,
+#:                 k centroids, IVF probes, per-term rows of a
+#:                 fixed query, eval-benchmark n-grams)
+_BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("operators/clustering.py", "cent"): "contract: k centroids",
+    ("operators/dedup.py", "cent"): "contract: k centroids (SemDeDup)",
+    ("operators/graph.py", 'nodes.agg(F.count(F.lit(1)).alias("n_nodes"))'):
+        "scalar: 1-row node count",
+    ("operators/sampling.py", "mn"): "scalar: 1-row global min count",
+    ("operators/sampling.py", "ratios"): "grid: one row per stratum",
+    ("operators/similarity.py", "cent"): "contract: k centroids",
+    ("operators/similarity.py", "lut"): "contract: |queries| x k ADC LUT",
+    ("operators/similarity.py", "qe"): "contract: query embeddings",
+    ("operators/similarity.py", "q"): "contract: query side (bounded by API)",
+    ("operators/stats.py", "base"): "scalar: one baseline-variant row",
+    ("operators/stats.py", "side"):
+        "grid: per-source-group counts (bounded source dimension)",
+    ("operators/text.py", "stats"): "scalar: 1-row corpus stats",
+    ("operators/text.py", "dfreq"):
+        "contract: one row per term of a fixed query",
+    ("operators/text.py", "n_docs"): "scalar: 1-row document count",
+    ("plans/clustering.py", "q"): "contract: query side",
+    ("plans/clustering.py", "probes"): "contract: |queries| x nprobe cells",
+    ("plans/events_windows.py", "stats"): "grid: one row per event_type",
+    ("plans/events_windows.py", "bounds"): "scalar: 1-row min/max bounds",
+    ("plans/llm_pipeline.py", "eval_ngrams"):
+        "contract: eval-benchmark n-grams (fixed benchmark size)",
+    ("plans/llm_pipeline.py", "totals"): "scalar: 1-row vocab totals",
+    ("plans/llm_pipeline.py", "q"): "contract: RAG query side",
+    ("plans/llm_pipeline.py", "vs"): "scalar: 1-row (V, total) stats",
+    ("plans/relational.py", "region"): "fixed-dim: region = 5 rows",
+    ("plans/relational.py", "nation"): "fixed-dim: nation = 25 rows",
+    ("plans/relational.py", "exact"): "scalar: 1-row exact distinct",
+    ("plans/relational.py", "edges"): "grid: quartile edge row",
+    ("plans/relational.py", "tot"): "scalar: 1-row total",
+    ("plans/relational.py", "ms"): "grid: one row per source",
+    ("plans/relational.py", "ml"): "grid: one row per lang",
+    ("plans/sampling.py", "tot"): "scalar: 1-row total weight",
+    ("plans/sampling.py", "epochs"): "grid: fixed epoch list",
+    ("plans/sampling.py", "quotas"): "grid: one row per lang",
+    ("plans/sources_plans.py", "nat"): "fixed-dim: nation = 25 rows",
+    ("plans/tpch_extra.py", "nation"): "fixed-dim: nation = 25 rows",
+    ("plans/tpch_extra.py", "n1"): "fixed-dim: nation role 1",
+    ("plans/tpch_extra.py", "n2"): "fixed-dim: nation role 2",
+    ("plans/tpch_extra.py", "mx"): "scalar: 1-row max revenue",
+    ("plans/tpch_extra.py", "total"): "scalar: 1-row global total",
+    ("plans/tpch_extra.py", "avg_bal"): "scalar: 1-row average balance",
+}
+
+#: Variable names that must NEVER be force-broadcast anywhere: relations
+#: loaded from (or aliasing) the fact-proportional TPC-H tables.
+_BROADCAST_FORBIDDEN_NAMES = {
+    "cust", "customer", "supp", "supplier", "part", "orders", "li",
+    "lineitem", "docs", "documents", "emb", "embeddings", "events", "ev",
+}
+
+
+def _broadcast_call_sites():
+    import ast
+    import pathlib
+
+    import aics_dask_utils_spark
+
+    pkg = pathlib.Path(aics_dask_utils_spark.__file__).parent
+    for path in sorted(pkg.rglob("*.py")):
+        src = path.read_text()
+        for node in ast.walk(ast.parse(src)):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+            ):
+                arg = (
+                    ast.get_source_segment(src, node.args[0])
+                    if node.args
+                    else ""
+                )
+                yield str(path.relative_to(pkg)), node.lineno, arg
+
+
+def test_no_unbounded_broadcast_hints():
+    """Every F.broadcast site must be allowlisted with a size-bound
+    justification; fact-table variable names may never be hinted."""
+    unlisted, forbidden = [], []
+    for rel, lineno, arg in _broadcast_call_sites():
+        if arg in _BROADCAST_FORBIDDEN_NAMES:
+            forbidden.append(f"{rel}:{lineno}: F.broadcast({arg})")
+        elif (rel, arg) not in _BROADCAST_ALLOWLIST:
+            unlisted.append(f"{rel}:{lineno}: F.broadcast({arg})")
+    assert not forbidden, (
+        "F.broadcast on a fact-proportional relation (O(SF) build side "
+        "— driver OOM at 100 TB). Remove the hint; AQE re-derives the "
+        f"broadcast when the side actually fits: {forbidden}"
+    )
+    assert not unlisted, (
+        "New F.broadcast site(s) not in the lint allowlist. If the "
+        "build side is provably size-bounded independent of data scale "
+        "(fixed dim / 1-row scalar / bounded grid / API contract), add "
+        "it to _BROADCAST_ALLOWLIST with the justification; otherwise "
+        f"remove the hint and let AQE decide: {unlisted}"
+    )
+
+
+def test_broadcast_lint_catches_violations():
+    """Red-bar check: the lint's own matcher must flag a forbidden name
+    and an unlisted relation (guards against the walker silently
+    matching nothing, the way the decimal lint is guard-tested)."""
+    import ast
+
+    src = "x = F.broadcast(cust)\ny = F.broadcast(mystery_side)\n"
+    hits = []
+    for node in ast.walk(ast.parse(src)):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "broadcast"
+        ):
+            hits.append(ast.get_source_segment(src, node.args[0]))
+    assert hits == ["cust", "mystery_side"]
+    assert hits[0] in _BROADCAST_FORBIDDEN_NAMES
+    assert ("plans/tpch_extra.py", hits[1]) not in _BROADCAST_ALLOWLIST
