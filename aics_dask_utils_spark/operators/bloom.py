@@ -1,0 +1,91 @@
+"""Bloom-filter join pruning (the 100 TB semi-join path).
+
+A plain left-semi join between a huge probe side and a selective build
+side still shuffles the ENTIRE probe relation on the join key (or
+force-materializes the build side) before a single row is eliminated.
+At the 100 TB design point that shuffle is the dominant cost even when
+the build side would discard 99% of probe rows.
+
+``bloom_semi_join`` prunes the probe side *before* any probe shuffle,
+with memory bounded by construction rather than by data size:
+
+1. The build side's keys are hashed into ``k`` independent bit-sets of
+   ``m`` positions each (``pmod(xxhash64(key, seed), m)``). Each
+   bit-set relation has **at most m rows regardless of build-side
+   cardinality** — it is the relational encoding of a Bloom filter's
+   bit array, so broadcasting it is size-safe by construction (this is
+   why the broadcast-hint lint allowlists it: the bound is ``m``, a
+   constant, not O(data)).
+2. The probe side passes through ``k`` successive broadcast left-semi
+   joins, one per bit-set. A probe row survives only if ALL ``k`` of
+   its hash positions are set — exactly the Bloom membership test,
+   evaluated where the probe data lives, with zero probe shuffle.
+3. Survivors (true matches + Bloom false positives) flow into the
+   exact left-semi join, which now shuffles only the pruned remnant.
+
+This is the manual, bound-explicit form of Spark's own runtime bloom
+filter rewrite (``spark.sql.optimizer.runtime.bloomFilter.enabled``,
+SPARK-32268) — expressed as a composition so the plan is inspectable,
+the filter size is chosen by the caller from the build side's expected
+distinct count, and it works on any probe/build pair (including ones
+the rewrite's cost model skips).
+
+False-positive rate ~ (1 - e^(-k*n/m))^k for n distinct build keys;
+the default m=65536, k=3 holds FPR < 1% up to n ≈ 10k and degrades
+gracefully (never wrong, only less selective) beyond.
+
+Reference anchor: the reference's only join-free pruning analogue is
+batched submission (`/root/reference/aics_dask_utils/distributed_handler.py:93-144`);
+this operator is part of the mandated 100 TB extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_bitsets(build: DataFrame, key: str, *, m: int, k: int) -> list[DataFrame]:
+    """The k distinct-position relations (each <= m rows by construction)."""
+    return [
+        build.select(
+            F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(m)).alias("pos")
+        ).distinct()
+        for seed in range(k)
+    ]
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    *,
+    m: int = 1 << 16,
+    k: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Left-semi join of ``probe`` against ``build`` with a Bloom
+    prefilter evaluated probe-side before any probe shuffle.
+
+    With ``exact=True`` (default) the result equals
+    ``probe.join(build, probe_key == build_key, "left_semi")`` exactly:
+    the Bloom stage only reduces what reaches that join. With
+    ``exact=False`` the (cheaper) prefiltered relation is returned,
+    which may retain Bloom false positives — the right trade when a
+    downstream join re-checks the key anyway.
+    """
+    out = probe
+    for seed, bits in enumerate(bloom_bitsets(build, build_key, m=m, k=k)):
+        pos = F.pmod(F.xxhash64(F.col(probe_key), F.lit(seed)), F.lit(m))
+        out = out.withColumn("_bloom_pos", pos).join(
+            # bounded by m rows by construction — see module docstring
+            F.broadcast(bits),
+            F.col("_bloom_pos") == bits["pos"],
+            "left_semi",
+        ).drop("_bloom_pos")
+    if not exact:
+        return out
+    return out.join(
+        build, F.col(probe_key) == build[build_key], "left_semi"
+    )

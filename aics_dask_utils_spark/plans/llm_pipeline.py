@@ -326,6 +326,120 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_exact_substring_ranges",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk) - 7)) AS i
+      FROM t
+    ),
+    spans AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS start,
+             array_to_string(tk[i:i+8], ' ') AS s
+      FROM starts
+    ),
+    dup AS (
+      SELECT s FROM spans GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    ds AS (
+      SELECT sp.doc_id, sp.start FROM spans sp JOIN dup USING (s)
+    ),
+    m AS (
+      SELECT doc_id, start,
+             MAX(start + 8) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM ds
+    ),
+    seg AS (
+      SELECT doc_id, start,
+             SUM(CASE WHEN pme IS NULL OR start > pme + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      FROM m
+    )
+    SELECT doc_id,
+           MIN(start) AS range_start,
+           MAX(start) + 8 AS range_end,
+           MAX(start) + 8 - MIN(start) + 1 AS n_tokens
+    FROM seg
+    GROUP BY doc_id, seg_id
+    ORDER BY doc_id, range_start
+    """,
+    doc="suffix-array-style exact-substring dedup (Lee et al. 2022), "
+    "upgrading text_span_dedup's per-doc hash-overlap FRACTION to the "
+    "actual deliverable of the suffix-array method: the MAXIMAL token "
+    "ranges of each document whose >=9-token content appears verbatim "
+    "in another document — i.e. the exact ranges a dedup pass would "
+    "cut. Three differences from the span-hash plan: (1) positions "
+    "are kept, not array_distinct'ed; (2) duplication is decided on "
+    "the span CONTENT itself (the group-by key is the 9-token string, "
+    "so equality is exact — no hash-collision false positives); (3) "
+    "overlapping/adjacent duplicated spans merge into maximal ranges "
+    "via a per-doc running-max-end interval merge (two Window ops on "
+    "one doc_id sort). Scale shape: one groupBy(span) with map-side "
+    "partials, one span-keyed semi join back, one doc_id window "
+    "shuffle — all linear in corpus tokens, no all-pairs anything; "
+    "the span key is <=~100 bytes so the shuffle is bounded like the "
+    "md5 variant while staying collision-exact (E30,E49)",
+    tags=("text", "dedup"),
+)
+def text_exact_substring_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    L = 9
+    t = T.tokens("text")
+    starts = F.sequence(F.lit(1), F.size(t) - (L - 1))  # 1-based starts
+    # sequence(1, n) DESCENDS for n < 1 — guard short docs out first.
+    spans = (
+        docs.where(F.size(t) >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.cast("long").alias("start"),
+                        F.concat_ws(" ", F.slice(t, i, L)).alias("s"),
+                    ),
+                )
+            ).alias("sp"),
+        )
+        .select("doc_id", "sp.start", "sp.s")
+    )
+    dup = (
+        spans.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("s")
+    )
+    ds = spans.join(dup, "s", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    pme = F.max(F.col("start") + F.lit(L - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        F.col("pme").isNull() | (F.col("start") > F.col("pme") + 1), 1
+    ).otherwise(0)
+    seg = ds.withColumn("pme", pme).withColumn("seg_id", F.sum(is_new).over(w))
+    return (
+        seg.groupBy("doc_id", "seg_id")
+        .agg(
+            F.min("start").alias("range_start"),
+            (F.max("start") + F.lit(L - 1)).alias("range_end"),
+            (F.max("start") + F.lit(L - 1) - F.min("start") + 1).alias(
+                "n_tokens"
+            ),
+        )
+        .select("doc_id", "range_start", "range_end", "n_tokens")
+        .orderBy("doc_id", "range_start")
+    )
+
+
+@register(
     "pipeline_incremental_dedup",
     oracle=r"""
     WITH fp AS (

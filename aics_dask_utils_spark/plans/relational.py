@@ -208,6 +208,36 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+    """,
+    doc="Bloom-prefiltered left-semi join (operators/bloom.py): the "
+    "build side's keys compress into k=3 bit-set relations bounded at "
+    "m=65536 rows BY CONSTRUCTION (never O(data)), the probe side is "
+    "pruned by k broadcast semi joins evaluated where the probe lives "
+    "— zero probe shuffle — and only survivors reach the exact semi "
+    "join. Result is bit-identical to plain EXISTS; the Bloom stage "
+    "only changes the physical plan. The manual, bound-explicit form "
+    "of Spark's runtime bloom-filter rewrite (SPARK-32268), and the "
+    "100 TB answer for 'semi join a huge probe against a selective "
+    "build' (E13,E15 + scale path)",
+    tags=("relational", "join"),
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return bloom_semi_join(
+        orders, "o_orderkey", li.select("l_orderkey"), "l_orderkey"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
     "join_left_anti",
     oracle="""
     SELECT c_custkey, c_name

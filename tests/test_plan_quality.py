@@ -522,6 +522,8 @@ def test_welch_ttest_is_moments_only(spark, sf_dir):
 #:                 k centroids, IVF probes, per-term rows of a
 #:                 fixed query, eval-benchmark n-grams)
 _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("operators/bloom.py", "bits"):
+        "contract: Bloom bit-set, <= m rows by construction",
     ("operators/clustering.py", "cent"): "contract: k centroids",
     ("operators/dedup.py", "cent"): "contract: k centroids (SemDeDup)",
     ("operators/graph.py", 'nodes.agg(F.count(F.lit(1)).alias("n_nodes"))'):
@@ -639,3 +641,29 @@ def test_broadcast_lint_catches_violations():
     assert hits == ["cust", "mystery_side"]
     assert hits[0] in _BROADCAST_FORBIDDEN_NAMES
     assert ("plans/tpch_extra.py", hits[1]) not in _BROADCAST_ALLOWLIST
+
+
+def test_bloom_prune_probe_never_shuffles_before_exact_join(spark, sf_dir):
+    # The k=3 bit-set prefilters must plan as broadcast semi joins
+    # (probe stays put); only the exact final semi join may shuffle.
+    # Nothing may degenerate to a nested loop.
+    plan = _formatted(spark, "join_bloom_pruned", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_substring_ranges_linear_shape(spark, sf_dir):
+    # span groupBy with map-side partials, span semi join, ONE doc_id
+    # window sort pair (two Window ops collapse onto one exchange) —
+    # and never an all-pairs join.
+    plan = _formatted(spark, "text_exact_substring_ranges", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan, plan
+    import re
+
+    assert (
+        len(re.findall(r"Arguments: hashpartitioning\(doc_id", plan)) <= 1
+    ), plan
