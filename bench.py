@@ -115,6 +115,10 @@ HEADLINE = [
     # round-6 addition (name-hash grouping: adding it moves no other
     # query's isolated group)
     "events_mann_whitney",
+    # round-7 additions (same protocol: only their own buckets gain a
+    # member)
+    "join_bloom_pruned",
+    "text_exact_substring_ranges",
 ]
 
 
