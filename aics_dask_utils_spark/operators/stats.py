@@ -356,3 +356,331 @@ def mann_whitney_u(
         F.round(u, 6).alias("u_stat"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    bin_width: float = 5.0,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Binned k-group Kruskal-Wallis H with tie correction.
+
+    The k-group generalization of :func:`mann_whitney_u` (one-way
+    ANOVA on ranks, no normality assumption): returns a 1-row frame
+    ``(n_groups, n_total, dof, h_stat, h_tie_corrected)``.
+
+    Exact H needs a global rank; like the rest of this module the
+    observations collapse onto the pinned histogram grid, each cell a
+    midrank tie group. Ranks are carried as TWICE-midranks
+    ``tm_i = 2*cumBefore_i + t_i + 1`` so every per-group rank sum
+    ``R2_g = sum_i c_{g,i} * tm_i`` is an EXACT integer (no double
+    accumulation anywhere near the data): one (group, bin) keyed scan
+    with map-side partials, a <= n_bins bin-total relation whose
+    cumulative counts come from one pinned-order fold, and a final
+    fold over the <= k group rows computing
+    ``H = 12/(N(N+1)) * sum_g (R_g^2 / n_g) - 3(N+1)`` in double.
+    Tie correction divides by ``1 - sum(t^3 - t)/(N^3 - N)``
+    (``try_divide`` -> NULL on degenerate inputs, never an error).
+    NULL values and NULL group labels are excluded, mirroring
+    :func:`mann_whitney_u`'s contract.
+
+    At 100 TB the shuffled state is k*n_bins cells regardless of row
+    count — the affordable shape for scoring thousands of experiment
+    arms in one pass. (EXT stats; reference has no statistics surface.)
+    """
+    pair = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    bin_ = F.least(
+        F.greatest(F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    cells = pair.groupBy(
+        F.col(group_col).alias("grp"), bin_.alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    bins = cells.groupBy("bin").agg(F.sum("c").cast("long").alias("t"))
+    # one pinned-order fold over the sorted grid -> (bin, tm) rows,
+    # tm = 2*cumBefore + t + 1 (twice the midrank, exact integer)
+    grid1 = bins.agg(
+        F.array_sort(F.collect_list(F.struct("bin", "t"))).alias("g")
+    )
+    mid_init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit([]).cast("array<struct<bin:int,tm:bigint>>").alias("arr"),
+    )
+    mids = grid1.select(
+        F.explode(
+            F.aggregate(
+                "g",
+                mid_init,
+                lambda acc, x: F.struct(
+                    (acc["cum"] + x["t"]).alias("cum"),
+                    F.concat(
+                        acc["arr"],
+                        F.array(
+                            F.struct(
+                                x["bin"].alias("bin"),
+                                (
+                                    F.lit(2) * acc["cum"] + x["t"] + F.lit(1)
+                                ).alias("tm"),
+                            )
+                        ),
+                    ).alias("arr"),
+                ),
+            )["arr"]
+        ).alias("m")
+    ).select(F.col("m.bin").alias("bin"), F.col("m.tm").alias("tm"))
+    # grid-sized join (<= k*n_bins x n_bins) — AQE broadcasts it
+    per_group = (
+        cells.join(mids, "bin")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("tm")).cast("long").alias("r2"),
+        )
+    )
+    ties = bins.agg(
+        F.array_sort(F.collect_list(F.struct("bin", "t"))).alias("g")
+    ).select(
+        F.aggregate(
+            "g",
+            F.lit(0.0),
+            lambda a, x: a
+            + (F.pow(x["t"].cast("double"), 3) - x["t"].cast("double")),
+        ).alias("tie_sum")
+    )
+    one = per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.array_sort(F.collect_list(F.struct("grp", "n_g", "r2"))).alias("gs"),
+    ).crossJoin(ties)
+    # sum_g (R_g^2 / n_g), R_g = r2/2 — pinned group order
+    s = F.aggregate(
+        "gs",
+        F.lit(0.0),
+        lambda a, x: a
+        + F.try_divide(
+            (x["r2"].cast("double") / 2.0) * (x["r2"].cast("double") / 2.0),
+            x["n_g"].cast("double"),
+        ),
+    )
+    n_d = F.col("n_total").cast("double")
+    h = F.try_divide(F.lit(12.0) * s, n_d * (n_d + 1.0)) - 3.0 * (n_d + 1.0)
+    corr = F.lit(1.0) - F.try_divide(
+        F.col("tie_sum"), F.pow(n_d, 3) - n_d
+    )
+    return one.select(
+        "n_groups",
+        "n_total",
+        (F.col("n_groups") - F.lit(1)).cast("long").alias("dof"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(F.try_divide(h, corr), 6).alias("h_tie_corrected"),
+    )
+
+
+def chi2_independence(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Chi-squared test of independence + Cramér's V over a contingency
+    grid.
+
+    Returns a 1-row frame ``(n_total, n_rows, n_cols, dof, chi2,
+    cramers_v)``. One (row, col) keyed scan with map-side partials
+    collapses the data to an R x C cell grid; margins are two grid-
+    sized aggregates joined back (AQE-broadcast, never a forced
+    hint), expected counts derive as ``rowTotal * colTotal / N`` and
+    ``chi2 = sum (o - e)^2 / e`` folds in a PINNED (row, col) order
+    over the collected grid, so the double result is partition- and
+    engine-deterministic. Empty cells (a (row, col) combination never
+    observed) still contribute ``(0 - e)^2 / e = e`` to the statistic;
+    since expected counts sum to N over the FULL grid, that tail is
+    the closed form ``N - sum_occupied(e)`` — no dense grid is ever
+    materialized. ``cramers_v = sqrt(chi2 / (N * min(R-1,
+    C-1)))`` with ``try_divide`` on degenerate 1xC / Rx1 grids. NULL
+    category labels are excluded. Shuffled state is R x C cells
+    regardless of row count. (EXT stats.)
+    """
+    pair = df.filter(
+        F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+    ).select(F.col(row_col).alias("r"), F.col(col_col).alias("cc"))
+    cells = pair.groupBy("r", "cc").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rt = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rtot"))
+    ct = cells.groupBy("cc").agg(F.sum("o").cast("long").alias("ctot"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n_total"))
+    j = cells.join(rt, "r").join(ct, "cc").crossJoin(tot)
+    e = F.col("rtot").cast("double") * F.col("ctot") / F.col("n_total")
+    term = F.pow(F.col("o").cast("double") - e, 2) / e
+    one = j.agg(
+        F.max("n_total").alias("n_total"),
+        F.countDistinct("r").cast("long").alias("n_rows"),
+        F.countDistinct("cc").cast("long").alias("n_cols"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("r", "cc", term.alias("term"), e.alias("e"))
+            )
+        ).alias("grid"),
+    )
+    # occupied-cell terms + the empty-cell tail N - sum_occupied(e)
+    # (every empty cell contributes (0-e)^2/e = e and expected counts
+    # sum to N over the full R x C grid)
+    chi2 = (
+        F.aggregate("grid", F.lit(0.0), lambda a, x: a + x["term"])
+        + F.col("n_total").cast("double")
+        - F.aggregate("grid", F.lit(0.0), lambda a, x: a + x["e"])
+    )
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    v = F.sqrt(
+        F.try_divide(
+            chi2,
+            F.col("n_total").cast("double")
+            * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1).cast(
+                "double"
+            ),
+        )
+    )
+    return one.select(
+        "n_total",
+        "n_rows",
+        "n_cols",
+        dof.cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def binary_classifier_eval(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Binary-classifier evaluation in ONE scan: AUC, Brier, log-loss.
+
+    Returns a 1-row frame ``(n_pos, n_neg, auc, brier, logloss)``.
+    ``score_col`` must be a double in [0, 1] (values are clamped),
+    ``label_col`` a boolean/0-1 column; NULL scores or labels are
+    excluded.
+
+    Scale shape: a single keyed scan bins scores onto a pinned
+    ``n_bins``-cell grid carrying per-cell positive/negative counts
+    AND the exact-decimal partial sums of the Brier and log-loss
+    terms (decimal addition is associative, so per-cell partials
+    re-sum to the exact global sum). AUC is the binned midrank
+    rank-sum — ``U = sum_i pos_i * (cumNeg_<i + neg_i/2)``, AUC =
+    U / (n_pos * n_neg) — the same tie treatment as
+    :func:`mann_whitney_u`, folded in pinned bin order; with the
+    default 1000 cells the quantization error is < 1e-3 on continuous
+    scores and zero when scores are produced on a coarser grid.
+    Brier = mean (s - y)^2 and logloss = -mean(y ln s + (1-y) ln(1-s))
+    (scores clamped to [1e-15, 1-1e-15]) accumulate as exact decimals
+    so results are partition-count- and engine-deterministic.
+    Degenerate single-class inputs yield NULL auc via ``try_divide``.
+    Shuffled state is n_bins cells regardless of row count. (EXT
+    stats / model evaluation at corpus scale.)
+    """
+    eps = 1e-15
+    s = F.least(F.greatest(F.col(score_col), F.lit(0.0)), F.lit(1.0))
+    y = F.col(label_col).cast("int")
+    pair = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    bin_ = F.least(
+        F.greatest(F.floor(s * F.lit(float(n_bins))), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    sc = F.least(F.greatest(s, F.lit(eps)), F.lit(1.0 - eps))
+    ll_term = -(
+        y.cast("double") * F.log(sc)
+        + (F.lit(1.0) - y.cast("double")) * F.log(F.lit(1.0) - sc)
+    )
+    brier_term = F.pow(s - y.cast("double"), 2)
+    cells = pair.groupBy(bin_.alias("bin")).agg(
+        F.sum(y).cast("long").alias("pos"),
+        F.sum(F.lit(1) - y).cast("long").alias("neg"),
+        F.sum(brier_term.cast("decimal(30,12)")).alias("brier_part"),
+        F.sum(ll_term.cast("decimal(30,12)")).alias("ll_part"),
+    )
+    one = cells.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum("brier_part").cast("double").alias("brier_sum"),
+        F.sum("ll_part").cast("double").alias("ll_sum"),
+        F.array_sort(F.collect_list(F.struct("bin", "pos", "neg"))).alias(
+            "grid"
+        ),
+    )
+    u_init = F.struct(
+        F.lit(0).cast("long").alias("cum_neg"),
+        F.lit(0.0).alias("u"),
+    )
+    u = F.aggregate(
+        "grid",
+        u_init,
+        lambda acc, x: F.struct(
+            (acc["cum_neg"] + x["neg"]).alias("cum_neg"),
+            (
+                acc["u"]
+                + x["pos"].cast("double")
+                * (acc["cum_neg"].cast("double") + x["neg"].cast("double") / 2.0)
+            ).alias("u"),
+        ),
+    )["u"]
+    n = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    return one.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.try_divide(u, F.col("n_pos").cast("double") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+        F.round(F.col("brier_sum") / n, 6).alias("brier"),
+        F.round(F.col("ll_sum") / n, 6).alias("logloss"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins: per score-decile observed vs predicted.
+
+    Returns ``n_bins`` rows ``(bin, n, mean_score, frac_pos)`` — the
+    companion diagnostic to :func:`binary_classifier_eval` (a
+    well-calibrated model has mean_score ~= frac_pos per bin). One
+    keyed scan with map-side partials; mean_score sums as exact
+    decimals, frac_pos is a ratio of exact integer counts, both
+    rounded to 6 dp — partition- and engine-deterministic. NULL
+    scores/labels excluded; scores clamped to [0, 1]. Output is
+    n_bins rows regardless of input size. (EXT stats.)
+    """
+    s = F.least(F.greatest(F.col(score_col), F.lit(0.0)), F.lit(1.0))
+    y = F.col(label_col).cast("int")
+    pair = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    bin_ = F.least(
+        F.greatest(F.floor(s * F.lit(float(n_bins))), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        pair.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(s.cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.sum(y).cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

@@ -61,46 +61,66 @@ def register(
 # ``PRIORITY_WINDOW`` pins that order deliberately, re-cut each round:
 #
 # Round-7 cut. Round 6 closed 233/233 ever-attested, 233/233
-# ever-green, gate 50/50. This round the registry gains 2 plans
-# (235 total) and 25 existing plans changed physically or at the
+# ever-green, gate 50/50. This round the registry gains 11 plans
+# (244 total) and 25 existing plans changed physically or at the
 # oracle, so the window is mostly must-attest:
 #
-#   slots 1-2: the round-7 additions (new plans always enter inside
+#   slots 1-11: the round-7 additions (new plans always enter inside
 #     the window): join_bloom_pruned (Bloom-prefiltered semi join,
-#     operators/bloom.py) and text_exact_substring_ranges (the E49
+#     operators/bloom.py), text_exact_substring_ranges (the E49
 #     suffix-array-style upgrade — maximal verified duplicate token
-#     ranges). Both pre-validated vs DuckDB at sf0.001/0.01/0.1.
-#   slots 3-4: events_value_drift / events_mann_whitney — their
+#     ranges), and the statistics/eval/quality/spatial tier
+#     (plans/stats_ml.py, E74-E76): Kruskal-Wallis H, chi-squared +
+#     Cramér's V, one-scan binned AUC/Brier/log-loss, calibration
+#     bins, daily-count autocorrelation, the Deequ-style quality
+#     gate, the cell-bucketed spatial radius join, Gini revenue
+#     concentration, and the Benford first-digit audit. All
+#     pre-validated vs DuckDB at sf0.001/0.01/0.1.
+#   slots 12-13: events_value_drift / events_mann_whitney — their
 #     ORACLES changed (bin clamp now BEFORE the INT cast, matching
 #     the operator's clamp-then-cast order for |value| beyond int32 —
 #     the r6 ADVICE item). Values identical on driver data.
-#   slots 5-19: the TPC-H battery whose PHYSICAL plans changed — the
+#   slots 14-28: the TPC-H battery whose PHYSICAL plans changed — the
 #     r6 verdict's What's-wrong #1/#2: forced broadcasts of O(SF)
 #     customer/supplier/part (and aggregate-derived O(SF) relations)
 #     removed; AQE/size-statistics re-derive the same joins at bench
 #     scale. Values identical, re-attested on principle (the same
 #     adjudication as the r6 dedup de-hinting).
-#   slots 20-27: the non-TPC-H plans de-hinted in the same sweep:
+#   slots 29-36: the non-TPC-H plans de-hinted in the same sweep:
 #     both graph edge builders, the stream-static enrichment join,
 #     TF-IDF top terms, token-id assignment, unigram/bigram LM
 #     scoring, and the edit-distance block join.
-#   slots 28-50: the oldest-green residue (r2/r3 vintage — none was
+#   slots 37-50: the oldest-green residue (r2/r3 vintage — none was
 #     in the r6 window, per the r6 verdict's task 3): 8 streaming-exec
-#     plans, 5 multimodal, 4 UDF-surface, 3 sketches, 3 sources/sinks.
-#     The rest of those batteries rotates next round.
+#     plans, 5 multimodal, 1 UDF-surface. The UDF/sketch/sources
+#     residue displaced by the stats_ml additions rotates in round 8
+#     (udf_map_in_pandas, udf_python_udtf, udf_apply_in_arrow,
+#     agg_theta_users, agg_kll_price_quantiles, agg_cms_heavy_hitters,
+#     source_python_datasource, sink_upsert_merge,
+#     sink_zorder_clustered) — all ever-green, so displacement risks
+#     nothing.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
 # green) in registration order. ``WINDOW_CRITICAL`` below is guard-
 # tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-2: round-7 additions --
+    # -- slots 1-11: round-7 additions --
     "join_bloom_pruned",
     "text_exact_substring_ranges",
-    # -- slots 3-4: oracle clamp-order fix --
+    "events_kruskal_wallis",
+    "events_chi2_independence",
+    "events_classifier_eval",
+    "events_calibration_bins",
+    "events_autocorrelation",
+    "pipeline_quality_checks",
+    "geo_radius_join",
+    "agg_gini_customer_revenue",
+    "agg_benford_prices",
+    # -- slots 12-13: oracle clamp-order fix --
     "events_value_drift",
     "events_mann_whitney",
-    # -- slots 5-19: de-hinted TPC-H battery --
+    # -- slots 12-26: de-hinted TPC-H battery --
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -125,7 +145,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_unigram_lm_score",
     "text_bigram_lm_score",
     "dedup_edit_distance",
-    # -- slots 28-35: streaming-exec re-attests (r2/r3 vintage) --
+    # -- slots 35-42: streaming-exec re-attests (r2/r3 vintage) --
     "stream_tumbling_exec",
     "stream_session_exec",
     "stream_dedup_exec",
@@ -134,25 +154,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "stream_foreach_batch_exec",
     "stream_session_state_exec",
     "stream_python_source_exec",
-    # -- slots 36-40: multimodal re-attests --
+    # -- slots 43-47: multimodal re-attests --
     "multimodal_decode_slice",
     "multimodal_image_dedup",
     "multimodal_scene_cuts",
     "multimodal_audio_frames",
     "sink_row_files_digest",
-    # -- slots 41-44: UDF-surface re-attests --
+    # -- slot 50: UDF-surface re-attest --
     "udf_pandas_scalar",
-    "udf_map_in_pandas",
-    "udf_python_udtf",
-    "udf_apply_in_arrow",
-    # -- slots 45-47: sketch re-attests --
-    "agg_theta_users",
-    "agg_kll_price_quantiles",
-    "agg_cms_heavy_hitters",
-    # -- slots 48-50: sources/sinks re-attests --
-    "source_python_datasource",
-    "sink_upsert_merge",
-    "sink_zorder_clustered",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
@@ -163,6 +172,15 @@ PRIORITY_WINDOW: tuple[str, ...] = (
 WINDOW_CRITICAL: frozenset[str] = frozenset({
     "join_bloom_pruned",
     "text_exact_substring_ranges",
+    "events_kruskal_wallis",
+    "events_chi2_independence",
+    "events_classifier_eval",
+    "events_calibration_bins",
+    "events_autocorrelation",
+    "pipeline_quality_checks",
+    "geo_radius_join",
+    "agg_gini_customer_revenue",
+    "agg_benford_prices",
     "events_value_drift",
     "events_mann_whitney",
     "q2_min_cost_supplier",
@@ -211,6 +229,7 @@ def all_plans() -> dict[str, QuerySpec]:
     from . import llm_pipeline  # noqa: F401
     from . import sketches  # noqa: F401
     from . import sql_surface  # noqa: F401
+    from . import stats_ml  # noqa: F401
 
     missing = [n for n in PRIORITY_WINDOW if n not in REGISTRY]
     if missing:

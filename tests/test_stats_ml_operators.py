@@ -1,0 +1,336 @@
+"""Property tests for the round-7 statistics/eval/quality/spatial
+operators (`operators/stats.py` additions, `operators/quality.py`,
+`operators/geo.py`) against independent numpy/pandas recomputation.
+The registry plans (`plans/stats_ml.py`) pin the same operators
+against DuckDB oracles on the driver tables; these tests cover
+arbitrary data shapes and the degenerate edges the fixed tables
+cannot."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aics_dask_utils_spark.operators.geo import radius_self_join
+from aics_dask_utils_spark.operators.quality import (
+    check_suite,
+    completeness,
+    containment,
+    uniqueness,
+)
+from aics_dask_utils_spark.operators.stats import (
+    binary_classifier_eval,
+    calibration_bins,
+    chi2_independence,
+    kruskal_wallis,
+)
+from pyspark.sql import functions as F
+
+# 2-dp values spanning the KW grid including both absorbing edges.
+_val2dp = st.integers(min_value=-10000, max_value=59999).map(lambda i: i / 100.0)
+
+
+# ---------------------------------------------------------------- KW --
+
+
+def _kw_numpy(groups, bin_width=5.0, n_bins=100):
+    """Tie-corrected binned Kruskal-Wallis H, midranks from bin counts."""
+    all_bins = [
+        np.clip(np.floor(np.asarray(v) / bin_width).astype(int), 0, n_bins - 1)
+        for v in groups
+    ]
+    t = np.zeros(n_bins)
+    for b in all_bins:
+        t += np.bincount(b, minlength=n_bins)
+    n = t.sum()
+    cum_before = np.concatenate([[0.0], np.cumsum(t)[:-1]])
+    midrank = cum_before + (t + 1) / 2.0
+    s = 0.0
+    for b in all_bins:
+        c = np.bincount(b, minlength=n_bins)
+        r = float(np.sum(c * midrank))
+        s += r * r / len(b)
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    corr = 1.0 - float(np.sum(t**3 - t)) / (n**3 - n) if n > 1 else 0.0
+    return h, (h / corr if corr != 0 else None)
+
+
+@given(
+    a=st.lists(_val2dp, min_size=2, max_size=50),
+    b=st.lists(_val2dp, min_size=2, max_size=50),
+    c=st.lists(_val2dp, min_size=2, max_size=50),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kruskal_wallis_matches_numpy(spark, a, b, c):
+    rows = (
+        [("a", float(v)) for v in a]
+        + [("b", float(v)) for v in b]
+        + [("c", float(v)) for v in c]
+    )
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = kruskal_wallis(df, "value", "grp").collect()[0]
+    h, h_tc = _kw_numpy([a, b, c])
+    assert got["n_groups"] == 3
+    assert got["n_total"] == len(rows)
+    assert got["dof"] == 2
+    assert math.isclose(got["h_stat"], h, rel_tol=0, abs_tol=1e-5)
+    if h_tc is None:
+        assert got["h_tie_corrected"] is None
+    else:
+        assert math.isclose(got["h_tie_corrected"], h_tc, rel_tol=0, abs_tol=1e-5)
+
+
+def test_kruskal_wallis_all_one_bin_yields_null_corrected(spark):
+    # every value lands in bin 0 -> tie correction divides by zero -> NULL
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 0.5)],
+        "grp string, value double",
+    )
+    got = kruskal_wallis(df, "value", "grp").collect()[0]
+    assert got["h_tie_corrected"] is None
+    assert got["h_stat"] == 0.0  # identical midranks in both groups
+
+
+def test_kruskal_wallis_excludes_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), (None, 9.0), ("b", 40.0), ("b", 45.0)],
+        "grp string, value double",
+    )
+    got = kruskal_wallis(df, "value", "grp").collect()[0]
+    assert got["n_total"] == 3 and got["n_groups"] == 2
+
+
+# -------------------------------------------------------------- chi2 --
+
+
+def _chi2_numpy(rs, cs):
+    tab = pd.crosstab(pd.Series(rs), pd.Series(cs)).to_numpy().astype(float)
+    n = tab.sum()
+    e = np.outer(tab.sum(axis=1), tab.sum(axis=0)) / n
+    chi2 = float(np.sum((tab - e) ** 2 / e))
+    r, c = tab.shape
+    v = (
+        math.sqrt(chi2 / (n * min(r - 1, c - 1)))
+        if min(r - 1, c - 1) > 0
+        else None
+    )
+    return chi2, r, c, v
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]), st.integers(min_value=0, max_value=4)
+        ),
+        min_size=5,
+        max_size=120,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chi2_matches_numpy(spark, rows):
+    df = spark.createDataFrame(rows, "r string, c int")
+    got = chi2_independence(df, "r", "c").collect()[0]
+    chi2, r, c, v = _chi2_numpy([t[0] for t in rows], [t[1] for t in rows])
+    assert got["n_total"] == len(rows)
+    assert got["n_rows"] == r and got["n_cols"] == c
+    assert got["dof"] == (r - 1) * (c - 1)
+    assert math.isclose(got["chi2"], chi2, rel_tol=0, abs_tol=1e-5)
+    if v is None:
+        assert got["cramers_v"] is None
+    else:
+        assert math.isclose(got["cramers_v"], v, rel_tol=0, abs_tol=1e-5)
+
+
+def test_chi2_single_row_category_yields_null_v(spark):
+    df = spark.createDataFrame(
+        [("only", 1), ("only", 2), ("only", 1)], "r string, c int"
+    )
+    got = chi2_independence(df, "r", "c").collect()[0]
+    assert got["n_rows"] == 1 and got["dof"] == 0
+    assert got["chi2"] == 0.0
+    assert got["cramers_v"] is None
+
+
+# ---------------------------------------------------- classifier eval --
+
+
+def _eval_numpy(scores, labels, n_bins=1000, eps=1e-15):
+    s = np.clip(np.asarray(scores, dtype=float), 0.0, 1.0)
+    y = np.asarray(labels, dtype=int)
+    bins = np.clip(np.floor(s * n_bins).astype(int), 0, n_bins - 1)
+    pos = np.bincount(bins, weights=y, minlength=n_bins)
+    neg = np.bincount(bins, weights=1 - y, minlength=n_bins)
+    cum_neg_before = np.concatenate([[0.0], np.cumsum(neg)[:-1]])
+    u = float(np.sum(pos * (cum_neg_before + neg / 2.0)))
+    n_pos, n_neg = int(y.sum()), int(len(y) - y.sum())
+    auc = u / (n_pos * n_neg) if n_pos and n_neg else None
+    brier = float(np.mean((s - y) ** 2))
+    sc = np.clip(s, eps, 1 - eps)
+    ll = float(np.mean(-(y * np.log(sc) + (1 - y) * np.log(1 - sc))))
+    return n_pos, n_neg, auc, brier, ll
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000).map(lambda i: i / 1000.0),
+            st.booleans(),
+        ),
+        min_size=4,
+        max_size=150,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_classifier_eval_matches_numpy(spark, rows):
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = binary_classifier_eval(df, "score", "label").collect()[0]
+    n_pos, n_neg, auc, brier, ll = _eval_numpy(
+        [r[0] for r in rows], [int(r[1]) for r in rows]
+    )
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    if auc is None:
+        assert got["auc"] is None
+    else:
+        assert math.isclose(got["auc"], auc, rel_tol=0, abs_tol=1e-5)
+    assert math.isclose(got["brier"], brier, rel_tol=0, abs_tol=1e-5)
+    assert math.isclose(got["logloss"], ll, rel_tol=0, abs_tol=1e-5)
+
+
+def test_classifier_eval_perfect_separation_auc_one(spark):
+    rows = [(0.9, True)] * 5 + [(0.1, False)] * 5
+    got = binary_classifier_eval(
+        spark.createDataFrame(rows, "score double, label boolean"),
+        "score",
+        "label",
+    ).collect()[0]
+    assert got["auc"] == 1.0
+
+
+def test_classifier_eval_single_class_null_auc(spark):
+    rows = [(0.4, True), (0.7, True)]
+    got = binary_classifier_eval(
+        spark.createDataFrame(rows, "score double, label boolean"),
+        "score",
+        "label",
+    ).collect()[0]
+    assert got["auc"] is None and got["n_neg"] == 0
+
+
+def test_calibration_bins_matches_pandas(spark):
+    rows = [(i / 20.0, i % 3 == 0) for i in range(21)]
+    got = (
+        calibration_bins(
+            spark.createDataFrame(rows, "score double, label boolean"),
+            "score",
+            "label",
+        )
+        .toPandas()
+        .set_index("bin")
+    )
+    pdf = pd.DataFrame(rows, columns=["s", "y"])
+    pdf["bin"] = np.clip(np.floor(pdf.s * 10).astype(int), 0, 9)
+    exp = pdf.groupby("bin").agg(n=("s", "size"), ms=("s", "mean"), fp=("y", "mean"))
+    assert list(got.index) == list(exp.index)
+    assert (got.n == exp.n).all()
+    assert np.allclose(got.mean_score, exp.ms.round(6), atol=1e-9)
+    assert np.allclose(got.frac_pos, exp.fp.round(6), atol=1e-9)
+
+
+# ----------------------------------------------------------- quality --
+
+
+def test_check_suite_matches_manual_metrics(spark):
+    df = spark.createDataFrame(
+        [("a", "en", 10), ("b", "en", 20), ("c", None, 30), ("c", "xx", None)],
+        "id string, lang string, n int",
+    )
+    out = {
+        r["check"]: r
+        for r in check_suite(
+            df,
+            [
+                ("c_lang", completeness("lang"), 0.5, 1.0),
+                ("u_id", uniqueness("id"), 1.0, 1.0),
+                ("in_lang", containment("lang", ["en"]), 0.9, 1.0),
+                ("max_n", F.max("n"), 0.0, 25.0),
+            ],
+        ).collect()
+    }
+    assert out["c_lang"]["metric"] == 0.75 and out["c_lang"]["passed"]
+    assert out["u_id"]["metric"] == 0.75 and not out["u_id"]["passed"]
+    assert out["in_lang"]["metric"] == 0.5 and not out["in_lang"]["passed"]
+    assert out["max_n"]["metric"] == 30.0 and not out["max_n"]["passed"]
+
+
+def test_check_suite_null_metric_fails_closed(spark):
+    empty = spark.createDataFrame([], "n int")
+    rows = check_suite(empty, [("min_n", F.min("n"), 0.0, 1.0)]).collect()
+    assert rows[0]["metric"] is None and rows[0]["passed"] is False
+
+
+def test_check_suite_rejects_empty_checks(spark):
+    with pytest.raises(ValueError):
+        check_suite(spark.range(1), [])
+
+
+# --------------------------------------------------------------- geo --
+
+
+def _haversine_np(lat1, lon1, lat2, lon2):
+    r = 6371.0088
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dphi = np.radians(lat2 - lat1)
+    dlmb = np.radians(lon2 - lon1)
+    a = np.sin(dphi / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2) ** 2
+    return 2 * r * np.arcsin(np.minimum(np.sqrt(a), 1.0))
+
+
+def test_radius_join_matches_brute_force(spark):
+    rng = np.random.RandomState(7)
+    n = 120
+    lat = rng.uniform(-60, 60, n)
+    # stay away from the antimeridian (documented non-wrap contract)
+    lon = rng.uniform(-150, 150, n)
+    pts = spark.createDataFrame(
+        [(i, float(lat[i]), float(lon[i])) for i in range(n)],
+        "pid int, lat double, lon double",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_km"]
+        for r in radius_self_join(pts, "pid", "lat", "lon", 500.0).collect()
+    }
+    exp = {}
+    for i in range(n):
+        d = _haversine_np(lat[i], lon[i], lat, lon)
+        for j in range(i + 1, n):
+            if d[j] <= 500.0:
+                exp[(i, j)] = d[j]
+    assert set(got) == set(exp)  # exactly once, no misses, no dups
+    for k, v in exp.items():
+        assert math.isclose(got[k], v, rel_tol=0, abs_tol=1e-5)
+
+
+def test_radius_join_excludes_nulls_and_validates_lat_bound(spark):
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, None, 1.0), (3, 0.1, 0.1)],
+        "pid int, lat double, lon double",
+    )
+    rows = radius_self_join(pts, "pid", "lat", "lon", 100.0).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 3)]
+    with pytest.raises(ValueError):
+        radius_self_join(pts, "pid", "lat", "lon", 100.0, max_abs_lat=90.0)
