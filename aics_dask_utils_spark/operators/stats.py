@@ -684,3 +684,58 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    num_partitions: int = 32,
+    out_col: str = "i",
+) -> DataFrame:
+    """Exact global row numbers 1..n over a total order, distributed.
+
+    ``Window.orderBy`` without ``partitionBy`` funnels every row
+    through ONE task — fine for a laptop, a wall at 100 TB. This is
+    the standard two-phase formulation: range-partition on the order
+    key (so partition p holds strictly smaller keys than p+1), rank
+    locally within each partition, then add per-partition prefix
+    offsets computed from a partition-count-sized counts relation
+    (joined back AQE-broadcast). Every stage is distributed; the only
+    serial object is the <= num_partitions-row offsets relation.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak
+    column) — with duplicate keys the assignment of equal rows to
+    range-partition boundaries is not deterministic. Rows with NULLs
+    in ``order_cols`` sort first (Spark default).
+
+    Returns ``df`` with ``out_col`` appended (long, 1-based). Exact:
+    the numbering is a pure function of the total order, independent
+    of where the range sampler places partition boundaries.
+    """
+    from pyspark.sql import Window
+
+    r0 = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = r0.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    # prefix-sum over the tiny (<= num_partitions rows) counts relation
+    off_w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(*order_cols)
+    )
+    return (
+        r0.withColumn("_lr", local)
+        .join(offsets, "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_pid", "_lr", "_off")
+    )

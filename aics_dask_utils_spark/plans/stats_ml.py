@@ -606,17 +606,18 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Gini coefficient of revenue concentration across customers "
     "(the inequality diagnostic behind 'whale' analysis and data-source "
     "mix audits): facts collapse to per-customer exact-decimal totals "
-    "in one keyed scan, the DIMENSION-sized totals relation is ranked "
-    "with a deterministic (total, custkey) total order, and "
-    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n derives from exact decimal "
-    "moments (rank*total products stay exact decimals; double only at "
-    "the end). The global sort touches customers, never line items — "
-    "at 100 TB that is the O(dim) relation, the same contract as "
-    "global_topn (EXT stats/concentration)",
+    "in one keyed scan, the DIMENSION-sized totals relation gets "
+    "DISTRIBUTED exact global row numbers over the deterministic "
+    "(total, custkey) total order — two-phase range-partitioned rank "
+    "(operators/stats.py:global_row_numbers), never a single-partition "
+    "Window.orderBy — and G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n "
+    "derives from exact decimal moments (rank*total products stay "
+    "exact decimals; double only at the end). The rank touches "
+    "customers, never line items (EXT stats/concentration)",
     tags=("orders", "agg", "stats"),
 )
 def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.stats import global_row_numbers
 
     orders = load_table(spark, sf_dir, "orders")
     totals = (
@@ -628,12 +629,8 @@ def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total")
         )
     )
-    ranked = totals.select(
-        "total",
-        F.row_number()
-        .over(Window.orderBy("total", "o_custkey"))
-        .cast("long")
-        .alias("i"),
+    ranked = global_row_numbers(totals, ["total", "o_custkey"]).select(
+        "total", "i"
     )
     a = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),

@@ -334,3 +334,40 @@ def test_radius_join_excludes_nulls_and_validates_lat_bound(spark):
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 3)]
     with pytest.raises(ValueError):
         radius_self_join(pts, "pid", "lat", "lon", 100.0, max_abs_lat=90.0)
+
+
+# --------------------------------------------------- global rank --
+
+
+def test_global_row_numbers_matches_sorted_enumerate(spark):
+    from aics_dask_utils_spark.operators.stats import global_row_numbers
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 50, 300)  # heavy ties -> tiebreak via id
+    df = spark.createDataFrame(
+        [(int(i), int(vals[i])) for i in range(300)], "id int, v int"
+    )
+    got = global_row_numbers(df, ["v", "id"], num_partitions=7).collect()
+    expect = {
+        (v, i): rank + 1
+        for rank, (v, i) in enumerate(sorted(zip(vals.tolist(), range(300))))
+    }
+    assert len(got) == 300
+    for r in got:
+        assert r["i"] == expect[(r["v"], r["id"])]
+    assert sorted(r["i"] for r in got) == list(range(1, 301))
+
+
+def test_global_row_numbers_partition_count_invariant(spark):
+    from aics_dask_utils_spark.operators.stats import global_row_numbers
+
+    df = spark.createDataFrame([(i, i % 9) for i in range(64)], "id int, v int")
+    a = {
+        (r["id"]): r["i"]
+        for r in global_row_numbers(df, ["v", "id"], num_partitions=2).collect()
+    }
+    b = {
+        (r["id"]): r["i"]
+        for r in global_row_numbers(df, ["v", "id"], num_partitions=13).collect()
+    }
+    assert a == b
