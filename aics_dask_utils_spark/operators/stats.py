@@ -713,12 +713,17 @@ def global_row_numbers(
     the numbering is a pure function of the total order, independent
     of where the range sampler places partition boundaries.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
+    # Persist the range-partitioned relation: both the counts branch
+    # and the rank branch consume it, and without persistence the
+    # lineage duplicates and the upstream source is scanned twice.
     r0 = (
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = r0.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     # prefix-sum over the tiny (<= num_partitions rows) counts relation

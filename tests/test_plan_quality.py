@@ -667,3 +667,44 @@ def test_exact_substring_ranges_linear_shape(spark, sf_dir):
     assert (
         len(re.findall(r"Arguments: hashpartitioning\(doc_id", plan)) <= 1
     ), plan
+
+
+def test_geo_radius_join_is_bucketed_equi_join(spark, sf_dir):
+    # The radius self-join must plan as a cell-keyed EQUI-join over the
+    # 3x3 neighborhood explode — never a cross/nested-loop pair scan.
+    plan = _formatted(spark, "geo_radius_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "jy" in plan and "jx" in plan, plan  # the cell equi-key
+
+
+def test_quality_checks_single_scan(spark, sf_dir):
+    # All seven constraints must share ONE pass over documents (the
+    # count-distinct constraint re-keys, but never re-scans the source).
+    plan = _formatted(spark, "pipeline_quality_checks", sf_dir)
+    assert plan.count("(1) Scan parquet") == 1, plan
+    assert "documents.parquet" in plan
+
+
+def test_classifier_eval_single_scan(spark, sf_dir):
+    # AUC + Brier + log-loss must ride ONE scan of events: the per-bin
+    # partials carry all three statistics through one keyed aggregate.
+    plan = _formatted(spark, "events_classifier_eval", sf_dir)
+    assert plan.count("(1) Scan parquet") == 1, plan
+
+
+def test_gini_rank_never_single_partition_sorts_data(spark, sf_dir):
+    # The global rank must be the two-phase range-partitioned form:
+    # a range exchange on the order key for the DATA relation, with the
+    # only unpartitioned window running over the tiny per-partition
+    # counts relation (<= num_partitions rows). The persisted ranked
+    # relation must feed both branches — ONE source scan.
+    import re
+
+    plan = _formatted(spark, "agg_gini_customer_revenue", sf_dir)
+    assert "rangepartitioning(total" in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "InMemoryTableScan" in plan, plan  # counts branch reuses it
+    # at most the final 1-row agg + the counts prefix-sum go single-
+    # partition; the data relation itself never does
+    assert plan.count("Arguments: SinglePartition") <= 2, plan
