@@ -394,6 +394,12 @@ def text_exact_substring_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = T.tokens("text")
     starts = F.sequence(F.lit(1), F.size(t) - (L - 1))  # 1-based starts
     # sequence(1, n) DESCENDS for n < 1 — guard short docs out first.
+    # Persist the span relation: BOTH consumers below (the duplicated-
+    # content groupBy and the semi-join probe) read it, and without
+    # persistence the lineage duplicates — the corpus is tokenized and
+    # span-enumerated TWICE (measured 12.2 -> 6.5 s at sf0.1).
+    from pyspark import StorageLevel
+
     spans = (
         docs.where(F.size(t) >= L)
         .select(
@@ -409,6 +415,7 @@ def text_exact_substring_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sp"),
         )
         .select("doc_id", "sp.start", "sp.s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = (
         spans.groupBy("s")
