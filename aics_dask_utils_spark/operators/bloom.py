@@ -74,9 +74,17 @@ def bloom_semi_join(
     ``exact=False`` the (cheaper) prefiltered relation is returned,
     which may retain Bloom false positives — the right trade when a
     downstream join re-checks the key anyway.
+
+    The build side's key projection is persisted: k bit-set
+    derivations plus the exact join consume it, and without
+    persistence the lineage duplicates and the build source is
+    scanned k+1 times.
     """
+    from pyspark import StorageLevel
+
+    keyed = build.select(build_key).persist(StorageLevel.MEMORY_AND_DISK)
     out = probe
-    for seed, bits in enumerate(bloom_bitsets(build, build_key, m=m, k=k)):
+    for seed, bits in enumerate(bloom_bitsets(keyed, build_key, m=m, k=k)):
         pos = F.pmod(F.xxhash64(F.col(probe_key), F.lit(seed)), F.lit(m))
         out = out.withColumn("_bloom_pos", pos).join(
             # bounded by m rows by construction — see module docstring
@@ -87,5 +95,5 @@ def bloom_semi_join(
     if not exact:
         return out
     return out.join(
-        build, F.col(probe_key) == build[build_key], "left_semi"
+        keyed, F.col(probe_key) == keyed[build_key], "left_semi"
     )
