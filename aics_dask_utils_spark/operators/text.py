@@ -144,23 +144,31 @@ def tf_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     """(doc, term, tf, idf, tfidf) rows. Smoothed idf = ln((N+1)/(df+1)).
 
     Shuffle profile: one explode (narrow), one groupBy(doc,term), one
-    groupBy(term) for df. The df side is term-dimension-sized — small
-    relative to the corpus but still growing with it (Heaps' law), so
-    it carries NO forced broadcast hint: both groupBys already hash on
-    ``term``-compatible keys, AQE broadcasts the df side while it fits
-    and falls back to a term-partitioned join when the vocabulary
-    outgrows the threshold.
+    groupBy(term) for df. The corpus is tokenized ONCE: df derives
+    from the persisted tf relation (each (doc, term) row is one
+    distinct doc for that term, so df = count per term — no second
+    explode, no countDistinct). The df side is term-dimension-sized —
+    small relative to the corpus but still growing with it (Heaps'
+    law), so it carries NO forced broadcast hint: both groupBys
+    already hash on ``term``-compatible keys, AQE broadcasts the df
+    side while it fits and falls back to a term-partitioned join when
+    the vocabulary outgrows the threshold.
     """
+    from pyspark import StorageLevel
+
     n_docs = docs.select(F.countDistinct(id_col).alias("n")).withColumn(
         "j", F.lit(1)
     )
     term_rows = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )
-    tf = term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = term_rows.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
+    # persisted: both the df derivation and the final join consume it
+    tf = (
+        term_rows.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df_counts, "term")
         .withColumn("j", F.lit(1))
@@ -217,7 +225,16 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks)).alias("total_dl"),
     )
-    tf = base.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark import StorageLevel
+
+    # persisted: dfreq and the weighted join both consume it; without
+    # this the match-postings build (scan + tokenize + explode) runs
+    # twice. The relation is |matches|-sized, the cheapest cache point.
+    tf = (
+        base.groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
     idf = F.log(
