@@ -89,7 +89,14 @@ def ngram_jaccard_pairs(
     join; cost is sum over shingles of (docs sharing it)². Use
     :func:`minhash_lsh_pairs` when that bucket fan-out is too hot.
     """
-    ex = _doc_shingles(df, id_col, text_col, k)
+    # persisted: the size aggregate and BOTH self-join sides consume
+    # the shingle relation; without this the corpus is re-shingled
+    # three more times (4 source scans measured before persisting)
+    from pyspark.storagelevel import StorageLevel
+
+    ex = _doc_shingles(df, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sg"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -881,7 +888,14 @@ def shingle_containment_pairs(
     shape as :func:`ngram_jaccard_pairs` (shingle equi-join + group
     count — never a cross join); only the normalization differs, so
     the scale profile is identical."""
-    ex = _doc_shingles(df, id_col, text_col, k)
+    # persisted: the size aggregate and BOTH self-join sides consume
+    # the shingle relation; without this the corpus is re-shingled
+    # three more times (4 source scans measured before persisting)
+    from pyspark.storagelevel import StorageLevel
+
+    ex = _doc_shingles(df, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sg"))
     a = ex.alias("a")
     b = ex.alias("b")

@@ -101,10 +101,22 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     entire point at 100 TB.
 
     Returns (node, n_triangles) for every node in ≥1 triangle."""
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # NOT persisted: the degree aggregate and the ranking join both
+    # consume the undirected relation, but each re-derivation is a
+    # union+distinct over the CALLER's edge relation — callers with an
+    # expensive edge build persist THAT (see graph_triangle_counts),
+    # which collapses the source fan-out (12 scans -> 1) while keeping
+    # the small distinct shuffles pipelined (persisting here too was
+    # bench-neutral-to-slightly-slower at sf0.1: materialization beats
+    # recompute only when the upstream is expensive, and the
+    # expensive upstream is the caller's).
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnsRenamed(
         {"a": "node"}
     )

@@ -128,7 +128,15 @@ def balance_strata(
     size is min_count; the sample is Bernoulli so it composes with
     resample-stability.
     """
-    counts = df.groupBy(strata).agg(F.count("*").alias("_cnt"))
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: the min aggregate and the ratio join both consume the
+    # tiny per-stratum counts; without this each re-scans the source
+    counts = (
+        df.groupBy(strata)
+        .agg(F.count("*").alias("_cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     mn = counts.agg(F.min("_cnt").alias("_mn"))
     ratios = counts.crossJoin(F.broadcast(mn))
     joined = df.join(F.broadcast(ratios), strata)

@@ -163,11 +163,20 @@ def welch_ttest(
     in n while SUM skips them would silently bias every mean and
     variance (oracles must mirror with WHERE value IS NOT NULL).
     """
+    from pyspark import StorageLevel
+
     v = F.col(value_col).cast(value_decimal)
-    g = df.filter(F.col(value_col).isNotNull()).groupBy(variant_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(v).cast("double").alias("sv"),
-        F.sum(v * v).cast("double").alias("sv2"),
+    # persisted: the baseline and arm branches both consume the tiny
+    # per-variant moments; without this the source is scanned twice
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(variant_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).cast("double").alias("sv"),
+            F.sum(v * v).cast("double").alias("sv2"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     base = g.filter(F.col(variant_col) == baseline).select(
         F.col("n").alias("n_b"),
@@ -237,8 +246,18 @@ def cap_per_key(
 
     from pyspark.sql.window import Window as W
 
+    from pyspark import StorageLevel
+
     keys = list(key_cols)
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted: both split branches probe the tiny count relation;
+    # without this each branch re-scans the SOURCE to rebuild it (the
+    # two branch probes themselves intentionally scan the source once
+    # each — that is the no-sort-for-under-cap-keys trade).
+    counts = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def _semi(pred):
         # Null-safe semi join against the (aliased) key list so
@@ -398,9 +417,15 @@ def kruskal_wallis(
         F.greatest(F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(0)),
         F.lit(n_bins - 1),
     ).cast("int")
-    cells = pair.groupBy(
-        F.col(group_col).alias("grp"), bin_.alias("bin")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from pyspark import StorageLevel
+
+    # persisted: bins, ties, and per_group all consume the tiny cell
+    # grid; without this each consumer re-scans the SOURCE relation
+    cells = (
+        pair.groupBy(F.col(group_col).alias("grp"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bins = cells.groupBy("bin").agg(F.sum("c").cast("long").alias("t"))
     # one pinned-order fold over the sorted grid -> (bin, tm) rows,
     # tm = 2*cumBefore + t + 1 (twice the midrank, exact integer)
@@ -504,8 +529,14 @@ def chi2_independence(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     pair = df.filter(
         F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
     ).select(F.col(row_col).alias("r"), F.col(col_col).alias("cc"))
-    cells = pair.groupBy("r", "cc").agg(
-        F.count(F.lit(1)).cast("long").alias("o")
+    from pyspark import StorageLevel
+
+    # persisted: rt, ct, tot, and the margin join all consume the tiny
+    # contingency grid; without this each re-scans the SOURCE relation
+    cells = (
+        pair.groupBy("r", "cc")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rt = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rtot"))
     ct = cells.groupBy("cc").agg(F.sum("o").cast("long").alias("ctot"))

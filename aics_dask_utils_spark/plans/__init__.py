@@ -90,15 +90,17 @@ def register(
 #     both graph edge builders, the stream-static enrichment join,
 #     TF-IDF top terms, token-id assignment, unigram/bigram LM
 #     scoring, and the edit-distance block join.
-#   slots 37-50: the oldest-green residue (r2/r3 vintage — none was
-#     in the r6 window, per the r6 verdict's task 3): 8 streaming-exec
-#     plans, 5 multimodal, 1 UDF-surface. The UDF/sketch/sources
-#     residue displaced by the stats_ml additions rotates in round 8
-#     (udf_map_in_pandas, udf_python_udtf, udf_apply_in_arrow,
-#     agg_theta_users, agg_kll_price_quantiles, agg_cms_heavy_hitters,
-#     source_python_datasource, sink_upsert_merge,
-#     sink_zorder_clustered) — all ever-green, so displacement risks
-#     nothing.
+#   slots 37-47: the single-scan persist sweep — 11 plans whose
+#     PHYSICAL plans changed late in round 7 (shared intermediates
+#     persisted so duplicate-lineage source re-scans collapse: e.g.
+#     the triangle plan's 12 lineitem scans -> 2, the LM-score plans'
+#     4 corpus tokenizations -> 1). Values identical, re-attested on
+#     principle (the r6 dedup adjudication). Must-attest displaces
+#     residue: the remaining streaming-exec/multimodal/UDF/sketch/
+#     sources re-attests rotate in round 8 (all ever-green, so
+#     displacement risks nothing).
+#   slots 48-50: the three oldest streaming-exec re-attests (r2/r3
+#     vintage) that still fit.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
 # green) in registration order. ``WINDOW_CRITICAL`` below is guard-
@@ -145,23 +147,27 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_unigram_lm_score",
     "text_bigram_lm_score",
     "dedup_edit_distance",
-    # -- slots 35-42: streaming-exec re-attests (r2/r3 vintage) --
+    # -- slots 37-47: the single-scan persist sweep (physical plans
+    #    changed: shared intermediates persisted so duplicate-lineage
+    #    source re-scans collapse; values identical, re-attested on
+    #    principle) --
+    "agg_mutual_info",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "pipeline_source_caps",
+    "ann_topk_multiprobe",
+    "text_decontaminate",
+    "sample_balance_langs",
+    "sample_temperature_mix",
+    "events_welch_ttest",
+    "graph_triangle_counts",
+    "text_bm25_search",
+    # -- slots 48-50: streaming-exec re-attests (r2/r3 vintage; the
+    #    rest of that battery + multimodal + UDF-surface rotates in
+    #    round 8 — all ever-green, displaced by must-attest changes) --
     "stream_tumbling_exec",
     "stream_session_exec",
     "stream_dedup_exec",
-    "stream_stateful_count_exec",
-    "stream_stream_join_exec",
-    "stream_foreach_batch_exec",
-    "stream_session_state_exec",
-    "stream_python_source_exec",
-    # -- slots 43-47: multimodal re-attests --
-    "multimodal_decode_slice",
-    "multimodal_image_dedup",
-    "multimodal_scene_cuts",
-    "multimodal_audio_frames",
-    "sink_row_files_digest",
-    # -- slot 50: UDF-surface re-attest --
-    "udf_pandas_scalar",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
@@ -206,6 +212,17 @@ WINDOW_CRITICAL: frozenset[str] = frozenset({
     "text_unigram_lm_score",
     "text_bigram_lm_score",
     "dedup_edit_distance",
+    "agg_mutual_info",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "pipeline_source_caps",
+    "ann_topk_multiprobe",
+    "text_decontaminate",
+    "sample_balance_langs",
+    "sample_temperature_mix",
+    "events_welch_ttest",
+    "graph_triangle_counts",
+    "text_bm25_search",
 })
 
 

@@ -231,10 +231,16 @@ def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=2)
     assigned = kmeans_assign(e, cent)
+    from pyspark.storagelevel import StorageLevel
+
     nrm = F.sqrt(vec_dot("v", "v"))
-    unit = assigned.withColumn(
-        "u", F.transform("v", lambda x: x / nrm)
-    ).select("vid", "cid", "u")
+    # persisted: the query side and the corpus side both consume the
+    # normalized relation; without this the assign+normalize re-runs
+    unit = (
+        assigned.withColumn("u", F.transform("v", lambda x: x / nrm))
+        .select("vid", "cid", "u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     probes = (
         kmeans_assign_topn(e.where(F.col("vid") < 5), cent, n=2)
         .select(F.col("vid").alias("q_id"), F.col("cid").alias("cell"))

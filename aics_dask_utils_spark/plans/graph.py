@@ -135,13 +135,18 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_partkey") % 10 < 2
     )
+    from pyspark.storagelevel import StorageLevel
+
     a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    # persisted: the operator's union consumes the co-purchase edge
+    # relation twice; caching it keeps the lineitem self-join single-run
     edges = (
         a.join(b, "l_orderkey")
         .where(F.col("p1") < F.col("p2"))
         .select("p1", "p2")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return (
         triangle_counts(edges, "p1", "p2")

@@ -81,8 +81,15 @@ _PHONE_RE = r"[0-9]{3}-[0-9]{4}"
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = T.shingles("text", 5)
-    train = docs.where(F.col("source") != EVAL_SOURCE).select(
-        "doc_id", sh.alias("ngs")
+    # persisted: the hit counting and the final per-doc report both
+    # consume the shingled train split; without this the train corpus
+    # is re-shingled (the expensive step) for each consumer
+    from pyspark.storagelevel import StorageLevel
+
+    train = (
+        docs.where(F.col("source") != EVAL_SOURCE)
+        .select("doc_id", sh.alias("ngs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     eval_ngrams = (
         docs.where(F.col("source") == EVAL_SOURCE)
@@ -241,9 +248,20 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
-    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted: the vocab build and the scoring join both consume the
+    # token stream (one tokenize pass, not two); vocab likewise feeds
+    # the totals aggregate and the join (3 corpus scans -> 1)
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = vocab.agg(
         F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
     ).withColumn("j", F.lit(1))
@@ -1025,13 +1043,24 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
-    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE tokenize pass: the persisted token-array relation feeds both
+    # the unigram stream and the bigram enumeration (previously each
+    # re-tokenized the corpus — 4 source scans); uni and bg are each
+    # consumed twice downstream, so they persist too.
+    t0 = docs.select("doc_id", T.tokens("text").alias("toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tok = t0.select("doc_id", F.explode("toks").alias("term"))
+    uni = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     vs = uni.agg(F.count(F.lit(1)).alias("v")).withColumn("j", F.lit(1))
-    t = docs.select("doc_id", T.tokens("text").alias("toks")).withColumn(
-        "n", F.size("toks")
-    ).where(F.col("n") >= 2)
+    t = t0.withColumn("n", F.size("toks")).where(F.col("n") >= 2)
     bg = t.select(
         "doc_id",
         F.explode(
@@ -1043,7 +1072,9 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("b"),
-    ).select("doc_id", "b.prev", "b.nxt")
+    ).select("doc_id", "b.prev", "b.nxt").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bc = bg.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("cb"))
     logp = F.round(
         -F.log((F.col("cb") + 1.0) / (F.col("cnt") + F.col("v"))), 6

@@ -1237,8 +1237,16 @@ def agg_regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "agg"),
 )
 def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    # persisted: margins, total, and the term join all consume the tiny
+    # contingency grid; without this each re-scans the corpus (4 scans)
+    c = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ml = c.groupBy("lang").agg(F.sum("c").cast("long").alias("nl"))
     ms = c.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
     tot = c.agg(F.sum("c").cast("long").alias("n"))

@@ -284,7 +284,16 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.sampling import hash48
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted 2-column projection: the quota build and the ranked
+    # selection both consume it; caching the narrow relation is cheaper
+    # than two source scans
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
     wts = counts.withColumn("w", F.round(F.sqrt("cnt"), 6))
     tot = wts.agg(dsum("w").alias("tot"))
