@@ -244,3 +244,34 @@ def test_quality_features_empty_text_is_null_not_divide_by_zero(spark):
     assert rows[1]["punct_ratio"] is None
     assert rows[1]["quality_score"] is not None
     assert rows[2]["punct_ratio"] is not None
+
+
+def test_round7_stats_ops_on_empty_input(spark):
+    from aics_dask_utils_spark.operators.stats import (
+        binary_classifier_eval,
+        calibration_bins,
+        chi2_independence,
+        global_row_numbers,
+        kruskal_wallis,
+    )
+
+    ev = spark.createDataFrame([], "grp string, value double")
+    kw = kruskal_wallis(ev, "value", "grp").collect()
+    assert len(kw) == 1 and kw[0]["n_groups"] == 0  # 1-row NULL stats
+    chi = chi2_independence(ev, "grp", "value").collect()
+    assert len(chi) == 1 and chi[0]["n_rows"] == 0
+    sc = spark.createDataFrame([], "score double, label boolean")
+    ev_row = binary_classifier_eval(sc, "score", "label").collect()
+    assert len(ev_row) == 1 and ev_row[0]["auc"] is None
+    assert calibration_bins(sc, "score", "label").count() == 0
+    ranked = global_row_numbers(
+        spark.createDataFrame([], "id int, v int"), ["v", "id"]
+    )
+    assert ranked.count() == 0
+
+
+def test_radius_join_on_empty_points(spark):
+    from aics_dask_utils_spark.operators.geo import radius_self_join
+
+    pts = spark.createDataFrame([], "pid int, lat double, lon double")
+    assert radius_self_join(pts, "pid", "lat", "lon", 100.0).count() == 0
