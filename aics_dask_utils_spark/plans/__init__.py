@@ -61,11 +61,11 @@ def register(
 # ``PRIORITY_WINDOW`` pins that order deliberately, re-cut each round:
 #
 # Round-7 cut. Round 6 closed 233/233 ever-attested, 233/233
-# ever-green, gate 50/50. This round the registry gains 11 plans
-# (244 total) and 25 existing plans changed physically or at the
+# ever-green, gate 50/50. This round the registry gains 12 plans
+# (245 total) and 25 existing plans changed physically or at the
 # oracle, so the window is mostly must-attest:
 #
-#   slots 1-11: the round-7 additions (new plans always enter inside
+#   slots 1-12: the round-7 additions (new plans always enter inside
 #     the window): join_bloom_pruned (Bloom-prefiltered semi join,
 #     operators/bloom.py), text_exact_substring_ranges (the E49
 #     suffix-array-style upgrade — maximal verified duplicate token
@@ -74,23 +74,24 @@ def register(
 #     Cramér's V, one-scan binned AUC/Brier/log-loss, calibration
 #     bins, daily-count autocorrelation, the Deequ-style quality
 #     gate, the cell-bucketed spatial radius join, Gini revenue
-#     concentration, and the Benford first-digit audit. All
+#     concentration, the Benford first-digit audit, and the
+#     Kaplan-Meier survival curve. All
 #     pre-validated vs DuckDB at sf0.001/0.01/0.1.
-#   slots 12-13: events_value_drift / events_mann_whitney — their
+#   slots 13-14: events_value_drift / events_mann_whitney — their
 #     ORACLES changed (bin clamp now BEFORE the INT cast, matching
 #     the operator's clamp-then-cast order for |value| beyond int32 —
 #     the r6 ADVICE item). Values identical on driver data.
-#   slots 14-28: the TPC-H battery whose PHYSICAL plans changed — the
+#   slots 15-29: the TPC-H battery whose PHYSICAL plans changed — the
 #     r6 verdict's What's-wrong #1/#2: forced broadcasts of O(SF)
 #     customer/supplier/part (and aggregate-derived O(SF) relations)
 #     removed; AQE/size-statistics re-derive the same joins at bench
 #     scale. Values identical, re-attested on principle (the same
 #     adjudication as the r6 dedup de-hinting).
-#   slots 29-36: the non-TPC-H plans de-hinted in the same sweep:
+#   slots 30-37: the non-TPC-H plans de-hinted in the same sweep:
 #     both graph edge builders, the stream-static enrichment join,
 #     TF-IDF top terms, token-id assignment, unigram/bigram LM
 #     scoring, and the edit-distance block join.
-#   slots 37-47: the single-scan persist sweep — 11 plans whose
+#   slots 38-48: the single-scan persist sweep — 11 plans whose
 #     PHYSICAL plans changed late in round 7 (shared intermediates
 #     persisted so duplicate-lineage source re-scans collapse: e.g.
 #     the triangle plan's 12 lineitem scans -> 2, the LM-score plans'
@@ -99,7 +100,7 @@ def register(
 #     residue: the remaining streaming-exec/multimodal/UDF/sketch/
 #     sources re-attests rotate in round 8 (all ever-green, so
 #     displacement risks nothing).
-#   slots 48-50: the three oldest streaming-exec re-attests (r2/r3
+#   slots 49-50: the two oldest streaming-exec re-attests (r2/r3
 #     vintage) that still fit.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
@@ -107,7 +108,7 @@ def register(
 # tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-11: round-7 additions --
+    # -- slots 1-12: round-7 additions --
     "join_bloom_pruned",
     "text_exact_substring_ranges",
     "events_kruskal_wallis",
@@ -119,10 +120,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "geo_radius_join",
     "agg_gini_customer_revenue",
     "agg_benford_prices",
-    # -- slots 12-13: oracle clamp-order fix --
+    "events_survival_km",
+    # -- slots 13-14: oracle clamp-order fix --
     "events_value_drift",
     "events_mann_whitney",
-    # -- slots 12-26: de-hinted TPC-H battery --
+    # -- slots 15-29: de-hinted TPC-H battery --
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -138,7 +140,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q19_or_pushdown",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
-    # -- slots 20-27: other de-hinted plans --
+    # -- slots 30-37: other de-hinted plans --
     "graph_pagerank_nations",
     "graph_label_propagation",
     "stream_static_join_exec",
@@ -147,7 +149,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_unigram_lm_score",
     "text_bigram_lm_score",
     "dedup_edit_distance",
-    # -- slots 37-47: the single-scan persist sweep (physical plans
+    # -- slots 38-48: the single-scan persist sweep (physical plans
     #    changed: shared intermediates persisted so duplicate-lineage
     #    source re-scans collapse; values identical, re-attested on
     #    principle) --
@@ -162,12 +164,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_welch_ttest",
     "graph_triangle_counts",
     "text_bm25_search",
-    # -- slots 48-50: streaming-exec re-attests (r2/r3 vintage; the
+    # -- slots 49-50: streaming-exec re-attests (r2/r3 vintage; the
     #    rest of that battery + multimodal + UDF-surface rotates in
     #    round 8 — all ever-green, displaced by must-attest changes) --
     "stream_tumbling_exec",
     "stream_session_exec",
-    "stream_dedup_exec",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
@@ -187,6 +188,7 @@ WINDOW_CRITICAL: frozenset[str] = frozenset({
     "geo_radius_join",
     "agg_gini_customer_revenue",
     "agg_benford_prices",
+    "events_survival_km",
     "events_value_drift",
     "events_mann_whitney",
     "q2_min_cost_supplier",

@@ -712,3 +712,70 @@ def agg_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(MIN(ts) AS DATE) AS f,
+             CAST(MAX(ts) AS DATE) AS l
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    g AS (SELECT MAX(l) AS gm FROM pu),
+    lt AS (
+      SELECT date_diff('day', f, l) AS t,
+             CASE WHEN date_diff('day', l, gm) < 7 THEN 1 ELSE 0 END AS is_c
+      FROM pu CROSS JOIN g
+    ),
+    grid AS (
+      SELECT t, CAST(SUM(1 - is_c) AS BIGINT) AS d,
+             CAST(SUM(is_c) AS BIGINT) AS c
+      FROM lt GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n0 FROM grid),
+    w AS (
+      SELECT t, d, c,
+             COALESCE(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gone
+      FROM grid
+    ),
+    f AS (
+      SELECT w.t, w.d, w.c,
+             CAST(tot.n0 - w.gone AS BIGINT) AS n_risk,
+             1.0 - CAST(w.d AS DOUBLE) / (tot.n0 - w.gone) AS factor
+      FROM w CROSS JOIN tot
+    ),
+    r AS (
+      SELECT t, d, c, n_risk,
+             list(factor) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+      FROM f
+    )
+    SELECT CAST(t AS INT) AS t, n_risk, d, c,
+           ROUND(list_reduce([1.0] || fs, (a, x) -> a * x), 6) AS surv
+    FROM r ORDER BY t
+    """,
+    doc="Kaplan-Meier survival curve of per-user activity lifetimes "
+    "(days between first and last event), with users whose last event "
+    "is within 7 days of the corpus end RIGHT-CENSORED — the "
+    "censoring-aware upgrade of a plain retention ECDF, which is "
+    "biased low near the observation edge. One keyed scan collapses "
+    "events to per-user (first, last); the (lifetime -> deaths, "
+    "censored) grid is bounded by the corpus time span in DAYS "
+    "(time-proportional, never data-proportional); the product-limit "
+    "fold S(t) = prod(1 - d/n_risk) runs left-to-right over the "
+    "sorted grid, mirrored token-for-token by the oracle's window-"
+    "list fold, so the double survival values hash identically "
+    "(EXT stats/survival; operator operators/stats.py:"
+    "kaplan_meier_lifetimes)",
+    tags=("events", "agg", "stats"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import kaplan_meier_lifetimes
+
+    ev = load_table(spark, sf_dir, "events")
+    return kaplan_meier_lifetimes(ev, "user_id", "ts", censor_days=7)

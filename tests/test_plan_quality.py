@@ -535,6 +535,8 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("operators/similarity.py", "qe"): "contract: query embeddings",
     ("operators/similarity.py", "q"): "contract: query side (bounded by API)",
     ("operators/stats.py", "base"): "scalar: one baseline-variant row",
+    ("operators/stats.py", "gmax"):
+        "scalar: 1-row global max timestamp (Kaplan-Meier censor edge)",
     ("operators/stats.py", "side"):
         "grid: per-source-group counts (bounded source dimension)",
     ("operators/text.py", "stats"): "scalar: 1-row corpus stats",

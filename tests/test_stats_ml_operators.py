@@ -371,3 +371,51 @@ def test_global_row_numbers_partition_count_invariant(spark):
         for r in global_row_numbers(df, ["v", "id"], num_partitions=13).collect()
     }
     assert a == b
+
+
+# ------------------------------------------------------ Kaplan-Meier --
+
+
+def test_kaplan_meier_matches_numpy(spark):
+    from datetime import datetime, timedelta
+
+    from aics_dask_utils_spark.operators.stats import kaplan_meier_lifetimes
+
+    base = datetime(2024, 1, 1)
+    rng = np.random.RandomState(3)
+    rows = []
+    spans = {}
+    for u in range(40):
+        first = base + timedelta(days=int(rng.randint(0, 10)))
+        life = int(rng.randint(0, 15))
+        last = first + timedelta(days=life)
+        spans[u] = (first, last)
+        rows += [(u, first), (u, last)]
+        # noise events inside the span must not move first/last
+        if life > 1:
+            rows.append((u, first + timedelta(days=1)))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        r["t"]: r
+        for r in kaplan_meier_lifetimes(df, "user_id", "ts", censor_days=7)
+        .collect()
+    }
+    gmax = max(l for _, l in spans.values())
+    lifetimes = {
+        u: ((l - f).days, (gmax - l).days < 7) for u, (f, l) in spans.items()
+    }
+    ts = sorted({t for t, _ in lifetimes.values()})
+    n_alive = len(lifetimes)
+    s = 1.0
+    for t in ts:
+        d = sum(1 for lt, c in lifetimes.values() if lt == t and not c)
+        c = sum(1 for lt, cc in lifetimes.values() if lt == t and cc)
+        r = got[t]
+        assert r["n_risk"] == n_alive and r["d"] == d and r["c"] == c
+        s *= 1.0 - d / n_alive
+        assert math.isclose(r["surv"], s, rel_tol=0, abs_tol=1e-6)
+        n_alive -= d + c
+    assert set(got) == set(ts)
+    # survival is non-increasing
+    survs = [got[t]["surv"] for t in ts]
+    assert all(a >= b - 1e-12 for a, b in zip(survs, survs[1:]))
