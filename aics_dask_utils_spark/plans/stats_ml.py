@@ -690,6 +690,10 @@ def agg_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         1,
     ).cast("int")
+    from pyspark import StorageLevel
+
+    # persisted: the total aggregate and the share join both consume
+    # the <=9-cell digit grid; without this each re-scans lineitem
     c = (
         li.filter(
             F.col("l_extendedprice").isNotNull()
@@ -697,6 +701,7 @@ def agg_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     t = c.agg(F.sum("n").cast("long").alias("total"))
     obs = F.col("n").cast("double") / F.col("total")
