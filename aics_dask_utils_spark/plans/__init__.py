@@ -100,8 +100,10 @@ def register(
 #     residue: the remaining streaming-exec/multimodal/UDF/sketch/
 #     sources re-attests rotate in round 8 (all ever-green, so
 #     displacement risks nothing).
-#   slots 49-50: the two oldest streaming-exec re-attests (r2/r3
-#     vintage) that still fit.
+#   slots 49-50: two more persist-sweep plans (events_retention,
+#     events_resample_ffill — same class, fixed after the audit log
+#     was cut). The window is now 50/50 must-attest; ALL residue
+#     re-attests rotate in round 8.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
 # green) in registration order. ``WINDOW_CRITICAL`` below is guard-
@@ -164,11 +166,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_welch_ttest",
     "graph_triangle_counts",
     "text_bm25_search",
-    # -- slots 49-50: streaming-exec re-attests (r2/r3 vintage; the
-    #    rest of that battery + multimodal + UDF-surface rotates in
-    #    round 8 — all ever-green, displaced by must-attest changes) --
-    "stream_tumbling_exec",
-    "stream_session_exec",
+    # -- slots 49-50: two more persist-sweep plans (physical change ->
+    #    must-attest; the last residue re-attests rotate in round 8) --
+    "events_retention",
+    "events_resample_ffill",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
@@ -225,6 +226,8 @@ WINDOW_CRITICAL: frozenset[str] = frozenset({
     "events_welch_ttest",
     "graph_triangle_counts",
     "text_bm25_search",
+    "events_retention",
+    "events_resample_ffill",
 })
 
 

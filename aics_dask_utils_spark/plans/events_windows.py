@@ -298,9 +298,19 @@ def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    d = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    ).distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: the cohort derivation and the retention join both
+    # consume the distinct (user, day) relation; without this the
+    # events source is scanned (and deduplicated) twice
+    d = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     firsts = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         d.join(firsts, "user_id")
@@ -393,8 +403,14 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "value",
     )
-    agg = b.groupBy("user_id", "bucket").agg(
-        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: the range derivation and the gap-fill join both
+    # consume the hourly grid; without this events is scanned twice
+    agg = (
+        b.groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rng = agg.groupBy("user_id").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
