@@ -877,3 +877,92 @@ def kaplan_meier_lifetimes(
         )
         .orderBy("t")
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group CUSUM changepoint scan over an ordered series.
+
+    LIBRARY-ONLY this round: the round-7 attestation window is fully
+    allocated to must-attest changes, and a plan must be attested the
+    round it registers — its registry plan (+ DuckDB oracle: the same
+    grid CTE family as events_autocorrelation, with the fold mirrored
+    by a window-list list_reduce) takes a round-8 window slot, the
+    same queue discipline mann_whitney_u used in round 5.
+
+    For each group, standardizes the series against the group mean/std
+    (exact-decimal moments, double only at the end) and folds the
+    cumulative sum ``S_t = sum_{i<=t} (x_i - mean)/std`` in pinned
+    time order; the changepoint estimate is the t maximizing ``|S_t|``
+    (earliest t on ties — a total, deterministic rule) and the
+    statistic is ``max|S| / sqrt(n)`` (compare against ~1.36 for the
+    5% Kolmogorov bound). Returns one row per group:
+    ``(<group_col>, n_points, cp_time, cusum_stat)``; groups with
+    zero variance or a single point yield NULL stat via ``try_divide``.
+    NULL times/values excluded.
+
+    Scale shape: callers pass a PRE-AGGREGATED series (e.g. the daily
+    count grid — time-proportional, never data-proportional); one
+    keyed scan computes the moments, one collect_list-per-group fold
+    scans the series in order. The per-group series must fit a single
+    aggregation buffer — true by construction for calendar grids.
+    (EXT stats/monitoring.)
+    """
+    pair = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("decimal(30,6)").alias("x"),
+    )
+    agg = pair.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+        F.array_sort(F.collect_list(F.struct("t", "x"))).alias("ser"),
+    )
+    n_d = F.col("n_points").cast("double")
+    mean = F.col("sx") / n_d
+    # sample std from exact moments; NULL for n=1 or zero variance
+    var = F.try_divide(
+        F.col("sx2") - F.col("sx") * F.col("sx") / n_d, n_d - 1.0
+    )
+    std = F.sqrt(var)
+    fold_init = F.struct(
+        F.lit(0.0).alias("s"),
+        F.lit(0.0).alias("best"),
+        F.lit(None).cast("timestamp").alias("cp"),
+    )
+
+    def _step(acc, row):
+        s_new = acc["s"] + F.try_divide(
+            row["x"].cast("double") - mean, std
+        )
+        better = F.abs(s_new) > acc["best"]
+        return F.struct(
+            s_new.alias("s"),
+            F.when(better, F.abs(s_new)).otherwise(acc["best"]).alias("best"),
+            F.when(better, row["t"].cast("timestamp"))
+            .otherwise(acc["cp"])
+            .alias("cp"),
+        )
+
+    folded = F.aggregate("ser", fold_init, _step)
+    # gate on positive variance: a zero-variance or single-point group
+    # folds every z-term to NULL and would otherwise report stat 0.0 —
+    # NULL is the honest "undefined" (cp_time is NULL there too)
+    ok = var > F.lit(0.0)
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_points",
+        F.when(ok, folded["cp"]).alias("cp_time"),
+        F.when(
+            ok, F.round(F.try_divide(folded["best"], F.sqrt(n_d)), 6)
+        ).alias("cusum_stat"),
+    )

@@ -419,3 +419,65 @@ def test_kaplan_meier_matches_numpy(spark):
     # survival is non-increasing
     survs = [got[t]["surv"] for t in ts]
     assert all(a >= b - 1e-12 for a, b in zip(survs, survs[1:]))
+
+
+# ------------------------------------------------------------ CUSUM --
+
+
+def _cusum_numpy(xs):
+    x = np.asarray(xs, dtype=float)
+    n = len(x)
+    if n < 2 or x.std(ddof=1) == 0:
+        return None, None
+    z = (x - x.mean()) / x.std(ddof=1)
+    s = np.cumsum(z)
+    i = int(np.argmax(np.abs(s)))  # earliest on ties (argmax contract)
+    return i, float(np.abs(s).max() / np.sqrt(n))
+
+
+def test_cusum_matches_numpy(spark):
+    from datetime import datetime, timedelta
+
+    from aics_dask_utils_spark.operators.stats import cusum_changepoint
+
+    base = datetime(2024, 1, 1)
+    rng = np.random.RandomState(5)
+    series = {
+        "stable": rng.normal(10, 1, 30).round(2),
+        # level shift at index 15 -> CUSUM should peak near there
+        "shifted": np.concatenate(
+            [rng.normal(10, 1, 15), rng.normal(20, 1, 15)]
+        ).round(2),
+    }
+    rows = [
+        (g, base + timedelta(days=i), float(v))
+        for g, xs in series.items()
+        for i, v in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "g string, t timestamp, v double")
+    got = {r["g"]: r for r in cusum_changepoint(df, "g", "t", "v").collect()}
+    for g, xs in series.items():
+        i, stat = _cusum_numpy(xs)
+        r = got[g]
+        assert r["n_points"] == len(xs)
+        assert r["cp_time"] == base + timedelta(days=i)
+        assert math.isclose(r["cusum_stat"], stat, rel_tol=0, abs_tol=1e-6)
+    # the shifted series must peak at the boundary and exceed the
+    # 5% Kolmogorov bound; the stable one must not
+    assert got["shifted"]["cp_time"] == base + timedelta(days=14)
+    assert got["shifted"]["cusum_stat"] > 1.36 > got["stable"]["cusum_stat"]
+
+
+def test_cusum_degenerate_yields_null(spark):
+    from datetime import datetime
+
+    from aics_dask_utils_spark.operators.stats import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 5.0), ("a", datetime(2024, 1, 2), 5.0),
+         ("b", datetime(2024, 1, 1), 3.0)],
+        "g string, t timestamp, v double",
+    )
+    got = {r["g"]: r for r in cusum_changepoint(df, "g", "t", "v").collect()}
+    assert got["a"]["cusum_stat"] is None  # zero variance
+    assert got["b"]["cusum_stat"] is None  # single point
