@@ -18,10 +18,13 @@ the LLM-data-pipeline north star (SURVEY §2b). Registry plans
 pin each result against a DuckDB oracle; `tests/test_stats_operators.py`
 property-tests the operators on random frames against numpy.
 
-`mann_whitney_u` is library-only this round: the round-5 driver window
-is fully allocated and a plan must be attested the round it registers,
-so its registry plan (+ DuckDB oracle, both straightforward — the same
-grid CTE as `events_value_drift`) takes a round-6 window slot.
+`cusum_changepoint` is library-only this round (round 7): the
+attestation window is fully allocated to must-attest changes and a
+plan must be attested the round it registers, so its registry plan
+(+ DuckDB oracle — the same grid CTE family as events_autocorrelation
+with a window-list fold) takes a round-8 window slot. This is the same
+queue discipline `mann_whitney_u` used in round 5 (its plan landed and
+went green in round 6).
 """
 
 from __future__ import annotations
