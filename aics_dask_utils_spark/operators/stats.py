@@ -722,7 +722,7 @@ def calibration_bins(
 
 def global_row_numbers(
     df: DataFrame,
-    order_cols: list[str],
+    order_cols: list,
     *,
     num_partitions: int = 32,
     out_col: str = "i",
@@ -740,43 +740,142 @@ def global_row_numbers(
 
     ``order_cols`` must be a TOTAL order (include a unique tiebreak
     column) — with duplicate keys the assignment of equal rows to
-    range-partition boundaries is not deterministic. Rows with NULLs
-    in ``order_cols`` sort first (Spark default).
+    range-partition boundaries is not deterministic. Entries may be
+    column names or sort-ordered Columns (``F.desc("x")``); Spark's
+    default NULL placement for the given direction applies and is
+    consistent across all three internal stages.
 
     Returns ``df`` with ``out_col`` appended (long, 1-based). Exact:
     the numbering is a pure function of the total order, independent
     of where the range sampler places partition boundaries.
     """
+    return global_running_sums(
+        df, order_cols, {}, num_partitions=num_partitions, row_col=out_col
+    )
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_cols: list,
+    sums: dict,
+    *,
+    num_partitions: int = 32,
+    row_col: str | None = None,
+) -> DataFrame:
+    """Exact inclusive running sums over a total order, distributed.
+
+    The scale-safe replacement for ``F.sum(v).over(Window.orderBy(...)
+    .rowsBetween(unboundedPreceding, currentRow))``, which funnels the
+    whole relation through ONE task. Same two-phase shape as
+    :func:`global_row_numbers` (this is the shared core): range-
+    partition on the order key, compute per-partition totals, prefix-
+    sum them over the <= num_partitions-row totals relation, then add
+    each partition's offset to its local running sums. Every stage is
+    distributed; results are exact because integer addition is
+    associative (use exact types — longs/decimals — for the summed
+    columns; float running sums are order-sensitive by nature and get
+    the same left-to-right order a single-task window would give only
+    within a partition).
+
+    ``sums`` maps output column name -> column (name or Column) to
+    running-sum. ``row_col`` optionally also emits the 1-based global
+    row number. ``order_cols`` must be a total order (unique
+    tiebreak); entries may be names or sort-ordered Columns.
+    """
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    # Persist the range-partitioned relation: both the counts branch
-    # and the rank branch consume it, and without persistence the
-    # lineage duplicates and the upstream source is scanned twice.
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    val_exprs = {
+        out: (F.col(c) if isinstance(c, str) else c) for out, c in sums.items()
+    }
+    # Persist the range-partitioned relation: both the totals branch
+    # and the running-sum branch consume it, and without persistence
+    # the lineage duplicates and the upstream source is scanned twice.
     r0 = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
+        df.repartitionByRange(num_partitions, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = r0.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
-    # prefix-sum over the tiny (<= num_partitions rows) counts relation
-    off_w = (
-        Window.orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    totals = r0.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_c"),
+        *[F.sum(v).alias(f"_s_{out}") for out, v in val_exprs.items()],
     )
-    offsets = counts.select(
+    # prefix-sum over the tiny (<= num_partitions rows) totals relation
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
         "_pid",
-        F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
+        F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off_c"),
+        *[
+            F.coalesce(F.sum(f"_s_{out}").over(off_w), F.lit(0)).alias(
+                f"_off_{out}"
+            )
+            for out in val_exprs
+        ],
     )
-    local = F.row_number().over(
-        Window.partitionBy("_pid").orderBy(*order_cols)
+    local_w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    run_w = local_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = r0
+    if row_col is not None:
+        out = out.withColumn("_lr", F.row_number().over(local_w))
+    for name, v in val_exprs.items():
+        out = out.withColumn(f"_run_{name}", F.sum(v).over(run_w))
+    out = out.join(offsets, "_pid")
+    if row_col is not None:
+        out = out.withColumn(
+            row_col, (F.col("_off_c") + F.col("_lr")).cast("long")
+        ).drop("_lr")
+    for name in val_exprs:
+        out = out.withColumn(
+            name, F.col(f"_off_{name}") + F.col(f"_run_{name}")
+        ).drop(f"_off_{name}", f"_run_{name}")
+    return out.drop("_pid", "_off_c")
+
+
+def _exact_int_div(a, b):
+    """Exact integer division for non-negative longs below 2**53.
+
+    ``a - a % b`` is exactly divisible by ``b``; IEEE division of two
+    exactly-representable longs whose true quotient is an integer
+    below 2**53 is exact (correctly-rounded result IS the true
+    result) — so this never suffers the float-boundary flips that
+    banned floating log10 from the digit plans.
+    """
+    return ((a - a % b) / b).cast("long")
+
+
+def ntile_from_rank(rank, n, num_tiles: int):
+    """NTILE(k) derived from an exact global rank and a total count.
+
+    Standard SQL NTILE semantics (what both Spark and DuckDB
+    implement): with ``n`` rows and ``k`` tiles, the first ``n % k``
+    tiles hold ``n div k + 1`` rows, the rest ``n div k``. Given the
+    1-based ``rank`` (from :func:`global_row_numbers` — distributed,
+    never a single-task window) and the 1-row count ``n``, the tile
+    is a pure per-row expression, so the classic
+    ``ntile(k).over(Window.orderBy(...))`` single-task funnel is
+    never needed. All arithmetic is exact-integer (see
+    :func:`_exact_int_div`). Returns an INT column, 1-based, matching
+    ``F.ntile(k)`` bit-for-bit (differential-tested).
+    """
+    k = F.lit(num_tiles).cast("long")
+    rank = rank.cast("long")
+    n = n.cast("long")
+    base = _exact_int_div(n, k)  # rows in each small tile
+    rem = n % k  # number of big tiles
+    big_rows = rem * (base + F.lit(1))  # rows covered by big tiles
+    # ceil(a/b) = (a + b - 1) div b; guard base=0 (n < k: every row is
+    # its own tile and only the first branch is ever selected, but ANSI
+    # mode evaluates both branches — greatest() keeps the dead branch's
+    # modulus nonzero)
+    in_big = _exact_int_div(rank + base, base + F.lit(1))
+    safe_base = F.greatest(base, F.lit(1))
+    in_small = rem + _exact_int_div(
+        rank - big_rows + safe_base - F.lit(1), safe_base
     )
     return (
-        r0.withColumn("_lr", local)
-        .join(offsets, "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
-        .drop("_pid", "_lr", "_off")
+        F.when(rank <= big_rows, in_big).otherwise(in_small).cast("int")
     )
 
 

@@ -876,13 +876,16 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics quartile grid): per-user recency/frequency/monetary "
     "from purchase events, NTILE(4) on each axis with a total "
     "deterministic order (metric, then user_id), then segment "
-    "occupancy counts. One user-keyed agg + three windows over the "
-    "small per-user relation + a tiny segment agg — the fact scan "
-    "dominates at 100 TB, everything downstream is |users|-sized",
+    "occupancy counts. One user-keyed agg, then each axis gets a "
+    "DISTRIBUTED exact global rank (operators/stats.py:"
+    "global_row_numbers, two-phase range-partitioned — the |users| "
+    "relation never funnels through one task) and the exact-integer "
+    "NTILE formula (ntile_from_rank) against a broadcast 1-row "
+    "count; bit-identical to F.ntile, fully parallel at 100 TB",
     tags=("events", "window", "agg"),
 )
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..operators.stats import global_row_numbers, ntile_from_rank
 
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
@@ -892,13 +895,25 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         dsum("value").alias("monetary"),
     )
-    scored = m.select(
+    # three distributed ranks chained over the per-user relation; each
+    # stage persists its range-partitioned input internally, so the
+    # fact table is scanned exactly once
+    r1 = global_row_numbers(
+        m, [F.desc("last_ts"), F.asc("user_id")], out_col="_ir"
+    )
+    r2 = global_row_numbers(
+        r1, [F.desc("freq"), F.asc("user_id")], out_col="_if"
+    )
+    r3 = global_row_numbers(
+        r2, [F.desc("monetary"), F.asc("user_id")], out_col="_im"
+    )
+    # 1-row user count from the persisted rank lineage (no re-scan)
+    nrow = r3.agg(F.max("_im").alias("_n"))
+    scored = r3.crossJoin(F.broadcast(nrow)).select(
         "user_id",
-        F.ntile(4).over(W.orderBy(F.desc("last_ts"), F.asc("user_id"))).alias("r"),
-        F.ntile(4).over(W.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f"),
-        F.ntile(4)
-        .over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
-        .alias("mq"),
+        ntile_from_rank(F.col("_ir"), F.col("_n"), 4).alias("r"),
+        ntile_from_rank(F.col("_if"), F.col("_n"), 4).alias("f"),
+        ntile_from_rank(F.col("_im"), F.col("_n"), 4).alias("mq"),
     )
     return (
         scored.groupBy("r", "f", "mq")

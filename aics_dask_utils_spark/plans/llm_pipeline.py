@@ -546,21 +546,22 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="sequence packing for training batches (EXT, LLM pipeline): "
     "documents stream in doc_id order into 2048-token bins — bin id = "
-    "floor(preceding-cumulative-tokens / budget), a single running-sum "
-    "window + floor-divide, then per-bin stats. At 100 TB the global "
-    "order becomes per-shard order (pack within partition), same "
-    "expressions",
+    "floor(preceding-cumulative-tokens / budget) from a DISTRIBUTED "
+    "exact running token sum (operators/stats.py:global_running_sums, "
+    "two-phase range-partitioned prefix sum — never a single-task "
+    "Window.orderBy), then per-bin stats. Every stage shuffles once "
+    "and stays parallel at 100 TB; the only serial object is the "
+    "32-row per-partition totals relation",
     tags=("text", "pipeline"),
 )
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..operators.stats import global_running_sums
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", F.size(T.tokens("text")).alias("n_tokens")
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    c = global_running_sums(t, ["doc_id"], {"cum": "n_tokens"})
     binned = c.withColumn(
         "bin", F.floor((F.col("cum") - F.col("n_tokens")) / 2048)
     )
@@ -600,24 +601,27 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="token-budget corpus selection (EXT, LLM pipeline): rank "
     "documents by a preference score (here: token count, descending — "
     "swap in any quality/LM score) and admit greedily until the "
-    "cumulative token budget (15k) is spent; one running-sum window "
-    "over the ranked order, then per-lang stats of the admitted set. "
-    "The 'train on the best N tokens' primitive. At 100 TB the exact "
-    "global rank becomes a two-pass approx-quantile score cutoff; the "
-    "admission expression is unchanged",
+    "cumulative token budget (15k) is spent; the running sum over the "
+    "ranked order is a DISTRIBUTED two-phase range-partitioned prefix "
+    "sum (operators/stats.py:global_running_sums — never a single-"
+    "task Window.orderBy), then per-lang stats of the admitted set. "
+    "The 'train on the best N tokens' primitive; every stage stays "
+    "parallel at 100 TB",
     tags=("text", "pipeline", "sampling"),
 )
 def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..operators.stats import global_running_sums
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "lang", F.size(T.tokens("text")).alias("n_tokens")
     )
-    w = W.orderBy(F.desc("n_tokens"), "doc_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    # distributed exact running sum over the (n_tokens desc, doc_id)
+    # total order — two-phase range-partitioned prefix sum, never a
+    # single-task Window.orderBy (operators/stats.py)
+    c = global_running_sums(
+        t, [F.desc("n_tokens"), F.asc("doc_id")], {"cum": "n_tokens"}
     )
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
     return (
         c.where(F.col("cum") <= 15000)
         .groupBy("lang")

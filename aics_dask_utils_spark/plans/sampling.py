@@ -468,15 +468,16 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "difficulty/quality score (here the length-based score component; "
     "swap in any model score) with a total deterministic order, NTILE "
     "into 4 curriculum stages, report per-stage token mass and score "
-    "band — the 'train easy-to-hard' data-ordering primitive. At "
-    "100 TB the exact global ntile becomes approx-quantile stage "
-    "cutoffs + the same bucketing expression; each stage then lands "
-    "as its own sorted shard set",
+    "band — the 'train easy-to-hard' data-ordering primitive. The "
+    "ntile derives from a DISTRIBUTED exact global rank (operators/"
+    "stats.py:global_row_numbers, two-phase range-partitioned — never "
+    "a single-task Window.orderBy) + the exact-integer NTILE formula "
+    "(ntile_from_rank) against a broadcast 1-row count; bit-identical "
+    "to F.ntile and fully parallel at 100 TB",
     tags=("sampling", "text", "pipeline"),
 )
 def pipeline_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
+    from ..operators.stats import global_row_numbers, ntile_from_rank
     from ..operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -487,8 +488,13 @@ def pipeline_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(tokens("text")).cast("double") / 100.0, F.lit(1.0)
         ).alias("score"),
     )
-    staged = q.withColumn(
-        "stage", F.ntile(4).over(W.orderBy("score", "doc_id"))
+    ranked = global_row_numbers(q, ["score", "doc_id"], out_col="_i")
+    # 1-row total count from the already-persisted ranked lineage (the
+    # range-partitioned relation inside global_row_numbers is cached,
+    # so this does NOT re-scan the corpus)
+    nrow = ranked.agg(F.max("_i").alias("_n"))
+    staged = ranked.crossJoin(F.broadcast(nrow)).withColumn(
+        "stage", ntile_from_rank(F.col("_i"), F.col("_n"), 4)
     )
     return (
         staged.groupBy("stage")

@@ -256,29 +256,28 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="corpus tokenization to vocabulary ids (E38/E39, the "
     "text->training-tensors step): vocabulary = terms ranked by "
-    "frequency (ties alphabetical), each document re-encoded as its "
-    "position-ordered id sequence. The vocab is a tiny aggregate "
-    "broadcast onto the posexplode; order restoration is a (pos,id) "
-    "struct sort inside the group, not a window. The sequence ships "
-    "as a CSV string (concat_ws <-> string_agg): ARRAY final columns "
-    "are banned registry-wide",
+    "frequency (ties alphabetical) via a DISTRIBUTED exact global "
+    "rank (operators/stats.py:global_row_numbers — the vocab grows "
+    "with the corpus by Heaps' law, the same reasoning that de-hinted "
+    "its broadcast, so it never funnels through one task either); "
+    "each document re-encoded as its position-ordered id sequence. "
+    "Order restoration is a (pos,id) struct sort inside the group, "
+    "not a window. The sequence ships as a CSV string (concat_ws <-> "
+    "string_agg): ARRAY final columns are banned registry-wide",
     tags=("text",),
 )
 def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import global_row_numbers
+
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select(
         "doc_id", F.posexplode(T.tokens("text")).alias("pos", "term")
     )
-    vocab = (
-        ex.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "term",
-            F.row_number()
-            .over(W.orderBy(F.desc("cnt"), F.asc("term")))
-            .alias("token_id"),
-        )
-    )
+    vocab = global_row_numbers(
+        ex.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")),
+        [F.desc("cnt"), F.asc("term")],
+        out_col="token_id",
+    ).select("term", "token_id")
     return (
         # vocab is term-dimension-sized (Heaps' law — grows with the
         # corpus): unhinted so AQE only broadcasts it while it fits.

@@ -547,6 +547,8 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("plans/clustering.py", "probes"): "contract: |queries| x nprobe cells",
     ("plans/events_windows.py", "stats"): "grid: one row per event_type",
     ("plans/events_windows.py", "bounds"): "scalar: 1-row min/max bounds",
+    ("plans/events_windows.py", "nrow"):
+        "scalar: 1-row total count (ntile_from_rank denominator)",
     ("plans/llm_pipeline.py", "eval_ngrams"):
         "contract: eval-benchmark n-grams (fixed benchmark size)",
     ("plans/llm_pipeline.py", "totals"): "scalar: 1-row vocab totals",
@@ -560,6 +562,8 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("plans/relational.py", "ms"): "grid: one row per source",
     ("plans/relational.py", "ml"): "grid: one row per lang",
     ("plans/sampling.py", "tot"): "scalar: 1-row total weight",
+    ("plans/sampling.py", "nrow"):
+        "scalar: 1-row total count (ntile_from_rank denominator)",
     ("plans/sampling.py", "epochs"): "grid: fixed epoch list",
     ("plans/sampling.py", "quotas"): "grid: one row per lang",
     ("plans/sources_plans.py", "nat"): "fixed-dim: nation = 25 rows",
@@ -643,6 +647,105 @@ def test_broadcast_lint_catches_violations():
     assert hits == ["cust", "mystery_side"]
     assert hits[0] in _BROADCAST_FORBIDDEN_NAMES
     assert ("plans/tpch_extra.py", hits[1]) not in _BROADCAST_ALLOWLIST
+
+
+# ---------------------------------------------------------------------------
+# Lint: no unpartitioned Window.orderBy on data-proportional relations.
+#
+# ``Window.orderBy(...)`` without ``partitionBy`` moves EVERY row of the
+# input through ONE task — the single-partition sort that turns a 1000-
+# executor cluster into one straggler at 100 TB. Round 7 shipped the
+# scale-safe replacement (operators/stats.py:global_row_numbers /
+# global_running_sums — two-phase range-partitioned rank/prefix-sum,
+# values identical by construction) and round 8 retrofitted the last
+# five plans that still used the single-task form (pack_sequences,
+# token_budget, curriculum_buckets, rfm_segments, token_ids). This lint
+# freezes that contract the way the broadcast lint froze the O(SF)-
+# broadcast contract: every unpartitioned ``Window.orderBy`` /
+# ``W.orderBy`` call site in the package must appear in the allowlist
+# below, and every entry documents WHY its input relation is size-
+# bounded independently of the data scale. A new unpartitioned window
+# on an unlisted relation is a red test, not a review nit.
+# ---------------------------------------------------------------------------
+
+#: (file, first-arg source) -> justification. Categories mirror the
+#: broadcast allowlist: bounded grids (calendar days, partition ids)
+#: never data-proportional rows.
+_UNPARTITIONED_WINDOW_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("operators/stats.py", '"_pid"'):
+        "grid: per-partition totals relation, <= num_partitions rows "
+        "by construction (the two-phase rank's own prefix step)",
+    ("plans/events_windows.py", '"day"'):
+        "grid: calendar-day relation — time-proportional (365 rows/"
+        "year), never data-proportional",
+}
+
+
+def _unpartitioned_window_sites():
+    import ast
+    import pathlib
+
+    import aics_dask_utils_spark
+
+    pkg = pathlib.Path(aics_dask_utils_spark.__file__).parent
+    for path in sorted(pkg.rglob("*.py")):
+        src = path.read_text()
+        for node in ast.walk(ast.parse(src)):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "orderBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id in ("Window", "W")
+            ):
+                arg = (
+                    ast.get_source_segment(src, node.args[0])
+                    if node.args
+                    else ""
+                )
+                yield str(path.relative_to(pkg)), node.lineno, arg
+
+
+def test_no_unpartitioned_window_orderby():
+    """Every Window.orderBy-without-partitionBy site must be
+    allowlisted with a size-bound justification."""
+    unlisted = []
+    for rel, lineno, arg in _unpartitioned_window_sites():
+        if (rel, arg) not in _UNPARTITIONED_WINDOW_ALLOWLIST:
+            unlisted.append(f"{rel}:{lineno}: Window.orderBy({arg})")
+    assert not unlisted, (
+        "Unpartitioned Window.orderBy site(s) not in the lint "
+        "allowlist — a single-task global sort at 100 TB. Use "
+        "operators/stats.py:global_row_numbers / global_running_sums "
+        "(exact, distributed, values identical) or, if the input is "
+        "provably size-bounded independent of data scale (calendar "
+        "grid / partition-id totals), add it to "
+        f"_UNPARTITIONED_WINDOW_ALLOWLIST with the why: {unlisted}"
+    )
+
+
+def test_unpartitioned_window_lint_catches_violations():
+    """Red-bar check: the matcher must flag the bare form and must NOT
+    flag the partitioned form (guards against the walker silently
+    matching nothing or over-matching)."""
+    import ast
+
+    src = (
+        "a = F.ntile(4).over(W.orderBy('x'))\n"
+        "b = F.sum('v').over(Window.orderBy(F.desc('y')))\n"
+        "c = F.row_number().over(W.partitionBy('g').orderBy('x'))\n"
+    )
+    hits = []
+    for node in ast.walk(ast.parse(src)):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "orderBy"
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id in ("Window", "W")
+        ):
+            hits.append(ast.get_source_segment(src, node.args[0]))
+    assert hits == ["'x'", "F.desc('y')"]
 
 
 def test_bloom_prune_probe_never_shuffles_before_exact_join(spark, sf_dir):

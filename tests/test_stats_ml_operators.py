@@ -373,6 +373,92 @@ def test_global_row_numbers_partition_count_invariant(spark):
     assert a == b
 
 
+def test_global_row_numbers_desc_order_columns(spark):
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators.stats import global_row_numbers
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(100)], "id int, v int"
+    )
+    got = {
+        r["id"]: r["i"]
+        for r in global_row_numbers(
+            df, [F.desc("v"), F.asc("id")], num_partitions=5
+        ).collect()
+    }
+    order = sorted(range(100), key=lambda i: (-((i * 7) % 23), i))
+    expect = {i: rank + 1 for rank, i in enumerate(order)}
+    assert got == expect
+
+
+def test_global_running_sums_matches_single_task_window(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators.stats import global_running_sums
+
+    rng = np.random.RandomState(3)
+    rows = [(int(i), int(rng.randint(0, 40)), int(rng.randint(1, 500)))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id int, v int, tok long")
+    got = {
+        r["id"]: (r["i"], r["cum"])
+        for r in global_running_sums(
+            df,
+            [F.desc("v"), F.asc("id")],
+            {"cum": "tok"},
+            num_partitions=7,
+            row_col="i",
+        ).collect()
+    }
+    w = W.orderBy(F.desc("v"), F.asc("id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ref = {
+        r["id"]: (r["i"], r["cum"])
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(W.orderBy(F.desc("v"), F.asc("id")))
+            .cast("long")
+            .alias("i"),
+            F.sum("tok").over(w).alias("cum"),
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_ntile_from_rank_matches_spark_ntile_exhaustively(spark):
+    """Differential vs F.ntile over every (n, k) in a dense grid —
+    the exact-integer formula must agree bit-for-bit, including the
+    n < k degenerate cases."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators.stats import ntile_from_rank
+
+    rows = [
+        (n, k, i)
+        for n in range(1, 26)
+        for k in (1, 2, 3, 4, 5, 7, 8)
+        for i in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(rows, "n long, k long, i long")
+    mismatches = []
+    for k in (1, 2, 3, 4, 5, 7, 8):
+        sub = df.where(F.col("k") == k)
+        ref = sub.withColumn(
+            "want", F.ntile(k).over(W.partitionBy("n").orderBy("i"))
+        )
+        got = ref.withColumn(
+            "got", ntile_from_rank(F.col("i"), F.col("n"), k)
+        )
+        bad = got.where(F.col("want") != F.col("got")).collect()
+        mismatches.extend((k, r["n"], r["i"], r["want"], r["got"]) for r in bad)
+    assert not mismatches, mismatches[:20]
+
+
 # ------------------------------------------------------ Kaplan-Meier --
 
 
