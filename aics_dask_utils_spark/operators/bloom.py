@@ -78,13 +78,17 @@ def bloom_semi_join(
     The build side's key projection is persisted: k bit-set
     derivations plus the exact join consume it, and without
     persistence the lineage duplicates and the build source is
-    scanned k+1 times.
+    scanned k+1 times. The projection is aliased to the reserved
+    name ``_bloom_key`` so the canonical same-name case
+    (``probe_key == build_key``) resolves unambiguously.
     """
     from pyspark import StorageLevel
 
-    keyed = build.select(build_key).persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = build.select(F.col(build_key).alias("_bloom_key")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     out = probe
-    for seed, bits in enumerate(bloom_bitsets(keyed, build_key, m=m, k=k)):
+    for seed, bits in enumerate(bloom_bitsets(keyed, "_bloom_key", m=m, k=k)):
         pos = F.pmod(F.xxhash64(F.col(probe_key), F.lit(seed)), F.lit(m))
         out = out.withColumn("_bloom_pos", pos).join(
             # bounded by m rows by construction — see module docstring
@@ -95,5 +99,5 @@ def bloom_semi_join(
     if not exact:
         return out
     return out.join(
-        keyed, F.col(probe_key) == keyed[build_key], "left_semi"
+        keyed, F.col(probe_key) == keyed["_bloom_key"], "left_semi"
     )

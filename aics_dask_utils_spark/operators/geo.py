@@ -70,12 +70,17 @@ def radius_self_join(
     """All unordered point pairs within ``radius_km``, bucket-joined.
 
     Returns ``(id_a, id_b, dist_km)`` with ``id_a < id_b`` and
-    ``dist_km`` rounded to 6 dp. Latitudes must satisfy
-    ``|lat| <= max_abs_lat`` (callers with polar data raise it; the
-    cell edge grows as 1/cos(max_abs_lat) because longitude degrees
-    shrink toward the poles — the 3x3 neighborhood guarantee needs
-    the cell edge >= the radius in LONGITUDE degrees at the extreme
-    latitude). Rows with NULL id/lat/lon are excluded. Longitude
+    ``dist_km`` rounded to 6 dp. Only rows with ``|lat| <=
+    max_abs_lat`` participate; rows beyond the band are EXCLUDED from
+    the join by an explicit filter (callers with polar data raise
+    ``max_abs_lat``; the cell edge grows as 1/cos(max_abs_lat)
+    because longitude degrees shrink toward the poles — the 3x3
+    neighborhood guarantee needs the cell edge >= the radius in
+    LONGITUDE degrees at the extreme latitude). The filter makes the
+    precondition enforced rather than documented: an out-of-band row
+    previously kept its cell but could silently LOSE qualifying
+    pairs, the unfalsifiable failure mode (r7 ADVICE). Rows with
+    NULL id/lat/lon are likewise excluded. Longitude
     wraparound at the antimeridian is NOT handled: a pair straddling
     +/-180 deg is never a candidate (its cells are grid-distant);
     data crossing it should be rotated to a cut elsewhere first.
@@ -97,6 +102,7 @@ def radius_self_join(
         F.col(id_col).isNotNull()
         & F.col(lat_col).isNotNull()
         & F.col(lon_col).isNotNull()
+        & (F.abs(F.col(lat_col)) <= F.lit(float(max_abs_lat)))
     ).select(
         F.col(id_col).alias("pid"),
         F.col(lat_col).cast("double").alias("lat"),

@@ -74,7 +74,12 @@ def uniqueness(col: str) -> Column:
 
 
 def containment(col: str, allowed: Sequence[str]) -> Column:
-    """Fraction of non-NULL values inside the ``allowed`` set."""
+    """Fraction of ALL rows whose ``col`` is inside the ``allowed``
+    set. NULLs fail containment (denominator is COUNT(*), and a NULL
+    never matches ``isin``) — the fail-closed reading a data-quality
+    gate wants: a missing category is as much a violation as a wrong
+    one. For non-NULL-relative semantics divide by ``F.count(col)``
+    at the call site."""
     return F.sum(
         F.when(F.col(col).isin(*allowed), 1).otherwise(0)
     ) / F.count(F.lit(1))

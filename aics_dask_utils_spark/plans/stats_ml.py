@@ -506,6 +506,7 @@ _GEO_CELL_DEG = _GEO_RADIUS_KM / (
       FROM events
       WHERE event_type = 'signup' AND event_id IS NOT NULL
         AND value IS NOT NULL AND user_id IS NOT NULL
+        AND ABS((value % 120.0) - 60.0) <= {_GEO_MAX_ABS_LAT!r}
     ),
     c AS (
       SELECT pid, lat, lon,
@@ -784,3 +785,85 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return kaplan_meier_lifetimes(ev, "user_id", "ts", censor_days=7)
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM {_EV}
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x * x) AS DOUBLE) AS sx2
+      FROM daily GROUP BY event_type
+    ),
+    v AS (
+      SELECT *,
+             (sx2 - sx * sx / n_points) / NULLIF(n_points - 1.0, 0.0)
+               AS var
+      FROM a
+    ),
+    z AS (
+      SELECT daily.event_type, daily.d,
+             (CAST(daily.x AS DOUBLE) - v.sx / v.n_points) / sqrt(v.var)
+               AS zv
+      FROM daily JOIN v USING (event_type)
+      WHERE v.var > 0
+    ),
+    s AS (
+      SELECT event_type, d,
+             list_reduce([0.0] || list(zv) OVER (
+                 PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               (p, q) -> p + q) AS st
+      FROM z
+    ),
+    b AS (
+      SELECT event_type, d, ABS(st) AS astat,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(st) DESC, d) AS rn
+      FROM s
+    )
+    SELECT v.event_type, v.n_points,
+           CASE WHEN v.var > 0 THEN CAST(b.d AS TIMESTAMP) END AS cp_time,
+           CASE WHEN v.var > 0
+                THEN ROUND(b.astat / sqrt(CAST(v.n_points AS DOUBLE)), 6)
+           END AS cusum_stat
+    FROM v LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (event_type)
+    ORDER BY v.event_type
+    """,
+    doc="CUSUM changepoint scan of each event type's daily count "
+    "series (the level-shift detector behind pipeline-health alerts): "
+    "events collapse to the (type, day) count grid in one keyed scan "
+    "— time-proportional, never data-proportional — then per group "
+    "the standardized cumulative sum S_t folds left-to-right in "
+    "pinned day order and the changepoint is the earliest day "
+    "maximizing |S_t|, with statistic max|S|/sqrt(n) (compare ~1.36 "
+    "for the 5% Kolmogorov bound). Moments are exact integers cast "
+    "to double at the end; the oracle mirrors the fold association "
+    "token-for-token via a window-list list_reduce (the survival_km "
+    "technique), so the doubles hash identically; degenerate groups "
+    "(n=1 or zero variance) yield NULLs via try_divide<->NULLIF "
+    "(EXT stats/monitoring; operator operators/stats.py:"
+    "cusum_changepoint)",
+    tags=("events", "agg", "stats"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cusum_changepoint
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    return cusum_changepoint(daily, "event_type", "d", "x").orderBy(
+        "event_type"
+    )

@@ -118,6 +118,30 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_bloom_semi_join_same_name_key(spark, sf_dir):
+    """The canonical same-name semi join (probe_key == build_key) must
+    resolve unambiguously (r7 ADVICE: the un-aliased build projection
+    raised AMBIGUOUS_REFERENCE) and equal the plain left-semi join
+    exactly — on both the exact and the prefilter-only paths."""
+    from aics_dask_utils_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    got = bloom_semi_join(li, "l_orderkey", orders, "l_orderkey")
+    want = li.join(orders, "l_orderkey", "left_semi")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # exact=False may keep Bloom false positives but never loses a match
+    pre = bloom_semi_join(
+        li, "l_orderkey", orders, "l_orderkey", exact=False
+    )
+    assert want.exceptAll(pre).count() == 0
+
+
 def test_analyze_table_feeds_cbo_row_counts(spark, sf_dir, tmp_path):
     """ANALYZE TABLE COMPUTE STATISTICS gives the cost-based optimizer
     exact row counts (file sizes alone it already has): before ANALYZE
