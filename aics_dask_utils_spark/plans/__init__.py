@@ -60,174 +60,120 @@ def register(
 # ``queries()`` yields them and has only ever reached the FIRST 50.
 # ``PRIORITY_WINDOW`` pins that order deliberately, re-cut each round:
 #
-# Round-7 cut. Round 6 closed 233/233 ever-attested, 233/233
-# ever-green, gate 50/50. This round the registry gains 12 plans
-# (245 total) and 25 existing plans changed physically or at the
-# oracle, so the window is mostly must-attest:
+# Round-8 cut. Round 7 closed 245/245 green, gate 50/50, window 100%
+# must-attest — which displaced ALL planned oldest-green rotation, so
+# this round the must-attest set is small (9) and the window finally
+# pays down the attestation-age debt:
 #
-#   slots 1-12: the round-7 additions (new plans always enter inside
-#     the window): join_bloom_pruned (Bloom-prefiltered semi join,
-#     operators/bloom.py), text_exact_substring_ranges (the E49
-#     suffix-array-style upgrade — maximal verified duplicate token
-#     ranges), and the statistics/eval/quality/spatial tier
-#     (plans/stats_ml.py, E74-E76): Kruskal-Wallis H, chi-squared +
-#     Cramér's V, one-scan binned AUC/Brier/log-loss, calibration
-#     bins, daily-count autocorrelation, the Deequ-style quality
-#     gate, the cell-bucketed spatial radius join, Gini revenue
-#     concentration, the Benford first-digit audit, and the
-#     Kaplan-Meier survival curve. All
-#     pre-validated vs DuckDB at sf0.001/0.01/0.1.
-#   slots 13-14: events_value_drift / events_mann_whitney — their
-#     ORACLES changed (bin clamp now BEFORE the INT cast, matching
-#     the operator's clamp-then-cast order for |value| beyond int32 —
-#     the r6 ADVICE item). Values identical on driver data.
-#   slots 15-29: the TPC-H battery whose PHYSICAL plans changed — the
-#     r6 verdict's What's-wrong #1/#2: forced broadcasts of O(SF)
-#     customer/supplier/part (and aggregate-derived O(SF) relations)
-#     removed; AQE/size-statistics re-derive the same joins at bench
-#     scale. Values identical, re-attested on principle (the same
-#     adjudication as the r6 dedup de-hinting).
-#   slots 30-37: the non-TPC-H plans de-hinted in the same sweep:
-#     both graph edge builders, the stream-static enrichment join,
-#     TF-IDF top terms, token-id assignment, unigram/bigram LM
-#     scoring, and the edit-distance block join.
-#   slots 38-48: the single-scan persist sweep — 11 plans whose
-#     PHYSICAL plans changed late in round 7 (shared intermediates
-#     persisted so duplicate-lineage source re-scans collapse: e.g.
-#     the triangle plan's 12 lineitem scans -> 2, the LM-score plans'
-#     4 corpus tokenizations -> 1). Values identical, re-attested on
-#     principle (the r6 dedup adjudication). Must-attest displaces
-#     residue: the remaining streaming-exec/multimodal/UDF/sketch/
-#     sources re-attests rotate in round 8 (all ever-green, so
-#     displacement risks nothing).
-#   slots 49-50: two more persist-sweep plans (events_retention,
-#     events_resample_ffill — same class, fixed after the audit log
-#     was cut). The window is now 50/50 must-attest; ALL residue
-#     re-attests rotate in round 8.
+#   slots 1-9 (must-attest):
+#     events_cusum_changepoint — NEW (the r7 library-only CUSUM
+#       operator gets its registry plan + fold-mirrored DuckDB oracle;
+#       pre-validated bit-for-bit at sf0.001/0.01/0.1);
+#     pipeline_pack_sequences / pipeline_token_budget /
+#       pipeline_curriculum_buckets / events_rfm_segments /
+#       text_token_ids — the r7 verdict's What's-wrong #1: their
+#       single-task ``Window.orderBy`` funnels are retrofitted onto
+#       the distributed two-phase rank/prefix-sum
+#       (operators/stats.py:global_row_numbers/global_running_sums,
+#       ntile via the exact-integer formula). Values identical by
+#       construction; re-validated at 3 SFs; physical change =>
+#       re-attest. The class is now lint-frozen
+#       (tests/test_plan_quality.py:_UNPARTITIONED_WINDOW_ALLOWLIST).
+#     agg_gini_customer_revenue — physical change only: its
+#       global_row_numbers core was refactored onto the shared
+#       prefix-sum implementation (same shape, re-attest on principle);
+#     join_bloom_pruned — the bloom_semi_join build projection is now
+#       aliased to _bloom_key (r7 ADVICE same-key fix; physical change);
+#     geo_radius_join — |lat| band now explicitly filtered, ORACLE
+#       changed to mirror (r7 ADVICE guard fix).
+#   slots 10-18: the nine round-1-attested plans — the oldest green
+#     rows in the registry (agg_collect family, join_cross/semi/anti,
+#     the set-operation family).
+#   slots 19-50: the 32 alphabetically-first of the 35 remaining
+#     round-2-attested plans (the three window_* plans rotate in r9 —
+#     deterministic rule: oldest round first, then name). This covers
+#     the r8 queue's displaced streaming-exec/multimodal/UDF residue
+#     that is actually oldest (stream_dedup_exec, stream_tumbling_exec,
+#     multimodal_binary_meta, multimodal_channel_features,
+#     udf_cogrouped_map, udf_grouped_agg, udf_map_in_arrow,
+#     udf_pandas_scalar); the younger r3+ residue (sketches, UDTF,
+#     sources) rotates next.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
 # green) in registration order. ``WINDOW_CRITICAL`` below is guard-
 # tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-12: round-7 additions --
-    "join_bloom_pruned",
-    "text_exact_substring_ranges",
-    "events_kruskal_wallis",
-    "events_chi2_independence",
-    "events_classifier_eval",
-    "events_calibration_bins",
-    "events_autocorrelation",
-    "pipeline_quality_checks",
-    "geo_radius_join",
-    "agg_gini_customer_revenue",
-    "agg_benford_prices",
-    "events_survival_km",
-    # -- slots 13-14: oracle clamp-order fix --
-    "events_value_drift",
-    "events_mann_whitney",
-    # -- slots 15-29: de-hinted TPC-H battery --
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_or_pushdown",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    # -- slots 30-37: other de-hinted plans --
-    "graph_pagerank_nations",
-    "graph_label_propagation",
-    "stream_static_join_exec",
-    "text_tfidf_top_terms",
+    # -- slots 1-9: must-attest (new plan, retrofits, ADVICE fixes) --
+    "events_cusum_changepoint",
+    "pipeline_pack_sequences",
+    "pipeline_token_budget",
+    "pipeline_curriculum_buckets",
+    "events_rfm_segments",
     "text_token_ids",
-    "text_unigram_lm_score",
-    "text_bigram_lm_score",
-    "dedup_edit_distance",
-    # -- slots 38-48: the single-scan persist sweep (physical plans
-    #    changed: shared intermediates persisted so duplicate-lineage
-    #    source re-scans collapse; values identical, re-attested on
-    #    principle) --
-    "agg_mutual_info",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
-    "pipeline_source_caps",
-    "ann_topk_multiprobe",
-    "text_decontaminate",
-    "sample_balance_langs",
-    "sample_temperature_mix",
-    "events_welch_ttest",
-    "graph_triangle_counts",
-    "text_bm25_search",
-    # -- slots 49-50: two more persist-sweep plans (physical change ->
-    #    must-attest; the last residue re-attests rotate in round 8) --
-    "events_retention",
-    "events_resample_ffill",
+    "agg_gini_customer_revenue",
+    "join_bloom_pruned",
+    "geo_radius_join",
+    # -- slots 10-18: round-1-attested residue (oldest green) --
+    "agg_collect",
+    "agg_collect_set",
+    "agg_distinct",
+    "join_cross",
+    "join_left_anti",
+    "join_left_semi",
+    "set_intersect_except",
+    "set_union_distinct",
+    "set_union_evolved",
+    # -- slots 19-50: oldest round-2-attested residue --
+    "agg_pivot",
+    "agg_quantile_bins",
+    "ann_topk_ivf",
+    "array_explode_stats",
+    "asof_join_events_orders",
+    "dedup_exact",
+    "embedding_norms",
+    "events_cumulative_users",
+    "events_funnel",
+    "events_session_funnel",
+    "multimodal_binary_meta",
+    "multimodal_channel_features",
+    "q12_priority_class",
+    "sample_stratified",
+    "sample_weighted_topk",
+    "scalar_datetime",
+    "scalar_string",
+    "scalar_try_arith",
+    "scalar_variant",
+    "sink_partitioned_roundtrip",
+    "sink_sorted_clustered",
+    "source_csv_roundtrip",
+    "source_schema_evolution",
+    "stream_dedup_exec",
+    "stream_tumbling_exec",
+    "text_quality",
+    "text_repetition",
+    "text_span_dedup",
+    "udf_cogrouped_map",
+    "udf_grouped_agg",
+    "udf_map_in_arrow",
+    "udf_pandas_scalar",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
-#: this round: the two round-7 additions and every plan whose operator
-#: code or oracle SQL changed in round 7. Guard-tested in
+#: this round: the round-8 addition and every plan whose operator
+#: code, plan code, or oracle SQL changed in round 8. Guard-tested in
 #: tests/test_plan_quality.py so a slot can never silently slip below
 #: the window cut.
 WINDOW_CRITICAL: frozenset[str] = frozenset({
-    "join_bloom_pruned",
-    "text_exact_substring_ranges",
-    "events_kruskal_wallis",
-    "events_chi2_independence",
-    "events_classifier_eval",
-    "events_calibration_bins",
-    "events_autocorrelation",
-    "pipeline_quality_checks",
-    "geo_radius_join",
-    "agg_gini_customer_revenue",
-    "agg_benford_prices",
-    "events_survival_km",
-    "events_value_drift",
-    "events_mann_whitney",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_or_pushdown",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "graph_pagerank_nations",
-    "graph_label_propagation",
-    "stream_static_join_exec",
-    "text_tfidf_top_terms",
+    "events_cusum_changepoint",
+    "pipeline_pack_sequences",
+    "pipeline_token_budget",
+    "pipeline_curriculum_buckets",
+    "events_rfm_segments",
     "text_token_ids",
-    "text_unigram_lm_score",
-    "text_bigram_lm_score",
-    "dedup_edit_distance",
-    "agg_mutual_info",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
-    "pipeline_source_caps",
-    "ann_topk_multiprobe",
-    "text_decontaminate",
-    "sample_balance_langs",
-    "sample_temperature_mix",
-    "events_welch_ttest",
-    "graph_triangle_counts",
-    "text_bm25_search",
-    "events_retention",
-    "events_resample_ffill",
+    "agg_gini_customer_revenue",
+    "join_bloom_pruned",
+    "geo_radius_join",
 })
 
 
