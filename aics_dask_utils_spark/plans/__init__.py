@@ -65,7 +65,7 @@ def register(
 # this round the must-attest set is small (9) and the window finally
 # pays down the attestation-age debt:
 #
-#   slots 1-9 (must-attest):
+#   slots 1-10 (must-attest):
 #     events_cusum_changepoint — NEW (the r7 library-only CUSUM
 #       operator gets its registry plan + fold-mirrored DuckDB oracle;
 #       pre-validated bit-for-bit at sf0.001/0.01/0.1);
@@ -86,17 +86,23 @@ def register(
 #       aliased to _bloom_key (r7 ADVICE same-key fix; physical change);
 #     geo_radius_join — |lat| band now explicitly filtered, ORACLE
 #       changed to mirror (r7 ADVICE guard fix).
-#   slots 10-18: the nine round-1-attested plans — the oldest green
+#     pipeline_leakage_safe_split — NEW (optional-headroom item from
+#       the r7 verdict: group-aware train/eval split whose unit is the
+#       near-dup component, composing minhash_lsh_pairs +
+#       connected_components; no near-dup pair straddles the split —
+#       invariant pinned in tests; pre-validated at 3 SFs).
+#   slots 11-19: the nine round-1-attested plans — the oldest green
 #     rows in the registry (agg_collect family, join_cross/semi/anti,
 #     the set-operation family).
-#   slots 19-50: the 32 alphabetically-first of the 35 remaining
-#     round-2-attested plans (the three window_* plans rotate in r9 —
+#   slots 20-50: the 31 alphabetically-first of the 35 remaining
+#     round-2-attested plans (udf_pandas_scalar and the three window_*
+#     plans rotate in r9 —
 #     deterministic rule: oldest round first, then name). This covers
 #     the r8 queue's displaced streaming-exec/multimodal/UDF residue
 #     that is actually oldest (stream_dedup_exec, stream_tumbling_exec,
 #     multimodal_binary_meta, multimodal_channel_features,
-#     udf_cogrouped_map, udf_grouped_agg, udf_map_in_arrow,
-#     udf_pandas_scalar); the younger r3+ residue (sketches, UDTF,
+#     udf_cogrouped_map, udf_grouped_agg, udf_map_in_arrow); the
+#     younger r3+ residue (sketches, UDTF,
 #     sources) rotates next.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
@@ -114,7 +120,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_gini_customer_revenue",
     "join_bloom_pruned",
     "geo_radius_join",
-    # -- slots 10-18: round-1-attested residue (oldest green) --
+    "pipeline_leakage_safe_split",
+    # -- slots 11-19: round-1-attested residue (oldest green) --
     "agg_collect",
     "agg_collect_set",
     "agg_distinct",
@@ -124,7 +131,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "set_intersect_except",
     "set_union_distinct",
     "set_union_evolved",
-    # -- slots 19-50: oldest round-2-attested residue --
+    # -- slots 20-50: oldest round-2-attested residue --
     "agg_pivot",
     "agg_quantile_bins",
     "ann_topk_ivf",
@@ -156,7 +163,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "udf_cogrouped_map",
     "udf_grouped_agg",
     "udf_map_in_arrow",
-    "udf_pandas_scalar",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
@@ -174,6 +180,7 @@ WINDOW_CRITICAL: frozenset[str] = frozenset({
     "agg_gini_customer_revenue",
     "join_bloom_pruned",
     "geo_radius_join",
+    "pipeline_leakage_safe_split",
 })
 
 

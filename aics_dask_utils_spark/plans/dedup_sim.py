@@ -750,3 +750,65 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return shingle_containment_pairs(docs, threshold=0.5).orderBy("d1", "d2")
+
+
+@register(
+    "pipeline_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    und AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS unit
+      FROM reach GROUP BY a
+    ),
+    u AS (
+      SELECT d.doc_id, COALESCE(c.unit, d.doc_id) AS unit
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, unit,
+           CASE WHEN unit % 10 = 0 THEN 'eval' ELSE 'train' END AS split
+    FROM u ORDER BY doc_id
+    """,
+    doc="leakage-safe train/eval split (the decontamination complement "
+    "— EXT, LLM pipeline): the split UNIT is the near-dup cluster, not "
+    "the document. Verified MinHash-LSH pairs (shingle->minhash->band->"
+    "bucket-join, linear, never all-pairs) group into connected "
+    "components (large-star family); every document joins its "
+    "component id (singletons are their own unit), and the unit id — "
+    "not the doc id — decides train vs eval (unit % 10 here; swap in "
+    "a salted hash in production). By construction NO near-dup pair "
+    "straddles the boundary, the leak a doc-level random split cannot "
+    "prevent: a paraphrase of an eval document can land in train. "
+    "Composes two shipped operators (minhash_lsh_pairs + "
+    "connected_components); iterative Spark loop vs recursive-CTE "
+    "oracle. One extra doc-keyed left join on top of the component "
+    "cost; invariant pinned in tests/test_plan_quality.py",
+    tags=("dedup", "pipeline", "iterative"),
+)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.8)
+    comp = D.connected_components(pairs, "d1", "d2")
+    u = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("component", "unit"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("unit"), F.col("doc_id")).alias("unit")
+        )
+    )
+    return u.select(
+        "doc_id",
+        "unit",
+        F.when(F.col("unit") % 10 == 0, F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -748,6 +748,36 @@ def test_unpartitioned_window_lint_catches_violations():
     assert hits == ["'x'", "F.desc('y')"]
 
 
+def test_leakage_safe_split_no_straddling_pair(spark, sf_dir):
+    """The split's defining invariant: no verified near-dup pair has
+    one side in train and the other in eval (the leak a doc-level
+    random split cannot prevent)."""
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators import dedup as D
+    from aics_dask_utils_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.8)
+    split = all_plans()["pipeline_leakage_safe_split"].fn(spark, sf_dir)
+    s1 = split.select(
+        F.col("doc_id").alias("d1"), F.col("split").alias("split1")
+    )
+    s2 = split.select(
+        F.col("doc_id").alias("d2"), F.col("split").alias("split2")
+    )
+    straddling = (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .where(F.col("split1") != F.col("split2"))
+        .count()
+    )
+    assert straddling == 0
+    # and the split is non-degenerate on the test corpus
+    kinds = {r["split"] for r in split.select("split").distinct().collect()}
+    assert kinds == {"train", "eval"}
+
+
 def test_bloom_prune_probe_never_shuffles_before_exact_join(spark, sf_dir):
     # The k=3 bit-set prefilters must plan as broadcast semi joins
     # (probe stays put); only the exact final semi join may shuffle.
