@@ -12,24 +12,34 @@ inflate one run 3-4×; min-of-2 reports steady-state throughput). Every
 timed run is a full plan-to-action execution (count), not a cached
 result.
 
-Two passes, both in the JSON:
+Two passes, both in the JSON (ORDER REPAIRED in round 8 — isolated
+first, see BUDGET_SEC):
 
-- **in-session** (``queries``): all headline queries through ONE
-  long-lived session — the long-lived-cluster shape, but one query's
-  JVM state (heap, code cache) can bleed into the next; run-to-run
-  noise on the ~30 s total measured at ±2 s (docs/bench_drift_r3.md).
 - **isolated** (``queries_isolated``): a fresh JVM per query GROUP
   (subprocess workers, same warm-up + best-of-2 protocol) — the
   cross-query contamination control that round 3 ran by hand to
-  root-cause the TPC-H drift, now standing. A real regression moves
-  BOTH numbers; session noise moves only one. Protocol caveat:
-  sub-second queries read ~1.3-1.8x higher isolated than in-session
-  (a fresh JVM's JIT/codegen is colder and 7 queries amortize less
-  than 50), while expensive queries read ~1.0x — compare isolated
-  against isolated across rounds, never against in-session.
+  root-cause the TPC-H drift, now standing. Runs FIRST and owns the
+  wall-clock budget, in per-run ROTATED group order, so budget skips
+  can never starve the same groups round after round (round 7 lost
+  the same 5 tail groups). A real regression moves BOTH numbers;
+  session noise moves only one. Protocol caveat: sub-second queries
+  read ~1.3-1.8x higher isolated than in-session (a fresh JVM's
+  JIT/codegen is colder and a small group amortizes less than the
+  full list), while expensive queries read ~1.0x — compare isolated
+  against isolated across rounds, never against in-session, and only
+  within the same N_GROUPS bucketing era (re-bucketed 9 -> 11 in r8).
+- **in-session** (``queries``): all headline queries through ONE
+  long-lived session — the long-lived-cluster shape, but one query's
+  JVM state (heap, code cache) can bleed into the next; run-to-run
+  noise on the ~40 s total measured at ±2 s (docs/bench_drift_r3.md).
+  Not budget-gated; always completes unless an external timeout
+  fires, in which case the SIGTERM handler emits the record with the
+  full isolated numbers and partial in-session ones.
 
-``--no-isolated`` (or SPARK_GRAFT_BENCH_ISOLATED=0) skips the second
-pass; ``--isolated-worker I`` is the internal per-group entry point.
+``--no-isolated`` (or SPARK_GRAFT_BENCH_ISOLATED=0) skips the
+isolated pass; ``--isolated-worker I`` is the internal per-group
+entry point; SPARK_GRAFT_BENCH_ROT pins the rotation for
+reproducibility.
 """
 
 from __future__ import annotations
@@ -122,6 +132,13 @@ HEADLINE = [
     "events_classifier_eval",
     "pipeline_quality_checks",
     "geo_radius_join",
+    # round-8 additions (the r8 re-bucket already resets isolated
+    # baselines, so these enter at the same discontinuity): the two new
+    # capabilities and two of the de-funneled global-window retrofits
+    "events_cusum_changepoint",
+    "pipeline_leakage_safe_split",
+    "pipeline_token_budget",
+    "events_rfm_segments",
 ]
 
 
@@ -132,17 +149,16 @@ HEADLINE = [
 #: warm-up each query's groupmates paid for it. With name-hash buckets
 #: an existing query NEVER changes group when the headline list grows —
 #: only the new query's own bucket gains a member — so isolated numbers
-#: stay comparable round-over-round. The hash does NOT balance bucket
-#: sizes: the current 65 names land as sizes [9, 8, 7, 11, 5, 6, 4, 10,
-#: 5], so the largest bucket (11) exceeds the 7-member ceiling the old
-#: positional GROUP_SIZE enforced, and adding a headline query still
-#: changes its co-members' warm-up amortization (bounded by the
-#: standing WARMUP_PLAN below). Raising N_GROUPS would re-bucket EVERY
-#: query (crc32 % 9 vs % 11 agree on nothing) and destroy exactly the
-#: round-over-round comparability this scheme exists for — so
-#: N_GROUPS stays frozen; revisit only in a round with no plan-change
-#: bench question in flight, accepting one cross-round discontinuity.
-N_GROUPS = 9
+#: stay comparable round-over-round.
+#:
+#: RE-BUCKETED 9 -> 11 in round 8 (the one planned discontinuity,
+#: docs/round8_queue.md item 3): the r6 ADVICE flagged the size-9
+#: buckets as unbalanced (largest bucket 11 members), and round 7's
+#: partial, uniformly-elevated driver capture had ALREADY broken
+#: r7->r8 isolated comparability — so round 8 is the cheapest round to
+#: pay the re-bucket. BENCH_r08 is the fresh isolated baseline;
+#: compare isolated numbers to r8+, never across the re-bucket.
+N_GROUPS = 11
 
 
 def _time_plans(spark, names: list[str]) -> dict[str, float]:
@@ -220,28 +236,45 @@ def _isolated_worker(group_idx: int) -> None:
     spark.stop()
 
 
-#: Overall bench wall-clock budget (sec). The isolated pass launches a
+#: Isolated-pass wall-clock budget (sec). The isolated pass launches a
 #: group's worker only while under budget, so however slow the box is,
 #: the bench always prints its JSON line instead of tripping an
 #: external timeout — partial isolated coverage is flagged in the
 #: output rather than silently losing the whole record.
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
+#:
+#: Round-8 protocol repair (r7 verdict What's-wrong #2): the isolated
+#: pass now runs FIRST (it is the budget-gated signal; round 7 charged
+#: the in-session pass against the same budget and the SAME five tail
+#: groups fell off every round), the budget applies to the isolated
+#: pass alone, groups are visited in a per-run ROTATED order so any
+#: residual skips never hit the same groups twice, and the default rose
+#: 480 -> 900 s: 480 was a guess from round 5; the round-4 driver
+#: record (rc=0) shows a full unbudgeted two-pass bench was tolerated,
+#: and the measured full two-pass cost at sf0.1 is ~11 min on this
+#: box. The SIGTERM partial-emit path remains the hard backstop.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
 _T_START = time.monotonic()
 
 
-def _run_isolated(names: list[str]) -> tuple[dict[str, float], int]:
+def _run_isolated(names: list[str]) -> tuple[dict[str, float], int, int]:
     """Fresh JVM per query group via subprocess workers; a failed
     worker drops its group's numbers rather than failing the bench.
-    Returns (timings, n_groups_skipped_for_budget)."""
+    Groups are visited in rotated order (rotation recorded in the
+    output) so budget skips rotate too. Returns
+    (timings, n_groups_skipped_for_budget, rotation)."""
     import subprocess
 
     merged: dict[str, float] = {}
     groups = _groups(names)
+    rot = int(
+        os.environ.get("SPARK_GRAFT_BENCH_ROT", str(int(time.time())))
+    ) % len(groups)
+    order = [(i + rot) % len(groups) for i in range(len(groups))]
     skipped = 0
-    for i, _group in enumerate(groups):
+    for n_done, i in enumerate(order):
         remaining = BUDGET_SEC - (time.monotonic() - _T_START)
         if remaining <= 0:
-            skipped = len(groups) - i
+            skipped = len(groups) - n_done
             print(
                 f"bench budget {BUDGET_SEC}s exhausted; skipping "
                 f"{skipped} isolated group(s)",
@@ -271,7 +304,7 @@ def _run_isolated(names: list[str]) -> tuple[dict[str, float], int]:
                 f"{proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else 'no output'}",
                 file=sys.stderr,
             )
-    return merged, skipped
+    return merged, skipped, rot
 
 
 #: Live record, emitted by the SIGTERM handler if an external timeout
@@ -309,13 +342,25 @@ def main() -> None:
         and os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0"
     )
 
+    plans = all_plans()
+    names = [n for n in HEADLINE if n in plans]
+
+    # Isolated pass FIRST (round-8 protocol repair): it is the budget-
+    # gated, cross-round-comparable signal, so it must never be starved
+    # by the in-session pass's wall time (round 7 lost the same five
+    # tail groups every round). The in-session pass below is not
+    # budget-gated and always completes; if an external timeout fires
+    # during it, the SIGTERM handler emits the record with the FULL
+    # isolated numbers and partial in-session ones.
+    iso, skipped, rot = ({}, 0, 0)
+    if run_isolated:
+        iso, skipped, rot = _run_isolated(names)
+
     spark = get_spark(
         master=f"local[{CPUS}]",
         app_name="aics_dask_utils_spark-bench",
         shuffle_partitions=CPUS,
     )
-    plans = all_plans()
-    names = [n for n in HEADLINE if n in plans]
     timings = _time_plans(spark, names)
 
     # Reference-workload micro-bench: the reference's one measurable
@@ -342,16 +387,16 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_val,
     }
-    _LIVE.update(out)
     spark.stop()
     if run_isolated:
-        iso, skipped = _run_isolated(names)
         out["queries_isolated"] = iso
         out["isolated_total_sec"] = round(sum(iso.values()), 4)
         # Always present so round-over-round diffs notice coverage
         # changes; != 0 means the isolated numbers are PARTIAL and the
         # missing queries' absence must not be read as improvement.
         out["isolated_groups_skipped"] = skipped
+        out["isolated_rotation"] = rot
+        out["isolated_n_groups"] = N_GROUPS
         if skipped:
             print(
                 "=" * 72
@@ -361,6 +406,7 @@ def main() -> None:
                 + "=" * 72,
                 file=sys.stderr,
             )
+    _LIVE.update(out)
     print(json.dumps(out))
 
 
