@@ -249,3 +249,100 @@ def bm25_scores(
         .withColumn("w", F.round(idf * norm_tf, 6))
     )
     return weighted.groupBy("doc_id", "dl").agg(dsum("w").alias("bm25"))
+
+
+def bpe_train_encode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    merges: int = 5,
+) -> DataFrame:
+    """BPE merge training + corpus re-encoding, the iterative
+    broadcast-merge formulation (Sennrich et al. 2016 at corpus scale).
+
+    Each round: (1) count adjacent token pairs across the whole corpus
+    (one explode + map-side-combined agg — the pair relation is
+    bounded by distinct corpus bigrams, never materialized per-row);
+    (2) take the single most frequent pair with a total deterministic
+    tiebreak (count DESC, then both tokens ASC) — a 1-row relation,
+    the one provably broadcast-safe class; (3) rewrite every document
+    by the leftmost-greedy non-overlapping merge of that pair, as a
+    pure expression-level left fold (``F.aggregate``) — no UDF, no
+    shuffle beyond the pair agg.
+
+    Returns ``(doc_id, n_tokens, n_after, encoded_csv)`` with the
+    original token count, post-merge count, and the comma-joined
+    merged token sequence (merged tokens are space-joined pairs).
+
+    Scale shape: ``merges`` linear corpus scans, each ending in a
+    bigram-width aggregate + a 1-row broadcast join; every round's
+    token relation is persisted because the pair-count branch and the
+    rewrite branch both consume it. Real BPE trainers sample a corpus
+    subset for the merge table and then only the encode fold runs
+    corpus-wide — the fold here IS that encode path. A document with
+    fewer than 2 tokens passes through untouched; an empty corpus
+    yields an empty (NULL-pair) merge round that rewrites nothing.
+    """
+    from pyspark import StorageLevel
+
+    cur = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("t"),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(merges):
+        t = F.col("t")
+        idx = F.sequence(F.lit(1), F.size(t) - 1)
+        adj = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(t, i.cast("int")).alias("a"),
+                    F.element_at(t, (i + 1).cast("int")).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            cur.select(F.explode(adj).alias("p"))
+            .groupBy(F.col("p.a").alias("ma"), F.col("p.b").alias("mb"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("ma"), F.asc("mb"))
+            .limit(1)
+            .select("ma", "mb")
+        )
+        init = F.array().cast("array<string>")
+
+        def _fold(acc, x):
+            # leftmost-greedy non-overlapping: merge when the pending
+            # last token is ma and the incoming one is mb; the merged
+            # token may itself seed a later-round merge, never an
+            # overlapping same-round one. try_element_at -> NULL on the
+            # empty accumulator (and on an empty merge relation ma/mb
+            # are NULL), so the condition fails closed to append.
+            hit = (F.try_element_at(acc, F.lit(-1)) == F.col("ma")) & (
+                x == F.col("mb")
+            )
+            return F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat_ws(" ", F.col("ma"), F.col("mb"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        cur = (
+            # 1-row argmax merge pair; left so an empty merge relation
+            # (corpus of <2-token docs) passes rows through unmerged
+            cur.join(F.broadcast(best), F.lit(True), "left")
+            .withColumn("t", F.aggregate("t", init, _fold))
+            .drop("ma", "mb")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return cur.select(
+        "doc_id",
+        "n_tokens",
+        F.size("t").alias("n_after"),
+        F.concat_ws(",", "t").alias("encoded_csv"),
+    )

@@ -65,7 +65,7 @@ def register(
 # this round the must-attest set is small (9) and the window finally
 # pays down the attestation-age debt:
 #
-#   slots 1-10 (must-attest):
+#   slots 1-11 (must-attest):
 #     events_cusum_changepoint — NEW (the r7 library-only CUSUM
 #       operator gets its registry plan + fold-mirrored DuckDB oracle;
 #       pre-validated bit-for-bit at sf0.001/0.01/0.1);
@@ -91,17 +91,21 @@ def register(
 #       near-dup component, composing minhash_lsh_pairs +
 #       connected_components; no near-dup pair straddles the split —
 #       invariant pinned in tests; pre-validated at 3 SFs).
-#   slots 11-19: the nine round-1-attested plans — the oldest green
+#     text_bpe_encode — NEW (BPE merge training + encoding: 5 rounds
+#       of corpus pair-count -> 1-row argmax broadcast -> expression-
+#       level leftmost-greedy fold; oracle unrolls the same rounds
+#       with a list_reduce fold mirror; pre-validated at 3 SFs).
+#   slots 12-20: the nine round-1-attested plans — the oldest green
 #     rows in the registry (agg_collect family, join_cross/semi/anti,
 #     the set-operation family).
-#   slots 20-50: the 31 alphabetically-first of the 35 remaining
-#     round-2-attested plans (udf_pandas_scalar and the three window_*
-#     plans rotate in r9 —
+#   slots 21-50: the 30 alphabetically-first of the 35 remaining
+#     round-2-attested plans (udf_map_in_arrow, udf_pandas_scalar and
+#     the three window_* plans rotate in r9 —
 #     deterministic rule: oldest round first, then name). This covers
 #     the r8 queue's displaced streaming-exec/multimodal/UDF residue
 #     that is actually oldest (stream_dedup_exec, stream_tumbling_exec,
 #     multimodal_binary_meta, multimodal_channel_features,
-#     udf_cogrouped_map, udf_grouped_agg, udf_map_in_arrow); the
+#     udf_cogrouped_map, udf_grouped_agg); the
 #     younger r3+ residue (sketches, UDTF,
 #     sources) rotates next.
 #
@@ -121,7 +125,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "join_bloom_pruned",
     "geo_radius_join",
     "pipeline_leakage_safe_split",
-    # -- slots 11-19: round-1-attested residue (oldest green) --
+    "text_bpe_encode",
+    # -- slots 12-20: round-1-attested residue (oldest green) --
     "agg_collect",
     "agg_collect_set",
     "agg_distinct",
@@ -131,7 +136,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "set_intersect_except",
     "set_union_distinct",
     "set_union_evolved",
-    # -- slots 20-50: oldest round-2-attested residue --
+    # -- slots 21-50: oldest round-2-attested residue --
     "agg_pivot",
     "agg_quantile_bins",
     "ann_topk_ivf",
@@ -162,7 +167,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_span_dedup",
     "udf_cogrouped_map",
     "udf_grouped_agg",
-    "udf_map_in_arrow",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
@@ -181,6 +185,7 @@ WINDOW_CRITICAL: frozenset[str] = frozenset({
     "join_bloom_pruned",
     "geo_radius_join",
     "pipeline_leakage_safe_split",
+    "text_bpe_encode",
 })
 
 

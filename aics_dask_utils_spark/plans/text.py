@@ -468,3 +468,70 @@ def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _bpe_ctes(rounds: int = 5) -> str:
+    """Unrolled CTE chain mirroring bpe_train_encode round-for-round:
+    per round, the adjacent-pair argmax (count DESC, tokens ASC) and
+    the leftmost-greedy rewrite as a list_reduce left fold over
+    1-element lists (DuckDB's fold needs accumulator type == element
+    type, so tokens ride as [token]; the empty VARCHAR[] is prepended
+    as the explicit init, matching the Spark fold's empty-array init).
+    """
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    parts = [
+        f"t0 AS (SELECT doc_id, {toks} AS t,\n"
+        f"        len({toks}) AS n_tokens FROM documents)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""p{r} AS (
+      SELECT t[i] AS ma, t[i+1] AS mb, COUNT(*) AS cnt
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM t{r})
+      GROUP BY 1, 2
+    ),
+    m{r} AS (SELECT ma, mb FROM p{r} ORDER BY cnt DESC, ma, mb LIMIT 1),
+    t{r + 1} AS (
+      SELECT doc_id, n_tokens,
+             list_reduce(
+               [CAST([] AS VARCHAR[])] || list_transform(t, z -> [z]),
+               (acc, x) -> CASE
+                 WHEN len(acc) > 0 AND acc[-1] = m{r}.ma AND x[1] = m{r}.mb
+                 THEN acc[1:len(acc) - 1] || [m{r}.ma || ' ' || m{r}.mb]
+                 ELSE acc || x END) AS t
+      FROM t{r} LEFT JOIN m{r} ON TRUE
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "text_bpe_encode",
+    oracle=f"""
+    WITH {_bpe_ctes(5)}
+    SELECT doc_id, n_tokens,
+           CAST(len(t) AS INT) AS n_after,
+           array_to_string(t, ',') AS encoded_csv
+    FROM t5 ORDER BY doc_id
+    """,
+    doc="BPE merge training + re-encoding over the corpus (E38 family, "
+    "the subword-tokenizer primitive): 5 rounds of [corpus-wide "
+    "adjacent-pair count -> 1-row deterministic argmax (count DESC, "
+    "tokens ASC) -> leftmost-greedy non-overlapping merge rewrite as "
+    "an expression-level left fold]. The pair relation aggregates at "
+    "distinct-bigram width with map-side combine; the only broadcast "
+    "is the 1-row merge pair; the rewrite is F.aggregate, no UDF. The "
+    "oracle unrolls the same 5 rounds with the fold mirrored by a "
+    "list_reduce over 1-element lists, so the merge choices and the "
+    "rewritten sequences hash identically. At 100 TB, training "
+    "samples a subset for the merge table and only the encode fold "
+    "runs corpus-wide — this plan exercises both halves (operator "
+    "operators/text.py:bpe_train_encode)",
+    tags=("text", "pipeline", "iterative"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_train_encode(docs, "doc_id", "text", merges=5).orderBy(
+        "doc_id"
+    )

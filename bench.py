@@ -139,6 +139,7 @@ HEADLINE = [
     "pipeline_leakage_safe_split",
     "pipeline_token_budget",
     "events_rfm_segments",
+    "text_bpe_encode",
 ]
 
 

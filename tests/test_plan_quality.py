@@ -540,6 +540,8 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("operators/stats.py", "side"):
         "grid: per-source-group counts (bounded source dimension)",
     ("operators/text.py", "stats"): "scalar: 1-row corpus stats",
+    ("operators/text.py", "best"):
+        "scalar: 1-row argmax merge pair (BPE round)",
     ("operators/text.py", "dfreq"):
         "contract: one row per term of a fixed query",
     ("operators/text.py", "n_docs"): "scalar: 1-row document count",
