@@ -275,3 +275,36 @@ def test_radius_join_on_empty_points(spark):
 
     pts = spark.createDataFrame([], "pid int, lat double, lon double")
     assert radius_self_join(pts, "pid", "lat", "lon", 100.0).count() == 0
+
+
+def test_bpe_on_degenerate_corpora(spark):
+    """Empty corpus -> empty result; single-token docs -> an empty
+    merge relation whose NULL pair must rewrite nothing (the left-join
+    fail-closed path); a known toy corpus merges greedily
+    left-to-right without overlap ('a a a' + merge (a,a) -> 'a a', not
+    'a a'+'a a')."""
+    from aics_dask_utils_spark.operators.text import bpe_train_encode
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train_encode(empty, merges=2).count() == 0
+
+    singles = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bpe_train_encode(singles, merges=2).collect()
+    }
+    assert rows[1]["encoded_csv"] == "x" and rows[1]["n_after"] == 1
+
+    toy = spark.createDataFrame(
+        [(1, "a a a"), (2, "a a b")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["encoded_csv"]
+        for r in bpe_train_encode(toy, merges=1).collect()
+    }
+    # most frequent pair is (a,a) x3 vs (a,b) x1: leftmost-greedy,
+    # non-overlapping
+    assert out[1] == "a a,a"
+    assert out[2] == "a a,b"
