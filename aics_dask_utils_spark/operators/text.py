@@ -346,3 +346,54 @@ def bpe_train_encode(
         F.size("t").alias("n_after"),
         F.concat_ws(",", "t").alias("encoded_csv"),
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merge_table: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode a corpus with a FROZEN BPE merge table — the 100 TB path.
+
+    :func:`bpe_train_encode` learns merges from the corpus it encodes;
+    production BPE trains the merge table once (usually on a sample)
+    and then only this encode step runs corpus-wide. Applies each
+    ``(a, b)`` merge in table order as the same leftmost-greedy
+    non-overlapping expression-level fold — one narrow projection per
+    merge, NO shuffle, NO aggregation, NO broadcast: the merge pair is
+    a literal, so the whole encode is a single embarrassingly-parallel
+    scan regardless of table length. Returns
+    ``(doc_id, n_tokens, n_after, encoded_csv)``, the same schema as
+    the trainer.
+    """
+    cur = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("t"),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+    init = F.array().cast("array<string>")
+
+    def _make_fold(la, lb, merged):
+        # factory: F.aggregate introspects the lambda's arity, so the
+        # merge literals must be captured by closure, not default args
+        def _fold(acc, x):
+            hit = (F.try_element_at(acc, F.lit(-1)) == la) & (x == lb)
+            return F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return _fold
+
+    for a, b in merge_table:
+        fold = _make_fold(F.lit(a), F.lit(b), F.lit(f"{a} {b}"))
+        cur = cur.withColumn("t", F.aggregate("t", init, fold))
+    return cur.select(
+        "doc_id",
+        "n_tokens",
+        F.size("t").alias("n_after"),
+        F.concat_ws(",", "t").alias("encoded_csv"),
+    )

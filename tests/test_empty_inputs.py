@@ -308,3 +308,38 @@ def test_bpe_on_degenerate_corpora(spark):
     # non-overlapping
     assert out[1] == "a a,a"
     assert out[2] == "a a,b"
+
+
+def test_bpe_encode_frozen_table_matches_trainer(spark):
+    """Encoding with the merge table the trainer would learn must give
+    the trainer's exact output (the sample-train / corpus-encode
+    equivalence the 100 TB path relies on), and the frozen-table path
+    must plan without any shuffle or broadcast."""
+    from aics_dask_utils_spark.operators.text import (
+        bpe_encode,
+        bpe_train_encode,
+    )
+
+    toy = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "a a b c c"), (3, "b c a a")],
+        "doc_id long, text string",
+    )
+    # the two most frequent pairs on this corpus, in learned order:
+    # round 1: (a,a) x3; round 2: (b,c) x3
+    trained = {
+        r["doc_id"]: r for r in bpe_train_encode(toy, merges=2).collect()
+    }
+    frozen = {
+        r["doc_id"]: r
+        for r in bpe_encode(toy, [("a", "a"), ("b", "c")]).collect()
+    }
+    assert {k: v["encoded_csv"] for k, v in trained.items()} == {
+        k: v["encoded_csv"] for k, v in frozen.items()
+    }
+    plan = (
+        bpe_encode(toy, [("a", "a"), ("b", "c")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
