@@ -27,6 +27,17 @@ PLANS = [
     "agg_regression_per_group",
     "agg_mutual_info",
     "agg_two_level_rollup",
+    # round-8 additions whose docstrings claim partition-independence:
+    # the distributed rank/prefix-sum retrofits (rank is a pure
+    # function of the total order, independent of range-boundary
+    # placement), the CUSUM pinned-order fold, the BPE argmax+fold
+    # rounds, and the component-unit split
+    "pipeline_token_budget",
+    "pipeline_curriculum_buckets",
+    "events_rfm_segments",
+    "events_cusum_changepoint",
+    "text_bpe_encode",
+    "pipeline_leakage_safe_split",
 ]
 
 
