@@ -65,7 +65,7 @@ def register(
 # this round the must-attest set is small (9) and the window finally
 # pays down the attestation-age debt:
 #
-#   slots 1-11 (must-attest):
+#   slots 1-12 (must-attest):
 #     events_cusum_changepoint — NEW (the r7 library-only CUSUM
 #       operator gets its registry plan + fold-mirrored DuckDB oracle;
 #       pre-validated bit-for-bit at sf0.001/0.01/0.1);
@@ -95,17 +95,21 @@ def register(
 #       of corpus pair-count -> 1-row argmax broadcast -> expression-
 #       level leftmost-greedy fold; oracle unrolls the same rounds
 #       with a list_reduce fold mirror; pre-validated at 3 SFs).
-#   slots 12-20: the nine round-1-attested plans — the oldest green
+#     agg_exact_quantiles_rank — NEW (exact quantiles at fact scale:
+#       distributed rank + ceil(q*n) position lookup — the scale-safe
+#       alternative to buffer-everything F.percentile; pre-validated
+#       at 3 SFs).
+#   slots 13-21: the nine round-1-attested plans — the oldest green
 #     rows in the registry (agg_collect family, join_cross/semi/anti,
 #     the set-operation family).
-#   slots 21-50: the 30 alphabetically-first of the 35 remaining
-#     round-2-attested plans (udf_map_in_arrow, udf_pandas_scalar and
-#     the three window_* plans rotate in r9 —
+#   slots 22-50: the 29 alphabetically-first of the 35 remaining
+#     round-2-attested plans (udf_grouped_agg, udf_map_in_arrow,
+#     udf_pandas_scalar and the three window_* plans rotate in r9 —
 #     deterministic rule: oldest round first, then name). This covers
 #     the r8 queue's displaced streaming-exec/multimodal/UDF residue
 #     that is actually oldest (stream_dedup_exec, stream_tumbling_exec,
 #     multimodal_binary_meta, multimodal_channel_features,
-#     udf_cogrouped_map, udf_grouped_agg); the
+#     udf_cogrouped_map); the
 #     younger r3+ residue (sketches, UDTF,
 #     sources) rotates next.
 #
@@ -126,7 +130,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "geo_radius_join",
     "pipeline_leakage_safe_split",
     "text_bpe_encode",
-    # -- slots 12-20: round-1-attested residue (oldest green) --
+    "agg_exact_quantiles_rank",
+    # -- slots 13-21: round-1-attested residue (oldest green) --
     "agg_collect",
     "agg_collect_set",
     "agg_distinct",
@@ -136,7 +141,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "set_intersect_except",
     "set_union_distinct",
     "set_union_evolved",
-    # -- slots 21-50: oldest round-2-attested residue --
+    # -- slots 22-50: oldest round-2-attested residue --
     "agg_pivot",
     "agg_quantile_bins",
     "ann_topk_ivf",
@@ -166,7 +171,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_repetition",
     "text_span_dedup",
     "udf_cogrouped_map",
-    "udf_grouped_agg",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
@@ -186,6 +190,7 @@ WINDOW_CRITICAL: frozenset[str] = frozenset({
     "geo_radius_join",
     "pipeline_leakage_safe_split",
     "text_bpe_encode",
+    "agg_exact_quantiles_rank",
 })
 
 

@@ -1538,3 +1538,73 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_x", "col_y")
     )
+
+
+@register(
+    "agg_exact_quantiles_rank",
+    oracle="""
+    WITH v AS (
+      SELECT l_extendedprice AS price, l_orderkey, l_linenumber
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    r AS (
+      SELECT price,
+             ROW_NUMBER() OVER (ORDER BY price, l_orderkey, l_linenumber)
+               AS i
+      FROM v
+    ),
+    qs AS (SELECT UNNEST([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+    SELECT qs.q,
+           CAST(CEIL(qs.q * n.n) AS BIGINT) AS pos,
+           r.price AS value
+    FROM qs CROSS JOIN n
+    JOIN r ON r.i = CAST(CEIL(qs.q * n.n) AS BIGINT)
+    ORDER BY qs.q
+    """,
+    doc="EXACT quantiles at fact scale via the distributed two-phase "
+    "rank (E22/E52 upgrade): Spark's exact F.percentile buffers every "
+    "value of the group in ONE aggregation buffer — a memory wall on "
+    "a 100 TB fact column (that plan's correctness baseline lives in "
+    "agg_percentile; the approx/sketch paths in agg_approx and the "
+    "KLL plans). Here the value relation gets exact global row "
+    "numbers (operators/stats.py:global_row_numbers — one range "
+    "shuffle, per-partition local rank, 32-row offsets join, no "
+    "single-task sort), and each requested q becomes one rank lookup "
+    "pos = ceil(q*n) resolved by an AQE-broadcast 5-row join against "
+    "the ranked relation. Type-1 (discrete) quantiles: the value at a "
+    "given rank is unique regardless of tie order, so the unique "
+    "(orderkey, linenumber) tiebreak only pins the RANKS, never the "
+    "answer. Fully parallel at any scale",
+    tags=("lineitem", "agg", "stats"),
+)
+def agg_exact_quantiles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import global_row_numbers
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            F.col("l_extendedprice").alias("price"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    ranked = global_row_numbers(
+        li, ["price", "l_orderkey", "l_linenumber"], out_col="i"
+    ).select("price", "i")
+    # 1-row count from the persisted rank lineage (no source re-scan)
+    n_row = ranked.agg(F.max("i").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q) for q in (0.25, 0.5, 0.75, 0.9, 0.99)])
+        ).alias("q")
+    )
+    pos = qs.crossJoin(F.broadcast(n_row)).select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("pos")
+    )
+    return (
+        pos.join(ranked, pos["pos"] == ranked["i"])
+        .select("q", "pos", F.col("price").alias("value"))
+        .orderBy("q")
+    )

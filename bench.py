@@ -140,6 +140,7 @@ HEADLINE = [
     "pipeline_token_budget",
     "events_rfm_segments",
     "text_bpe_encode",
+    "agg_exact_quantiles_rank",
 ]
 
 

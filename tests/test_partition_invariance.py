@@ -38,6 +38,7 @@ PLANS = [
     "events_cusum_changepoint",
     "text_bpe_encode",
     "pipeline_leakage_safe_split",
+    "agg_exact_quantiles_rank",
 ]
 
 

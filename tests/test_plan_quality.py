@@ -559,6 +559,8 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("plans/relational.py", "region"): "fixed-dim: region = 5 rows",
     ("plans/relational.py", "nation"): "fixed-dim: nation = 25 rows",
     ("plans/relational.py", "exact"): "scalar: 1-row exact distinct",
+    ("plans/relational.py", "n_row"):
+        "scalar: 1-row total count (quantile rank positions)",
     ("plans/relational.py", "edges"): "grid: quartile edge row",
     ("plans/relational.py", "tot"): "scalar: 1-row total",
     ("plans/relational.py", "ms"): "grid: one row per source",
