@@ -11,7 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampNTZType,
@@ -404,4 +407,121 @@ def per_user_type_counts_tws(events: DataFrame) -> DataFrame:
         outputStructType="user_id long, event_type string, n bigint",
         outputMode="update",
         timeMode="none",
+    )
+
+
+_CUSUM_STATE = StructType(
+    [
+        StructField("s_pos", DoubleType()),
+        StructField("s_neg", DoubleType()),
+        StructField("n", LongType()),
+        StructField("alarm_ts", TimestampType()),
+    ]
+)
+_CUSUM_OUT = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("n", LongType()),
+        StructField("s_pos", DoubleType()),
+        StructField("s_neg", DoubleType()),
+        StructField("alarmed", BooleanType()),
+        StructField("first_alarm_ts", TimestampType()),
+    ]
+)
+
+
+def streaming_cusum(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    target: float,
+    std: float,
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Online two-sided CUSUM monitor as a custom stateful streaming
+    operator (E45 extension; the streaming complement of the batch
+    ``operators/stats.py:cusum_changepoint``).
+
+    The batch detector standardizes against the FINAL corpus moments,
+    which no stream can know; the standard online form instead
+    monitors against a reference trained offline — pass ``target``
+    and ``std`` from the batch pipeline (the usual train-offline /
+    monitor-online split). Per group the state carries the classic
+    one-sided statistics, updated per row in event-time order:
+
+        S+ <- max(0, S+ + (x - target)/std - k)
+        S- <- max(0, S- - (x - target)/std - k)
+
+    and the group ALARMS the first time ``max(S+, S-) > h``
+    (``k``~0.5 sigma slack, ``h``~4-5 sigma decision interval are the
+    textbook defaults). Emits one row per group per micro-batch:
+    ``(group, n, s_pos, s_neg, alarmed, first_alarm_ts)`` in update
+    mode; the alarm timestamp freezes at the first crossing.
+
+    ORDER CONTRACT: rows are folded in ``(ts, value)`` order WITHIN
+    each micro-batch, and state chains across batches in arrival
+    order. CUSUM is order-dependent, so the end-to-end result is the
+    event-time fold only if micro-batches arrive in event-time order
+    (true for a replayed single file, a date-partitioned backfill
+    drained in order, or any source whose batches are time-aligned —
+    the same contract every online monitor has). For unordered
+    sources, pre-aggregate to a (group, window) grid first and feed
+    the closed windows.
+
+    Scale shape: state is four scalars per group (bounded by the
+    group dimension, never the stream), each batch is one
+    groupBy-partitioned pass, and the fold is vectorizable numpy
+    inside the Arrow batch.
+    """
+    import numpy as np
+
+    def _fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (group,) = key
+        s_pos, s_neg, n, alarm_ts = (
+            state.get if state.exists else (0.0, 0.0, 0, None)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.dropna(subset=[ts_col, value_col]).sort_values(
+            [ts_col, value_col], kind="mergesort"
+        )
+        z = (pdf[value_col].to_numpy(dtype=float) - target) / std
+        ts = pdf[ts_col].to_numpy()
+        for i in range(len(z)):
+            s_pos = max(0.0, s_pos + z[i] - k)
+            s_neg = max(0.0, s_neg - z[i] - k)
+            n += 1
+            if alarm_ts is None and max(s_pos, s_neg) > h:
+                alarm_ts = pd.Timestamp(ts[i]).to_pydatetime()
+        state.update((float(s_pos), float(s_neg), int(n), alarm_ts))
+        yield pd.DataFrame(
+            {
+                "group": [group],
+                "n": [n],
+                "s_pos": [round(s_pos, 6)],
+                "s_neg": [round(s_neg, 6)],
+                "alarmed": [alarm_ts is not None],
+                "first_alarm_ts": [alarm_ts],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, "1 hour")
+        .select(
+            F.col(group_col).cast("string").alias("group"),
+            F.col(ts_col).alias(ts_col),
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .groupBy("group")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=_CUSUM_OUT,
+            stateStructType=_CUSUM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -633,3 +633,94 @@ def test_session_fn_late_chain_merges_into_open():
     out = _run_session_fn([t(9, 5), t(9, 31)], state)
     assert len(out) == 1
     assert state.get == (t(9, 5), t(10, 10), 4)
+
+
+def test_streaming_cusum_chains_state_and_alarms(spark, tmp_path_factory):
+    """Online CUSUM: state chains across two in-order micro-batches
+    (the documented order contract), the fold matches a Python
+    reference exactly, and the alarm timestamp freezes at the first
+    h-crossing even though later rows keep moving S+/S-."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from aics_dask_utils_spark.streaming.ops import (
+        run_stream_to_memory,
+        streaming_cusum,
+    )
+
+    src = tmp_path_factory.mktemp("cusum_src")
+
+    def write_file(rows, name, mtime):
+        tmp = str(src) + f"_{name}_tmp"
+        spark.createDataFrame(
+            rows, "g string, ts timestamp, v double"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(str(src), f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t = lambda i: dt.datetime(2020, 1, 1, 0, i)
+    # 'shift' jumps from the target (10) to 13 at minute 3 -> alarms;
+    # 'stable' hovers at the target -> never alarms
+    b1 = [("shift", t(0), 10.0), ("shift", t(1), 10.5), ("stable", t(0), 10.0)]
+    b2 = [
+        ("shift", t(2), 9.5),
+        ("shift", t(3), 13.0),
+        ("shift", t(4), 13.5),
+        ("shift", t(5), 13.2),
+        ("stable", t(1), 9.8),
+    ]
+    write_file(b1, "b1", 1_600_000_000)
+    write_file(b2, "b2", 1_600_000_100)
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = streaming_cusum(
+        stream, "g", "ts", "v", target=10.0, std=1.0, k=0.5, h=2.0
+    )
+    name = run_stream_to_memory(out, "update")
+    rows = spark.table(name).collect()
+    # final state per group = the row with max n
+    final = {}
+    for r in rows:
+        if r["group"] not in final or r["n"] > final[r["group"]]["n"]:
+            final[r["group"]] = r
+
+    def reference(vals):
+        s_pos = s_neg = 0.0
+        alarm = None
+        for ts, v in vals:
+            z = (v - 10.0) / 1.0
+            s_pos = max(0.0, s_pos + z - 0.5)
+            s_neg = max(0.0, s_neg - z - 0.5)
+            if alarm is None and max(s_pos, s_neg) > 2.0:
+                alarm = ts
+        return round(s_pos, 6), round(s_neg, 6), alarm
+
+    shift_ref = reference(
+        [(t(0), 10.0), (t(1), 10.5), (t(2), 9.5), (t(3), 13.0),
+         (t(4), 13.5), (t(5), 13.2)]
+    )
+    sh = final["shift"]
+    assert sh["n"] == 6
+    assert (sh["s_pos"], sh["s_neg"]) == shift_ref[:2]
+    assert sh["alarmed"] and sh["first_alarm_ts"] == shift_ref[2]
+    st = final["stable"]
+    assert st["n"] == 2 and not st["alarmed"] and st["first_alarm_ts"] is None
+    # two batches -> two update rows for 'shift': state chained, and
+    # the batch-1 row was not yet alarmed
+    shift_rows = sorted(
+        (r for r in rows if r["group"] == "shift"), key=lambda r: r["n"]
+    )
+    assert [r["n"] for r in shift_rows] == [2, 6]
+    assert not shift_rows[0]["alarmed"]
