@@ -1,9 +1,19 @@
 """Benchmark harness: headline plans at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints the FULL record JSON line (per-query maps), then a compact
+summary as the FINAL stdout line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "queries_isolated": {name: sec, ...},
-   "isolated_total_sec": N, "sf": ...}
+   "isolated_total_sec": N, "isolated_groups_skipped": 0,
+   "isolated_rotation": R, "isolated_n_groups": 11, "n_queries": N,
+   "sf": ..., "full_record": "docs/bench_full_latest.json"}
+
+WHY two lines (round-9 repair, r8 verdict What's-wrong #1): the full
+record grew to ~8 KB and the grading driver captures only the last
+2000 chars of stdout, so BENCH_r04..r08 all recorded ``parsed: null``
+— the per-round perf gate was being adjudicated from a truncated
+tail. The compact final line always fits the capture; the full
+per-query record still prints (for humans / local tee) AND is written
+to ``docs/bench_full_latest.json`` so nothing is lost.
 
 Protocol: one warm-up execution per query (JVM/codegen/broadcast
 warm-up — one-time costs a long-lived cluster never re-pays), then the
@@ -315,11 +325,43 @@ def _run_isolated(names: list[str]) -> tuple[dict[str, float], int, int]:
 _LIVE: dict = {}
 
 
+def _compact_summary(rec: dict) -> dict:
+    """The driver-parseable summary: every scalar field of the record,
+    none of the per-query maps (they outgrew the driver's 2000-char
+    tail capture — see module docstring), plus the query count and a
+    pointer to the committed full record."""
+    out = {k: v for k, v in rec.items() if not isinstance(v, dict)}
+    if "queries" in rec:
+        out["n_queries"] = len(rec["queries"])
+    if "queries_isolated" in rec:
+        out["n_queries_isolated"] = len(rec["queries_isolated"])
+    out["full_record"] = _FULL_RECORD_PATH
+    return out
+
+
+#: Where the full per-query record lands every run (committed per
+#: round as docs/bench_r{N}_local.json).
+_FULL_RECORD_PATH = "docs/bench_full_latest.json"
+
+
+def _write_full_record(rec: dict) -> None:
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), _FULL_RECORD_PATH)
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:  # never fail the bench over the side-file
+        print(f"could not write {_FULL_RECORD_PATH}: {e}", file=sys.stderr)
+
+
 def _emit_partial_and_exit(signum, frame):  # pragma: no cover - signal path
     if _LIVE:
         rec = dict(_LIVE)
         rec["partial"] = True
+        _write_full_record(rec)
         sys.stdout.write("\n" + json.dumps(rec) + "\n")
+        # compact summary LAST so the driver's tail capture parses it
+        sys.stdout.write(json.dumps(_compact_summary(rec)) + "\n")
         sys.stdout.flush()
     os._exit(0)
 
@@ -409,7 +451,11 @@ def main() -> None:
                 file=sys.stderr,
             )
     _LIVE.update(out)
+    _write_full_record(out)
     print(json.dumps(out))
+    # Compact summary as the FINAL line — the one the driver's 2000-char
+    # tail capture actually parses (round-9 repair; see module docstring).
+    print(json.dumps(_compact_summary(out)))
 
 
 if __name__ == "__main__":
