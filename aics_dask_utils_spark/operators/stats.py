@@ -781,6 +781,15 @@ def global_running_sums(
     running-sum. ``row_col`` optionally also emits the 1-based global
     row number. ``order_cols`` must be a total order (unique
     tiebreak); entries may be names or sort-ordered Columns.
+
+    NULL semantics match the single-task window exactly: a running sum
+    is NULL iff the global prefix up to and including the row holds no
+    non-NULL value (``SUM`` skips NULLs, and an all-NULL prefix sums
+    to NULL). The per-partition running sum alone is NULL whenever the
+    LOCAL prefix is all-NULL, so the combine tracks a running non-NULL
+    count and coalesces the two addends — without it, ``offset +
+    NULL`` would wrongly blank rows whose partition starts with NULLs
+    even though earlier partitions contributed real values.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -801,6 +810,9 @@ def global_running_sums(
     totals = r0.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_c"),
         *[F.sum(v).alias(f"_s_{out}") for out, v in val_exprs.items()],
+        # per-partition non-NULL count, for the exact NULL semantics of
+        # the combine step (F.count(col) skips NULLs)
+        *[F.count(v).alias(f"_nn_{out}") for out, v in val_exprs.items()],
     )
     # prefix-sum over the tiny (<= num_partitions rows) totals relation
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -813,6 +825,12 @@ def global_running_sums(
             )
             for out in val_exprs
         ],
+        *[
+            F.coalesce(F.sum(f"_nn_{out}").over(off_w), F.lit(0)).alias(
+                f"_offnn_{out}"
+            )
+            for out in val_exprs
+        ],
     )
     local_w = Window.partitionBy("_pid").orderBy(*order_exprs)
     run_w = local_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -821,15 +839,26 @@ def global_running_sums(
         out = out.withColumn("_lr", F.row_number().over(local_w))
     for name, v in val_exprs.items():
         out = out.withColumn(f"_run_{name}", F.sum(v).over(run_w))
+        out = out.withColumn(f"_runnn_{name}", F.count(v).over(run_w))
     out = out.join(offsets, "_pid")
     if row_col is not None:
         out = out.withColumn(
             row_col, (F.col("_off_c") + F.col("_lr")).cast("long")
         ).drop("_lr")
     for name in val_exprs:
+        # NULL iff the global prefix has no non-NULL value; otherwise
+        # offset + local running sum with each all-NULL side as 0
+        # (matches SUM-skips-NULLs single-task window semantics).
         out = out.withColumn(
-            name, F.col(f"_off_{name}") + F.col(f"_run_{name}")
-        ).drop(f"_off_{name}", f"_run_{name}")
+            name,
+            F.when(
+                F.col(f"_offnn_{name}") + F.col(f"_runnn_{name}") == 0,
+                F.lit(None),
+            ).otherwise(
+                F.coalesce(F.col(f"_off_{name}"), F.lit(0))
+                + F.coalesce(F.col(f"_run_{name}"), F.lit(0))
+            ),
+        ).drop(f"_off_{name}", f"_run_{name}", f"_offnn_{name}", f"_runnn_{name}")
     return out.drop("_pid", "_off_c")
 
 

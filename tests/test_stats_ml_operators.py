@@ -429,6 +429,42 @@ def test_global_running_sums_matches_single_task_window(spark):
     assert got == ref
 
 
+def test_global_running_sums_null_values_match_single_task_window(spark):
+    """Regression for the r8 ADVICE finding: a summed column that is
+    NULL for every row of a range partition's local prefix must still
+    pick up earlier partitions' cumulative total (offset + NULL was
+    yielding NULL), and rows whose ENTIRE global prefix is NULL must
+    stay NULL — exactly the single-task SUM-skips-NULLs semantics."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators.stats import global_running_sums
+
+    # v ascending order; tok NULL on a long leading stretch (covers the
+    # all-NULL-global-prefix rows) and on full mid-stream stretches
+    # longer than a range partition (covers the all-NULL-local-prefix
+    # divergence), with many partitions so stretches straddle them.
+    rows = []
+    for i in range(300):
+        tok = None if (i < 40 or 100 <= i < 180 or i % 7 == 0) else int(i)
+        rows.append((int(i), tok))
+    df = spark.createDataFrame(rows, "id int, tok long")
+    got = {
+        r["id"]: r["cum"]
+        for r in global_running_sums(
+            df, ["id"], {"cum": "tok"}, num_partitions=11
+        ).collect()
+    }
+    w = W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ref = {
+        r["id"]: r["cum"]
+        for r in df.select("id", F.sum("tok").over(w).alias("cum")).collect()
+    }
+    assert got == ref
+    assert ref[0] is None and ref[39] is None  # all-NULL prefix stays NULL
+    assert ref[150] is not None  # mid-stream NULL stretch keeps the offset
+
+
 def test_ntile_from_rank_matches_spark_ntile_exhaustively(spark):
     """Differential vs F.ntile over every (n, k) in a dense grid —
     the exact-integer formula must agree bit-for-bit, including the
