@@ -789,26 +789,83 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "straddles the boundary, the leak a doc-level random split cannot "
     "prevent: a paraphrase of an eval document can land in train. "
     "Composes two shipped operators (minhash_lsh_pairs + "
-    "connected_components); iterative Spark loop vs recursive-CTE "
-    "oracle. One extra doc-keyed left join on top of the component "
-    "cost; invariant pinned in tests/test_plan_quality.py",
+    "connected_components_star — the large-star/small-star variant, "
+    "O(log n) rounds and no per-round hub-neighborhood re-broadcast, "
+    "because near-dup graphs have boilerplate hubs at corpus scale; "
+    "components identical to min-label propagation by definition); "
+    "iterative Spark loop vs recursive-CTE oracle. One extra "
+    "doc-keyed left join on top of the component cost; invariant "
+    "pinned in tests/test_plan_quality.py",
     tags=("dedup", "pipeline", "iterative"),
 )
 def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _component_units(spark, sf_dir).select(
+        "doc_id",
+        "unit",
+        F.when(F.col("unit") % 10 == 0, F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def _component_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, unit) where unit = near-dup connected-component min id
+    (singletons are their own unit) — the shared split-unit relation of
+    the leakage-safe split family. Uses the large-star/small-star CC
+    (the 100 TB-scale variant): same components as min-label
+    propagation, O(log n) rounds, degree hot-spots bounded."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.8)
-    comp = D.connected_components(pairs, "d1", "d2")
-    u = (
+    comp = D.connected_components_star(pairs, "d1", "d2")
+    return (
         docs.select("doc_id")
         .join(comp.withColumnRenamed("component", "unit"), "doc_id", "left")
         .select(
             "doc_id", F.coalesce(F.col("unit"), F.col("doc_id")).alias("unit")
         )
     )
-    return u.select(
+
+
+@register(
+    "pipeline_leakage_safe_kfold",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    und AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS unit
+      FROM reach GROUP BY a
+    ),
+    u AS (
+      SELECT d.doc_id, COALESCE(c.unit, d.doc_id) AS unit
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, unit, CAST(unit % 5 AS INT) AS fold
+    FROM u ORDER BY doc_id
+    """,
+    doc="leakage-safe K-FOLD assignment (k=5), the cross-validation "
+    "generalization of pipeline_leakage_safe_split: the fold UNIT is "
+    "the near-dup connected component, so for EVERY fold pair no "
+    "near-dup pair straddles folds — a paraphrase can never sit in a "
+    "fold's training complement while its twin sits in the held-out "
+    "fold. unit-id mod k here (swap in a salted hash in production); "
+    "same minhash_lsh_pairs + connected_components_star composition "
+    "and recursive-CTE oracle as the split plan; all-fold-pairs "
+    "invariant pinned in tests/test_plan_quality.py (EXT, LLM "
+    "pipeline)",
+    tags=("dedup", "pipeline", "iterative"),
+)
+def pipeline_leakage_safe_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _component_units(spark, sf_dir).select(
         "doc_id",
         "unit",
-        F.when(F.col("unit") % 10 == 0, F.lit("eval"))
-        .otherwise(F.lit("train"))
-        .alias("split"),
+        (F.col("unit") % 5).cast("int").alias("fold"),
     ).orderBy("doc_id")

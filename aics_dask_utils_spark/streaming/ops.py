@@ -440,6 +440,7 @@ def streaming_cusum(
     std: float,
     k: float = 0.5,
     h: float = 4.0,
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Online two-sided CUSUM monitor as a custom stateful streaming
     operator (E45 extension; the streaming complement of the batch
@@ -470,6 +471,16 @@ def streaming_cusum(
     the same contract every online monitor has). For unordered
     sources, pre-aggregate to a (group, window) grid first and feed
     the closed windows.
+
+    LATE-DATA DROP: the stream carries a ``watermark`` (default
+    ``"1 hour"``); rows arriving more than that far behind the
+    maximum event time already seen are dropped BEFORE the fold, so
+    ``n``, S+/S- and the alarm silently exclude them — the standard
+    bounded-state trade every watermarked stateful operator makes.
+    Size it to the source's real out-of-orderness; within a single
+    micro-batch (e.g. an availableNow replay of one file) nothing is
+    ever dropped, because the watermark only takes effect at the next
+    batch boundary.
 
     Scale shape: state is four scalars per group (bounded by the
     group dimension, never the stream), each batch is one
@@ -510,7 +521,7 @@ def streaming_cusum(
         )
 
     return (
-        events.withWatermark(ts_col, "1 hour")
+        events.withWatermark(ts_col, watermark)
         .select(
             F.col(group_col).cast("string").alias("group"),
             F.col(ts_col).alias(ts_col),

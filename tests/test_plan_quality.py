@@ -782,6 +782,33 @@ def test_leakage_safe_split_no_straddling_pair(spark, sf_dir):
     assert kinds == {"train", "eval"}
 
 
+def test_leakage_safe_kfold_no_straddling_pair_any_fold_pair(spark, sf_dir):
+    """The k-fold generalization of the split invariant: for EVERY
+    pair of folds, no verified near-dup pair has its two sides in
+    different folds (equivalently: every near-dup pair is fold-equal),
+    so any train-on-k-1/eval-on-1 rotation is leakage-safe."""
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators import dedup as D
+    from aics_dask_utils_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.8)
+    folds = all_plans()["pipeline_leakage_safe_kfold"].fn(spark, sf_dir)
+    f1 = folds.select(F.col("doc_id").alias("d1"), F.col("fold").alias("fold1"))
+    f2 = folds.select(F.col("doc_id").alias("d2"), F.col("fold").alias("fold2"))
+    straddling = (
+        pairs.join(f1, "d1")
+        .join(f2, "d2")
+        .where(F.col("fold1") != F.col("fold2"))
+        .count()
+    )
+    assert straddling == 0
+    # non-degenerate: all 5 folds populated on the test corpus
+    got = {r["fold"] for r in folds.select("fold").distinct().collect()}
+    assert got == {0, 1, 2, 3, 4}
+
+
 def test_bloom_prune_probe_never_shuffles_before_exact_join(spark, sf_dir):
     # The k=3 bit-set prefilters must plan as broadcast semi joins
     # (probe stays put); only the exact final semi join may shuffle.
