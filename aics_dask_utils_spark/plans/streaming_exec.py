@@ -718,3 +718,100 @@ def stream_stream_full_outer_join_exec(
         )
         .orderBy("has_purchase", "has_click")
     )
+
+
+@register(
+    "stream_cusum_exec",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type AS grp, ts,
+             (CAST(value AS DOUBLE) - CAST(50.0 AS DOUBLE))
+               / CAST(47.5 AS DOUBLE) AS z
+      FROM {_EV}
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    folded AS (
+      -- field order is LOAD-BEARING: DuckDB's list_reduce updates a
+      -- struct accumulator field-by-field in declaration order, so a
+      -- field expression sees already-recomputed earlier fields. "al"
+      -- (which needs the OLD a and b) is declared FIRST; every field
+      -- then reads only not-yet-overwritten fields, which is also
+      -- correct under snapshot semantics.
+      SELECT grp,
+             list_reduce(
+               [struct_pack(al := CAST(NULL AS TIMESTAMP),
+                            a := CAST(0 AS DOUBLE), b := CAST(0 AS DOUBLE),
+                            n := CAST(0 AS BIGINT))] ||
+               list(struct_pack(al := ts, a := z, b := CAST(0 AS DOUBLE),
+                                n := CAST(0 AS BIGINT))
+                    ORDER BY ts, z),
+               (acc, x) -> struct_pack(
+                  al := coalesce(acc.al,
+                    CASE WHEN greatest(
+                           greatest(CAST(0 AS DOUBLE), acc.a + x.a - 0.5),
+                           greatest(CAST(0 AS DOUBLE), acc.b - x.a - 0.5))
+                         > CAST(8.0 AS DOUBLE)
+                    THEN x.al END),
+                  a := greatest(CAST(0 AS DOUBLE), acc.a + x.a - 0.5),
+                  b := greatest(CAST(0 AS DOUBLE), acc.b - x.a - 0.5),
+                  n := acc.n + 1)
+             ) AS st
+      FROM e GROUP BY grp
+    )
+    SELECT grp, st.n AS n, ROUND(st.a, 6) AS s_pos, ROUND(st.b, 6) AS s_neg,
+           st.al IS NOT NULL AS alarmed, st.al AS first_alarm_ts
+    FROM folded ORDER BY grp
+    """,
+    doc="EXECUTED stream: online two-sided CUSUM monitor per event type "
+    "(streaming/ops.py:streaming_cusum, applyInPandasWithState — E45 "
+    "custom-state family): events replay through the stream against an "
+    "offline-trained reference (target 50.0, sigma 47.5 — the batch "
+    "corpus moments; k=0.5, h=8.0 chosen so SOME types alarm and some "
+    "don't, exercising both the alarm-freeze and the never-alarmed "
+    "NULL-timestamp path), and the final per-group state (n, S+, S-, "
+    "first_alarm_ts) hash-matches a DuckDB list_reduce event-time fold "
+    "whose accumulator is a 4-field struct riding the same "
+    "1-element-list trick as the BPE oracle. Both engines run the "
+    "identical IEEE double sequence, so the unrounded statistics are "
+    "bit-equal before the 6-dp presentation rounding. State is four "
+    "scalars per group — bounded by the group dimension, never the "
+    "stream",
+    tags=("streaming", "stats"),
+)
+def stream_cusum_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_events_stream, streaming_cusum
+
+    sdf = streaming_cusum(
+        read_events_stream(spark, sf_dir),
+        "event_type",
+        "ts",
+        "value",
+        target=50.0,
+        std=47.5,
+        k=0.5,
+        h=8.0,
+    )
+    name = run_stream_to_memory(sdf, "update")
+    # update mode re-emits a group's state each micro-batch it appears
+    # in; n is cumulative, so the max-n emission IS the final state
+    # (ties only from value-less batches, which re-emit identical rows)
+    return (
+        spark.table(name)
+        .groupBy(F.col("group").alias("grp"))
+        .agg(
+            F.max_by(
+                F.struct("n", "s_pos", "s_neg", "alarmed", "first_alarm_ts"),
+                "n",
+            ).alias("s")
+        )
+        .select(
+            "grp",
+            F.col("s.n").alias("n"),
+            F.col("s.s_pos").alias("s_pos"),
+            F.col("s.s_neg").alias("s_neg"),
+            F.col("s.alarmed").alias("alarmed"),
+            F.col("s.first_alarm_ts").alias("first_alarm_ts"),
+        )
+        .orderBy("grp")
+    )

@@ -535,3 +535,79 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_train_encode(docs, "doc_id", "text", merges=5).orderBy(
         "doc_id"
     )
+
+
+#: Pinned merge table for the frozen-table encode plan — the
+#: production contract is "merge table trained once (on a sample),
+#: encode runs corpus-wide", so the table is a literal, not derived
+#: from the corpus at plan time. Chosen to exercise every fold path on
+#: the test corpus: a plain frequent pair; a B-SIDE chain (merge 2's
+#: second element IS merge 1's output, e.g. "table table hash"); an
+#: A-SIDE chain (merge 3 extends merge 1's output rightward); two more
+#: plain pairs including the 1-char token "a"; and a pair absent from
+#: the corpus (the no-op fall-through).
+_BPE_FROZEN_MERGES: tuple[tuple[str, str], ...] = (
+    ("table", "hash"),
+    ("table", "table hash"),
+    ("table hash", "line"),
+    ("merge", "group"),
+    ("sort", "a"),
+    ("zzz", "qqq"),
+)
+
+
+def _bpe_frozen_ctes(merges: tuple[tuple[str, str], ...]) -> str:
+    """Unrolled literal-pair fold chain: one list_reduce CTE per merge,
+    same 1-element-list accumulator trick as :func:`_bpe_ctes` but with
+    the pair as SQL literals — no argmax CTEs, mirroring the fact that
+    the frozen-table encode aggregates nothing."""
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    parts = [
+        f"t0 AS (SELECT doc_id, {toks} AS t,\n"
+        f"        len({toks}) AS n_tokens FROM documents)"
+    ]
+    for r, (a, b) in enumerate(merges):
+        parts.append(
+            f"""t{r + 1} AS (
+      SELECT doc_id, n_tokens,
+             list_reduce(
+               [CAST([] AS VARCHAR[])] || list_transform(t, z -> [z]),
+               (acc, x) -> CASE
+                 WHEN len(acc) > 0 AND acc[-1] = '{a}' AND x[1] = '{b}'
+                 THEN acc[1:len(acc) - 1] || ['{a} {b}']
+                 ELSE acc || x END) AS t
+      FROM t{r}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "text_bpe_frozen_encode",
+    oracle=f"""
+    WITH {_bpe_frozen_ctes(_BPE_FROZEN_MERGES)}
+    SELECT doc_id, n_tokens,
+           CAST(len(t) AS INT) AS n_after,
+           array_to_string(t, ',') AS encoded_csv
+    FROM t{len(_BPE_FROZEN_MERGES)} ORDER BY doc_id
+    """,
+    doc="FROZEN-merge-table BPE encode (E38) — the actual 100 TB "
+    "tokenization path: the merge table is trained once offline "
+    "(text_bpe_encode exercises that half) and the corpus-wide encode "
+    "applies each literal (a, b) merge in table order as the same "
+    "leftmost-greedy non-overlapping F.aggregate fold — one narrow "
+    "projection per merge, ZERO shuffle / aggregation / broadcast "
+    "whatever the table length (no-Exchange pin in "
+    "tests/test_empty_inputs.py; the only exchange in this plan is "
+    "the final presentation ORDER BY). The pinned table exercises "
+    "chained merges in both directions (a merged token seeding a "
+    "later merge as either side) and a no-op pair; the oracle unrolls "
+    "the same literal folds via list_reduce over 1-element lists "
+    "(operator operators/text.py:bpe_encode)",
+    tags=("text", "pipeline"),
+)
+def text_bpe_frozen_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_encode(
+        docs, list(_BPE_FROZEN_MERGES), "doc_id", "text"
+    ).orderBy("doc_id")

@@ -22,4 +22,5 @@ from .ops import (  # noqa: F401
     dedup_events_within_watermark,
     running_count_per_user,
     click_purchase_join,
+    streaming_cusum,
 )

@@ -151,6 +151,11 @@ HEADLINE = [
     "events_rfm_segments",
     "text_bpe_encode",
     "agg_exact_quantiles_rank",
+    # round-9 additions (name-hash grouping: only their own buckets
+    # gain a member): the frozen-table encode — the actual 100 TB
+    # tokenization path — and the executed streaming CUSUM monitor
+    "text_bpe_frozen_encode",
+    "stream_cusum_exec",
 ]
 
 
