@@ -60,136 +60,122 @@ def register(
 # ``queries()`` yields them and has only ever reached the FIRST 50.
 # ``PRIORITY_WINDOW`` pins that order deliberately, re-cut each round:
 #
-# Round-8 cut. Round 7 closed 245/245 green, gate 50/50, window 100%
-# must-attest — which displaced ALL planned oldest-green rotation, so
-# this round the must-attest set is small (9) and the window finally
-# pays down the attestation-age debt:
+# Round-9 cut. Round 8 paid the worst of the attestation-age debt
+# (all 9 round-1 plans + the 29 alphabetically-first round-2 plans).
+# This round the must-attest set is 11 and the rotation keeps paying
+# it down, oldest round first then name (docs/attestation_age_r8.md):
 #
-#   slots 1-12 (must-attest):
-#     events_cusum_changepoint — NEW (the r7 library-only CUSUM
-#       operator gets its registry plan + fold-mirrored DuckDB oracle;
+#   slots 1-11 (must-attest):
+#     text_bpe_frozen_encode — NEW (the library-only r8 frozen-merge-
+#       table encode gets its registry plan: literal merge table,
+#       zero-shuffle F.aggregate fold, literal-fold oracle;
 #       pre-validated bit-for-bit at sf0.001/0.01/0.1);
+#     stream_cusum_exec — NEW (the library-only r8 online CUSUM
+#       monitor executed end-to-end: events replayed through
+#       applyInPandasWithState against an offline-trained reference,
+#       final state hash-matched to a DuckDB struct-accumulator
+#       list_reduce fold; pre-validated at 3 SFs);
+#     pipeline_leakage_safe_kfold — NEW (k-fold generalization of the
+#       leakage-safe split: fold unit = near-dup component, unit % 5;
+#       all-fold-pairs straddling invariant pinned; pre-validated at
+#       3 SFs);
+#     pipeline_leakage_safe_split — physical change: its component
+#       stage moved from min-label propagation onto
+#       connected_components_star (identical components, O(log n)
+#       rounds, hub-degree bounded — the r8 verdict's What's-wrong #2);
 #     pipeline_pack_sequences / pipeline_token_budget /
 #       pipeline_curriculum_buckets / events_rfm_segments /
-#       text_token_ids — the r7 verdict's What's-wrong #1: their
-#       single-task ``Window.orderBy`` funnels are retrofitted onto
-#       the distributed two-phase rank/prefix-sum
-#       (operators/stats.py:global_row_numbers/global_running_sums,
-#       ntile via the exact-integer formula). Values identical by
-#       construction; re-validated at 3 SFs; physical change =>
-#       re-attest. The class is now lint-frozen
-#       (tests/test_plan_quality.py:_UNPARTITIONED_WINDOW_ALLOWLIST).
-#     agg_gini_customer_revenue — physical change only: its
-#       global_row_numbers core was refactored onto the shared
-#       prefix-sum implementation (same shape, re-attest on principle);
-#     join_bloom_pruned — the bloom_semi_join build projection is now
-#       aliased to _bloom_key (r7 ADVICE same-key fix; physical change);
-#     geo_radius_join — |lat| band now explicitly filtered, ORACLE
-#       changed to mirror (r7 ADVICE guard fix).
-#     pipeline_leakage_safe_split — NEW (optional-headroom item from
-#       the r7 verdict: group-aware train/eval split whose unit is the
-#       near-dup component, composing minhash_lsh_pairs +
-#       connected_components; no near-dup pair straddles the split —
-#       invariant pinned in tests; pre-validated at 3 SFs).
-#     text_bpe_encode — NEW (BPE merge training + encoding: 5 rounds
-#       of corpus pair-count -> 1-row argmax broadcast -> expression-
-#       level leftmost-greedy fold; oracle unrolls the same rounds
-#       with a list_reduce fold mirror; pre-validated at 3 SFs).
-#     agg_exact_quantiles_rank — NEW (exact quantiles at fact scale:
-#       distributed rank + ceil(q*n) position lookup — the scale-safe
-#       alternative to buffer-everything F.percentile; pre-validated
-#       at 3 SFs).
-#   slots 13-21: the nine round-1-attested plans — the oldest green
-#     rows in the registry (agg_collect family, join_cross/semi/anti,
-#     the set-operation family).
-#   slots 22-50: the 29 alphabetically-first of the 35 remaining
-#     round-2-attested plans (udf_grouped_agg, udf_map_in_arrow,
-#     udf_pandas_scalar and the three window_* plans rotate in r9 —
-#     deterministic rule: oldest round first, then name). This covers
-#     the r8 queue's displaced streaming-exec/multimodal/UDF residue
-#     that is actually oldest (stream_dedup_exec, stream_tumbling_exec,
-#     multimodal_binary_meta, multimodal_channel_features,
-#     udf_cogrouped_map); the
-#     younger r3+ residue (sketches, UDTF,
-#     sources) rotates next.
+#       text_token_ids / agg_gini_customer_revenue /
+#       agg_exact_quantiles_rank — physical change on principle: the
+#       shared global_running_sums core gained exact NULL semantics
+#       (r8 ADVICE; all callers pass non-nullable expressions, values
+#       bit-identical — re-validated vs oracle at sf0.001/0.01).
+#   slots 12-17: the round-2 tail (udf_grouped_agg, udf_map_in_arrow,
+#     udf_pandas_scalar, window_lag_lead, window_rank, window_running)
+#     — the oldest green rows left after the r8 rotation.
+#   slots 18-50: the 33 alphabetically-first of the 38 remaining
+#     round-3-attested plans (sketches, UDTF/Arrow UDFs, asof
+#     variants, r3 sources/sinks, multimodal). The last 5
+#     (stream_topk_rollup_exec, text_chunk_sliding, text_quality_gate,
+#     udf_apply_in_arrow, udf_python_udtf) rotate in r10 —
+#     deterministic rule: oldest round first, then name.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
 # green) in registration order. ``WINDOW_CRITICAL`` below is guard-
 # tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-9: must-attest (new plan, retrofits, ADVICE fixes) --
-    "events_cusum_changepoint",
+    # -- slots 1-11: must-attest (new plans, CC-star swap, grs fix) --
+    "text_bpe_frozen_encode",
+    "stream_cusum_exec",
+    "pipeline_leakage_safe_kfold",
+    "pipeline_leakage_safe_split",
     "pipeline_pack_sequences",
     "pipeline_token_budget",
     "pipeline_curriculum_buckets",
     "events_rfm_segments",
     "text_token_ids",
     "agg_gini_customer_revenue",
-    "join_bloom_pruned",
-    "geo_radius_join",
-    "pipeline_leakage_safe_split",
-    "text_bpe_encode",
     "agg_exact_quantiles_rank",
-    # -- slots 13-21: round-1-attested residue (oldest green) --
-    "agg_collect",
-    "agg_collect_set",
-    "agg_distinct",
-    "join_cross",
-    "join_left_anti",
-    "join_left_semi",
-    "set_intersect_except",
-    "set_union_distinct",
-    "set_union_evolved",
-    # -- slots 22-50: oldest round-2-attested residue --
-    "agg_pivot",
-    "agg_quantile_bins",
-    "ann_topk_ivf",
-    "array_explode_stats",
-    "asof_join_events_orders",
-    "dedup_exact",
-    "embedding_norms",
-    "events_cumulative_users",
-    "events_funnel",
-    "events_session_funnel",
-    "multimodal_binary_meta",
-    "multimodal_channel_features",
-    "q12_priority_class",
-    "sample_stratified",
-    "sample_weighted_topk",
-    "scalar_datetime",
-    "scalar_string",
-    "scalar_try_arith",
-    "scalar_variant",
-    "sink_partitioned_roundtrip",
-    "sink_sorted_clustered",
-    "source_csv_roundtrip",
-    "source_schema_evolution",
-    "stream_dedup_exec",
-    "stream_tumbling_exec",
-    "text_quality",
-    "text_repetition",
-    "text_span_dedup",
-    "udf_cogrouped_map",
+    # -- slots 12-17: round-2-attested tail (oldest green) --
+    "udf_grouped_agg",
+    "udf_map_in_arrow",
+    "udf_pandas_scalar",
+    "window_lag_lead",
+    "window_rank",
+    "window_running",
+    # -- slots 18-50: oldest round-3-attested residue (first 33) --
+    "agg_approx",
+    "agg_hll_sketch",
+    "agg_key_skew_profile",
+    "agg_kll_price_quantiles",
+    "agg_theta_users",
+    "agg_topk_sketch",
+    "ann_topk_pq_refine",
+    "array_slice_sort",
+    "asof_join_forward_tolerance",
+    "asof_join_nearest",
+    "dedup_srp_lsh",
+    "embedding_dim_stats",
+    "embedding_quantize",
+    "events_attribution_linear",
+    "events_markov_transitions",
+    "events_sliding_distinct_hll",
+    "events_sliding_topk_sketch",
+    "multimodal_decode_slice",
+    "multimodal_frame_sample",
+    "multimodal_resize_plane",
+    "multimodal_scene_cuts",
+    "pipeline_dataset_card",
+    "pipeline_rag_index",
+    "sample_bootstrap_ci",
+    "sample_epoch_shuffle",
+    "scalar_json_typed",
+    "scalar_url_parse",
+    "sink_bucketed_join",
+    "sink_dynamic_partition_overwrite",
+    "sink_row_files_digest",
+    "source_sequences_roundtrip",
+    "source_text_roundtrip",
+    "stream_hll_rollup_exec",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
-#: this round: the round-8 addition and every plan whose operator
-#: code, plan code, or oracle SQL changed in round 8. Guard-tested in
+#: this round: the round-9 additions and every plan whose operator
+#: code, plan code, or oracle SQL changed in round 9. Guard-tested in
 #: tests/test_plan_quality.py so a slot can never silently slip below
 #: the window cut.
 WINDOW_CRITICAL: frozenset[str] = frozenset({
-    "events_cusum_changepoint",
+    "text_bpe_frozen_encode",
+    "stream_cusum_exec",
+    "pipeline_leakage_safe_kfold",
+    "pipeline_leakage_safe_split",
     "pipeline_pack_sequences",
     "pipeline_token_budget",
     "pipeline_curriculum_buckets",
     "events_rfm_segments",
     "text_token_ids",
     "agg_gini_customer_revenue",
-    "join_bloom_pruned",
-    "geo_radius_join",
-    "pipeline_leakage_safe_split",
-    "text_bpe_encode",
     "agg_exact_quantiles_rank",
 })
 

@@ -587,6 +587,36 @@ _BROADCAST_FORBIDDEN_NAMES = {
 }
 
 
+def _import_aliases(tree, name: str, modules: tuple[str, ...]) -> set[str]:
+    """Local names bound to ``name`` imported from any of ``modules``
+    (``from m import name [as alias]``), transitively extended through
+    simple ``alias2 = alias1`` assignments — so an aliased re-binding
+    cannot evade the AST lints (r8 verdict hygiene item)."""
+    import ast
+
+    names: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and (node.module or "") in modules:
+            for a in node.names:
+                if a.name == name:
+                    names.add(a.asname or a.name)
+    changed = True
+    while changed:
+        changed = False
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Assign)
+                and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)
+                and isinstance(node.value, ast.Name)
+                and node.value.id in names
+                and node.targets[0].id not in names
+            ):
+                names.add(node.targets[0].id)
+                changed = True
+    return names
+
+
 def _broadcast_call_sites():
     import ast
     import pathlib
@@ -596,12 +626,25 @@ def _broadcast_call_sites():
     pkg = pathlib.Path(aics_dask_utils_spark.__file__).parent
     for path in sorted(pkg.rglob("*.py")):
         src = path.read_text()
-        for node in ast.walk(ast.parse(src)):
-            if (
+        tree = ast.parse(src)
+        # direct-import form: ``from pyspark.sql.functions import
+        # broadcast [as bc]`` makes the call a bare Name, which the
+        # Attribute matcher would miss
+        bare = _import_aliases(
+            tree, "broadcast", ("pyspark.sql.functions", "pyspark.sql")
+        ) | {"broadcast"}
+        for node in ast.walk(tree):
+            is_attr_call = (
                 isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)
                 and node.func.attr == "broadcast"
-            ):
+            )
+            is_bare_call = (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Name)
+                and node.func.id in bare
+            )
+            if is_attr_call or is_bare_call:
                 arg = (
                     ast.get_source_segment(src, node.args[0])
                     if node.args
@@ -653,6 +696,37 @@ def test_broadcast_lint_catches_violations():
     assert ("plans/tpch_extra.py", hits[1]) not in _BROADCAST_ALLOWLIST
 
 
+def test_broadcast_lint_catches_alias_evasion():
+    """Red-bar check for the r9 hardening: the direct-import form,
+    its ``as`` alias, and a re-bound alias of either must all be
+    caught — matching only the literal ``F.broadcast`` receiver was
+    evadable (r8 verdict What's-wrong #3)."""
+    import ast
+
+    src = (
+        "from pyspark.sql.functions import broadcast\n"
+        "from pyspark.sql.functions import broadcast as bc\n"
+        "bc2 = bc\n"
+        "a = broadcast(cust)\n"
+        "b = bc(lineitem)\n"
+        "c = bc2(orders)\n"
+    )
+    tree = ast.parse(src)
+    bare = _import_aliases(
+        tree, "broadcast", ("pyspark.sql.functions", "pyspark.sql")
+    ) | {"broadcast"}
+    assert {"broadcast", "bc", "bc2"} <= bare
+    hits = [
+        ast.get_source_segment(src, node.args[0])
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Name)
+        and node.func.id in bare
+    ]
+    assert sorted(hits) == ["cust", "lineitem", "orders"]
+    assert all(h in _BROADCAST_FORBIDDEN_NAMES for h in hits)
+
+
 # ---------------------------------------------------------------------------
 # Lint: no unpartitioned Window.orderBy on data-proportional relations.
 #
@@ -685,6 +759,16 @@ _UNPARTITIONED_WINDOW_ALLOWLIST: dict[tuple[str, str], str] = {
 }
 
 
+def _window_receiver_names(tree) -> set[str]:
+    """Every local name that resolves to the Window class in this
+    module: import (+``as`` alias) from pyspark.sql / pyspark.sql.window,
+    extended through simple re-bindings (``ww = Window``) — so an alias
+    cannot evade the lint (r8 verdict What's-wrong #3)."""
+    return _import_aliases(
+        tree, "Window", ("pyspark.sql", "pyspark.sql.window")
+    ) | {"Window", "W"}
+
+
 def _unpartitioned_window_sites():
     import ast
     import pathlib
@@ -694,13 +778,20 @@ def _unpartitioned_window_sites():
     pkg = pathlib.Path(aics_dask_utils_spark.__file__).parent
     for path in sorted(pkg.rglob("*.py")):
         src = path.read_text()
-        for node in ast.walk(ast.parse(src)):
-            if (
+        tree = ast.parse(src)
+        receivers = _window_receiver_names(tree)
+        for node in ast.walk(tree):
+            if not (
                 isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)
                 and node.func.attr == "orderBy"
-                and isinstance(node.func.value, ast.Name)
-                and node.func.value.id in ("Window", "W")
+            ):
+                continue
+            recv = node.func.value
+            # Name receiver resolved through the alias set, or a
+            # module-qualified receiver (``pyspark.sql.Window.orderBy``)
+            if (isinstance(recv, ast.Name) and recv.id in receivers) or (
+                isinstance(recv, ast.Attribute) and recv.attr == "Window"
             ):
                 arg = (
                     ast.get_source_segment(src, node.args[0])
@@ -740,16 +831,51 @@ def test_unpartitioned_window_lint_catches_violations():
         "c = F.row_number().over(W.partitionBy('g').orderBy('x'))\n"
     )
     hits = []
-    for node in ast.walk(ast.parse(src)):
+    tree = ast.parse(src)
+    receivers = _window_receiver_names(tree)
+    for node in ast.walk(tree):
         if (
             isinstance(node, ast.Call)
             and isinstance(node.func, ast.Attribute)
             and node.func.attr == "orderBy"
             and isinstance(node.func.value, ast.Name)
-            and node.func.value.id in ("Window", "W")
+            and node.func.value.id in receivers
         ):
             hits.append(ast.get_source_segment(src, node.args[0]))
     assert hits == ["'x'", "F.desc('y')"]
+
+
+def test_unpartitioned_window_lint_catches_alias_evasion():
+    """Red-bar check for the r9 hardening: an ``import ... as`` alias,
+    a re-bound alias, and a module-qualified receiver must all be
+    caught — the literal Window/W match was evadable."""
+    import ast
+
+    src = (
+        "from pyspark.sql import Window as Wnd\n"
+        "ww = Wnd\n"
+        "a = F.ntile(4).over(Wnd.orderBy('x'))\n"
+        "b = F.sum('v').over(ww.orderBy('y'))\n"
+        "c = F.rank().over(pyspark.sql.Window.orderBy('z'))\n"
+        "d = F.rank().over(ww.partitionBy('g').orderBy('k'))\n"
+    )
+    tree = ast.parse(src)
+    receivers = _window_receiver_names(tree)
+    assert {"Wnd", "ww"} <= receivers
+    hits = []
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "orderBy"
+        ):
+            continue
+        recv = node.func.value
+        if (isinstance(recv, ast.Name) and recv.id in receivers) or (
+            isinstance(recv, ast.Attribute) and recv.attr == "Window"
+        ):
+            hits.append(ast.get_source_segment(src, node.args[0]))
+    assert sorted(hits) == ["'x'", "'y'", "'z'"]  # partitioned form excluded
 
 
 def test_leakage_safe_split_no_straddling_pair(spark, sf_dir):
