@@ -39,6 +39,14 @@ PLANS = [
     "text_bpe_encode",
     "pipeline_leakage_safe_split",
     "agg_exact_quantiles_rank",
+    # round-9 additions: the frozen-table encode is per-row (trivially
+    # partition-independent — pinned anyway since it's the 100 TB
+    # path), the k-fold split shares the component-unit shape, and the
+    # executed CUSUM's event-time fold must not depend on how the
+    # micro-batch planner parallelizes the replay
+    "text_bpe_frozen_encode",
+    "pipeline_leakage_safe_kfold",
+    "stream_cusum_exec",
 ]
 
 
