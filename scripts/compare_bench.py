@@ -14,8 +14,16 @@ import sys
 
 def _load(path: str) -> dict:
     with open(path) as f:
-        lines = [ln for ln in f.read().strip().splitlines() if ln.strip()]
-    return json.loads(lines[-1])
+        text = f.read().strip()
+    try:
+        # a committed full record (docs/bench_full_latest.json) is one
+        # pretty-printed JSON object
+        return json.loads(text)
+    except json.JSONDecodeError:
+        # a raw stdout capture ends with the compact/full single-line
+        # record; leading progress noise is fine
+        lines = [ln for ln in text.splitlines() if ln.strip()]
+        return json.loads(lines[-1])
 
 
 def main() -> int:
