@@ -302,3 +302,47 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("q_id", F.col("vid").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def semantic_screen(
+    corpus: DataFrame,
+    refs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Max-cosine screening of a corpus against a bounded reference set
+    — SEMANTIC benchmark decontamination (the E40/E48 composition).
+
+    ``text_decontaminate`` catches verbatim leakage (shared 5-grams);
+    this catches what n-grams cannot — a paraphrased or translated
+    benchmark row is ~0 n-gram overlap but high embedding cosine. The
+    reference side is the eval suite: fixed size, scale-INDEPENDENT of
+    the corpus, so it broadcasts and candidate generation is a
+    map-side nested loop over each corpus partition; the per-row max /
+    hit-count collapse map-side (partial aggregation) so the single
+    shuffle on ``id_col`` moves one row per corpus vector, never the
+    |corpus| x |refs| score relation. At 100 TB this is one narrow
+    corpus scan, same shape as the n-gram variant's broadcast join.
+
+    Returns one row per corpus vector:
+    ``(id_col, max_cosine, n_hits, contaminated)`` where ``n_hits``
+    counts references at or above ``threshold``. Self-matches are NOT
+    excluded — screening a corpus that literally contains an eval row
+    should flag it.
+    """
+    unit_c = with_unit_vector(corpus, vec_col, "__u")
+    q = with_unit_vector(refs, vec_col, "__u").select(
+        F.col(id_col).alias("r_id"), F.col("__u").alias("r_vec")
+    )
+    scored = (
+        unit_c.select(F.col(id_col), F.col("__u").alias("c_vec"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", vec_dot("c_vec", "r_vec"))
+    )
+    hit = F.col("cosine") >= F.lit(threshold)
+    return scored.groupBy(id_col).agg(
+        F.max("cosine").alias("max_cosine"),
+        F.count(F.when(hit, F.lit(1))).alias("n_hits"),
+        (F.count(F.when(hit, F.lit(1))) > 0).cast("int").alias("contaminated"),
+    )

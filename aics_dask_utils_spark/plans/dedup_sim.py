@@ -869,3 +869,110 @@ def pipeline_leakage_safe_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unit",
         (F.col("unit") % 5).cast("int").alias("fold"),
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_semantic_decontaminate",
+    oracle=f"""
+    WITH {_UNIT_CTE},
+    q AS (SELECT vec_id AS r_id, u AS ru FROM e WHERE vec_id < 25),
+    c AS (SELECT vec_id, u FROM e WHERE vec_id >= 25),
+    scored AS (
+      SELECT c.vec_id, list_dot_product(c.u, q.ru) AS cosine
+      FROM c CROSS JOIN q
+    )
+    SELECT vec_id,
+           ROUND(MAX(cosine), 6) AS max_cosine,
+           COUNT(*) FILTER (WHERE cosine >= 0.4) AS n_hits,
+           CAST((COUNT(*) FILTER (WHERE cosine >= 0.4)) > 0 AS INT)
+             AS contaminated
+    FROM scored GROUP BY vec_id ORDER BY vec_id
+    """,
+    doc="SEMANTIC benchmark decontamination (E40/E48 composition, "
+    "operators/similarity.py:semantic_screen): max embedding cosine of "
+    "every corpus vector against the broadcast eval set (vec_id < 25 "
+    "stands in for the fixed benchmark suite) — catches paraphrased / "
+    "translated contamination that the 5-gram text_decontaminate is "
+    "blind to. The eval side is scale-independent so it broadcasts; "
+    "candidate generation is a map-side nested loop and the per-row "
+    "max/hit-count collapse map-side (partial agg) before the single "
+    "corpus-id shuffle — one narrow corpus scan at any scale. Both "
+    "engines normalize once then fold the identical IEEE double dot "
+    "product, so the max is bit-equal before 6-dp presentation "
+    "rounding (EXT, LLM pipeline)",
+    tags=("pipeline", "similarity", "dedup"),
+)
+def pipeline_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = S.semantic_screen(
+        emb.where(F.col("vec_id") >= 25),
+        emb.where(F.col("vec_id") < 25),
+        threshold=0.4,
+    )
+    return res.select(
+        "vec_id",
+        F.round("max_cosine", 6).alias("max_cosine"),
+        "n_hits",
+        "contaminated",
+    ).orderBy("vec_id")
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    und AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS unit
+      FROM reach GROUP BY a
+    ),
+    u AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(c.unit, d.doc_id) AS unit
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, unit, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY unit
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM u
+    )
+    SELECT doc_id, unit, n_chars, CAST(rn = 1 AS INT) AS kept
+    FROM ranked ORDER BY doc_id
+    """,
+    doc="quality-aware RETENTION per near-dup cluster (E31 composition): "
+    "instead of min-id keep-first, each near-dup connected component "
+    "keeps its BEST member — here the longest document (n_chars, "
+    "doc_id tie-break), the keep-the-canonical-copy policy production "
+    "corpus dedup actually wants (a quoted fragment dies, the full "
+    "article survives). Same minhash_lsh_pairs + "
+    "connected_components_star chain as the leakage-safe family "
+    "(plans/dedup_sim.py:_component_units); the winner is a "
+    "row_number over a window PARTITIONED by component — component "
+    "sizes are bounded by the near-dup radius, never corpus-"
+    "proportional. Emits every doc with its unit and kept flag so the "
+    "filter AND the audit trail are one result (EXT, LLM pipeline)",
+    tags=("dedup", "pipeline", "iterative"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = _component_units(spark, sf_dir).join(docs, "doc_id")
+    w = W.partitionBy("unit").orderBy(F.desc("n_chars"), "doc_id")
+    return t.select(
+        "doc_id",
+        "unit",
+        "n_chars",
+        (F.row_number().over(w) == 1).cast("int").alias("kept"),
+    ).orderBy("doc_id")

@@ -156,6 +156,9 @@ HEADLINE = [
     # tokenization path — and the executed streaming CUSUM monitor
     "text_bpe_frozen_encode",
     "stream_cusum_exec",
+    # the embedding-space decontamination screen (broadcast eval set,
+    # map-side max) — the semantic complement of text_decontaminate
+    "pipeline_semantic_decontaminate",
 ]
 
 

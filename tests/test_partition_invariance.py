@@ -47,6 +47,11 @@ PLANS = [
     "text_bpe_frozen_encode",
     "pipeline_leakage_safe_kfold",
     "stream_cusum_exec",
+    # late-round-9 additions: the semantic screen's max/count are
+    # order-insensitive aggregates over a broadcast-side loop; the
+    # keep-best winner is a pure function of the component total order
+    "pipeline_semantic_decontaminate",
+    "dedup_keep_best_quality",
 ]
 
 
