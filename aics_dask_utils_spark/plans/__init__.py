@@ -62,10 +62,13 @@ def register(
 #
 # Round-9 cut. Round 8 paid the worst of the attestation-age debt
 # (all 9 round-1 plans + the 29 alphabetically-first round-2 plans).
-# This round the must-attest set is 13 and the rotation keeps paying
+# This round the must-attest set is 14 and the rotation keeps paying
 # it down, oldest round first then name (docs/attestation_age_r8.md):
 #
-#   slots 1-13 (must-attest):
+#   slots 1-14 (must-attest):
+#     search_hybrid_rrf — NEW (BM25 + dense-cosine Reciprocal Rank
+#       Fusion on two exact distributed ranks; pre-validated at 3
+#       SFs);
 #     pipeline_semantic_decontaminate — NEW (embedding-space benchmark
 #       decontamination: broadcast eval set, map-side max/hit-count,
 #       one corpus-id shuffle; pre-validated at 3 SFs);
@@ -96,13 +99,14 @@ def register(
 #       shared global_running_sums core gained exact NULL semantics
 #       (r8 ADVICE; all callers pass non-nullable expressions, values
 #       bit-identical — re-validated vs oracle at sf0.001/0.01).
-#   slots 14-19: the round-2 tail (udf_grouped_agg, udf_map_in_arrow,
+#   slots 15-20: the round-2 tail (udf_grouped_agg, udf_map_in_arrow,
 #     udf_pandas_scalar, window_lag_lead, window_rank, window_running)
 #     — the oldest green rows left after the r8 rotation.
-#   slots 20-50: the 31 alphabetically-first of the 38 remaining
+#   slots 21-50: the 30 alphabetically-first of the 38 remaining
 #     round-3-attested plans (sketches, UDTF/Arrow UDFs, asof
-#     variants, r3 sources/sinks, multimodal). The last 7
-#     (source_text_roundtrip, stream_hll_rollup_exec,
+#     variants, r3 sources/sinks, multimodal). The last 8
+#     (source_sequences_roundtrip, source_text_roundtrip,
+#     stream_hll_rollup_exec,
 #     stream_topk_rollup_exec, text_chunk_sliding, text_quality_gate,
 #     udf_apply_in_arrow, udf_python_udtf) rotate in r10 —
 #     deterministic rule: oldest round first, then name.
@@ -112,7 +116,8 @@ def register(
 # tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-13: must-attest (new plans, CC-star swap, grs fix) --
+    # -- slots 1-14: must-attest (new plans, CC-star swap, grs fix) --
+    "search_hybrid_rrf",
     "pipeline_semantic_decontaminate",
     "dedup_keep_best_quality",
     "text_bpe_frozen_encode",
@@ -126,14 +131,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_token_ids",
     "agg_gini_customer_revenue",
     "agg_exact_quantiles_rank",
-    # -- slots 14-19: round-2-attested tail (oldest green) --
+    # -- slots 15-20: round-2-attested tail (oldest green) --
     "udf_grouped_agg",
     "udf_map_in_arrow",
     "udf_pandas_scalar",
     "window_lag_lead",
     "window_rank",
     "window_running",
-    # -- slots 20-50: oldest round-3-attested residue (first 31) --
+    # -- slots 21-50: oldest round-3-attested residue (first 30) --
     "agg_approx",
     "agg_hll_sketch",
     "agg_key_skew_profile",
@@ -164,7 +169,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sink_bucketed_join",
     "sink_dynamic_partition_overwrite",
     "sink_row_files_digest",
-    "source_sequences_roundtrip",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
@@ -173,6 +177,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
 #: tests/test_plan_quality.py so a slot can never silently slip below
 #: the window cut.
 WINDOW_CRITICAL: frozenset[str] = frozenset({
+    "search_hybrid_rrf",
     "pipeline_semantic_decontaminate",
     "dedup_keep_best_quality",
     "text_bpe_frozen_encode",

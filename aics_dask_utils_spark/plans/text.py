@@ -611,3 +611,114 @@ def text_bpe_frozen_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_encode(
         docs, list(_BPE_FROZEN_MERGES), "doc_id", "text"
     ).orderBy("doc_id")
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_dl FROM toks),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             unnest(list_filter(t, x -> list_contains([{_BM25_TERMS_SQL}], x))) AS term
+      FROM toks
+    ),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT doc_id,
+             ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+                                  / (total_dl::DOUBLE / n_docs))), 6) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT doc_id, CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) AS bm25
+      FROM w GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM bm
+    ),
+    raw AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM raw
+    ),
+    q AS (SELECT u AS qu FROM e WHERE vec_id = 0),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY list_dot_product(u, qu) DESC, vec_id) AS r_vec
+      FROM e CROSS JOIN q
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+             COALESCE(1.0 / (60 + l.r_lex), 0)
+               + COALESCE(1.0 / (60 + v.r_vec), 0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, r_lex, r_vec, ROUND(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="HYBRID retrieval with Reciprocal Rank Fusion (E38/E40 "
+    "composition; Cormack et al. 2009): the standard modern search "
+    "stack — a lexical BM25 ranking (same query bag and decimal-summed "
+    "scores as text_bm25_search) fused with a dense cosine ranking "
+    "(query = embedding 0) by rrf = sum 1/(60+rank). Both rankings "
+    "are EXACT DISTRIBUTED ranks (operators/stats.py:"
+    "global_row_numbers — never a single-task window); a doc absent "
+    "from the lexical list (no query term) contributes only its "
+    "vector rank, which the full outer join + coalesce expresses. "
+    "RRF arithmetic is integer-rank reciprocals — bit-equal IEEE "
+    "doubles in both engines before the 6-dp presentation rounding. "
+    "At 100 TB the dense side would rank ANN candidates "
+    "(ann_topk_ivf) instead of the full corpus; the fusion shape is "
+    "identical (EXT, retrieval)",
+    tags=("text", "similarity", "pipeline"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import vec_dot, with_unit_vector
+    from ..operators.stats import global_row_numbers
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = global_row_numbers(
+        T.bm25_scores(docs, _BM25_TERMS),
+        [F.desc("bm25"), F.asc("doc_id")],
+        out_col="r_lex",
+    ).select("doc_id", "r_lex")
+
+    emb = with_unit_vector(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "__u"
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("__u").alias("__qu"))
+    scored = emb.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", vec_dot("__u", "__qu")
+    )
+    vec = global_row_numbers(
+        scored, [F.desc("cosine"), F.asc("vec_id")], out_col="r_vec"
+    ).select(F.col("vec_id").alias("doc_id"), "r_vec")
+
+    fused = lex.join(vec, "doc_id", "full").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.select("doc_id", "r_lex", "r_vec", F.round("rrf", 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )

@@ -159,6 +159,9 @@ HEADLINE = [
     # the embedding-space decontamination screen (broadcast eval set,
     # map-side max) — the semantic complement of text_decontaminate
     "pipeline_semantic_decontaminate",
+    # BM25 + dense-cosine Reciprocal Rank Fusion over two exact
+    # distributed ranks — the hybrid-search headline
+    "search_hybrid_rrf",
 ]
 
 

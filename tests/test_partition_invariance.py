@@ -52,6 +52,8 @@ PLANS = [
     # keep-best winner is a pure function of the component total order
     "pipeline_semantic_decontaminate",
     "dedup_keep_best_quality",
+    # fused RRF ranks ride two global_row_numbers total orders
+    "search_hybrid_rrf",
 ]
 
 

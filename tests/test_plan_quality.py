@@ -555,6 +555,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "contract: eval-benchmark n-grams (fixed benchmark size)",
     ("plans/llm_pipeline.py", "totals"): "scalar: 1-row vocab totals",
     ("plans/llm_pipeline.py", "q"): "contract: RAG query side",
+    ("plans/text.py", "q"): "scalar: 1-row hybrid-search query embedding",
     ("plans/llm_pipeline.py", "vs"): "scalar: 1-row (V, total) stats",
     ("plans/relational.py", "region"): "fixed-dim: region = 5 rows",
     ("plans/relational.py", "nation"): "fixed-dim: nation = 25 rows",
