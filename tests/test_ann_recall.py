@@ -64,3 +64,54 @@ def test_pq_refine_recovers_recall(spark, sf_dir, brute):
     refined = _mean_recall(brute, _topsets(spark, sf_dir, "ann_topk_pq_refine"))
     assert refined >= raw, (refined, raw)
     assert refined >= 0.8, refined
+
+
+# ---------------------------------------------------------------------------
+# semantic_screen (the decontamination screen rides the same cosine
+# machinery; these pin its contract on constructed vectors where the
+# right answer is knowable by hand)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_screen_flags_exact_and_spares_orthogonal(spark):
+    from aics_dask_utils_spark.operators.similarity import semantic_screen
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),   # identical to ref 1 -> cosine 1.0
+            (11, [0.0, 1.0, 0.0]),   # orthogonal to both refs
+            (12, [2.0, 0.0, 0.0]),   # same direction, different norm
+            (13, [-1.0, 0.0, 0.0]),  # antipodal -> cosine -1.0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    refs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_screen(corpus, refs, threshold=0.9).collect()
+    }
+    assert got[10]["contaminated"] == 1 and got[10]["max_cosine"] == 1.0
+    assert got[12]["contaminated"] == 1  # normalization makes norm irrelevant
+    assert got[11]["contaminated"] == 0 and got[11]["max_cosine"] == 0.0
+    # max over refs: cos(ref1) = -1.0, cos(ref2) = 0.0 -> max is 0.0
+    assert got[13]["contaminated"] == 0 and got[13]["max_cosine"] == 0.0
+    assert got[10]["n_hits"] == 1  # only ref 1, not the orthogonal ref 2
+
+
+def test_semantic_screen_counts_multiple_hits_and_covers_all_rows(spark):
+    from aics_dask_utils_spark.operators.similarity import semantic_screen
+
+    corpus = spark.createDataFrame(
+        [(20, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    refs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # cos((1,1)/sqrt2, e1) = cos(., e2) = 0.7071... -> two hits at 0.7
+    rows = semantic_screen(corpus, refs, threshold=0.7).collect()
+    assert len(rows) == 1  # one output row per corpus vector, always
+    assert rows[0]["n_hits"] == 2 and rows[0]["contaminated"] == 1
