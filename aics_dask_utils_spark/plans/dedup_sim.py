@@ -958,21 +958,34 @@ def pipeline_semantic_decontaminate(
     "article survives). Same minhash_lsh_pairs + "
     "connected_components_star chain as the leakage-safe family "
     "(plans/dedup_sim.py:_component_units); the winner is a "
-    "row_number over a window PARTITIONED by component — component "
-    "sizes are bounded by the near-dup radius, never corpus-"
-    "proportional. Emits every doc with its unit and kept flag so the "
-    "filter AND the audit trail are one result (EXT, LLM pipeline)",
+    "max_by(doc_id, (n_chars, -doc_id)) AGGREGATE, not a "
+    "component-partitioned window — max_by is partial-aggregable, so "
+    "even a degenerate boilerplate mega-cluster (near-dup components "
+    "are usually radius-bounded, but one template repeated across the "
+    "corpus is not) collapses map-side instead of funneling through "
+    "one window-sort task. Emits every doc with its unit and kept "
+    "flag so the filter AND the audit trail are one result (EXT, LLM "
+    "pipeline)",
     tags=("dedup", "pipeline", "iterative"),
 )
 def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     t = _component_units(spark, sf_dir).join(docs, "doc_id")
-    w = W.partitionBy("unit").orderBy(F.desc("n_chars"), "doc_id")
-    return t.select(
-        "doc_id",
-        "unit",
-        "n_chars",
-        (F.row_number().over(w) == 1).cast("int").alias("kept"),
-    ).orderBy("doc_id")
+    # struct ordering is lexicographic: max n_chars first, then max of
+    # -doc_id = min doc_id — the same total tiebreak the oracle's
+    # ROW_NUMBER (ORDER BY n_chars DESC, doc_id) expresses
+    winners = t.groupBy("unit").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+        ).alias("best_doc")
+    )
+    return (
+        t.join(winners, "unit")
+        .select(
+            "doc_id",
+            "unit",
+            "n_chars",
+            (F.col("doc_id") == F.col("best_doc")).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
