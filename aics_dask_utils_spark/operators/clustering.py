@@ -43,11 +43,14 @@ def kmeans_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def kmeans_assign_topn(e: DataFrame, cent: DataFrame, n: int = 2) -> DataFrame:
-    """Top-n nearest centroids per vector: (vid, cid, probe_rank) with
-    probe_rank 1..n. The multi-probe half of an IVF index — probing the
-    runner-up cell recovers the neighbors a hard single-cell assignment
-    loses at cell boundaries (recall climbs at the cost of n× probe
-    fan-out; the corpus itself stays single-assigned)."""
+    """Top-n nearest centroids per vector: (vid, v, cid, probe_rank)
+    with probe_rank 1..n. The multi-probe half of an IVF index —
+    probing the runner-up cell recovers the neighbors a hard
+    single-cell assignment loses at cell boundaries (recall climbs at
+    the cost of n× probe fan-out; the corpus itself stays
+    single-assigned). Carries ``v`` through so probe-side consumers
+    (semantic_screen_ivf's probed corpus) don't need a vid self-join
+    to recover the vector."""
     scored = e.crossJoin(F.broadcast(cent)).withColumn(
         "dist2",
         vec_dot("v", "v") - F.lit(2.0) * vec_dot("v", "c") + vec_dot("c", "c"),
@@ -56,7 +59,7 @@ def kmeans_assign_topn(e: DataFrame, cent: DataFrame, n: int = 2) -> DataFrame:
     return (
         scored.withColumn("probe_rank", F.row_number().over(w))
         .where(F.col("probe_rank") <= n)
-        .select("vid", "cid", "probe_rank")
+        .select("vid", "v", "cid", "probe_rank")
     )
 
 

@@ -60,6 +60,42 @@ def keyed_keep_first(df: DataFrame, key_cols: list[str], order_cols: list) -> Da
     return df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
 
 
+def keep_best(
+    members: DataFrame,
+    unit_col: str = "unit",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware retention core (E31): flag each unit's best member.
+
+    The retention key is PLUGGABLE — ``score_col`` is whatever "best"
+    means for the corpus (document length, a calibrated quality score,
+    an LM perplexity percentile); ties break to the smallest id, so the
+    winner is total and engine-deterministic. Returns ``members`` with
+    an appended ``kept`` int flag (1 = the unit's winner).
+
+    Scale shape: the winner per unit is a ``max_by(id, (score, -id))``
+    AGGREGATE, not a unit-partitioned window — max_by is
+    partial-aggregable, so even a degenerate boilerplate mega-cluster
+    (near-dup components are usually radius-bounded, but one template
+    repeated across the corpus is not) collapses map-side instead of
+    funneling through one window-sort task. One unit-keyed shuffle for
+    the winners plus the join back; the winners relation is
+    |units|-sized and AQE broadcasts it while it fits.
+    """
+    winners = members.groupBy(unit_col).agg(
+        F.max_by(
+            id_col,
+            F.struct(F.col(score_col), (-F.col(id_col)).alias("__nid")),
+        ).alias("__best")
+    )
+    return (
+        members.join(winners, unit_col)
+        .withColumn("kept", (F.col(id_col) == F.col("__best")).cast("int"))
+        .drop("__best")
+    )
+
+
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition to cluster parallelism before a fan-out (explode/pair
     join). Small inputs arrive as one parquet split; the rows they

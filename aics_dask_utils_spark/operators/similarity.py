@@ -330,7 +330,16 @@ def semantic_screen(
     counts references at or above ``threshold``. Self-matches are NOT
     excluded — screening a corpus that literally contains an eval row
     should flag it.
+
+    ``refs`` must be non-empty (same contract as
+    ``text.bm25_scores``'s query bag): an empty eval suite would make
+    the crossJoin yield zero rows and every corpus row would silently
+    vanish from the audit trail instead of coming back uncontaminated.
+    The emptiness probe is one cheap job over the refs relation, which
+    is bounded-by-contract (it broadcasts two lines later).
     """
+    if refs.isEmpty():
+        raise ValueError("refs must be non-empty")
     unit_c = with_unit_vector(corpus, vec_col, "__u")
     q = with_unit_vector(refs, vec_col, "__u").select(
         F.col(id_col).alias("r_id"), F.col("__u").alias("r_vec")
@@ -338,6 +347,57 @@ def semantic_screen(
     scored = (
         unit_c.select(F.col(id_col), F.col("__u").alias("c_vec"))
         .crossJoin(F.broadcast(q))
+        .withColumn("cosine", vec_dot("c_vec", "r_vec"))
+    )
+    hit = F.col("cosine") >= F.lit(threshold)
+    return scored.groupBy(id_col).agg(
+        F.max("cosine").alias("max_cosine"),
+        F.count(F.when(hit, F.lit(1))).alias("n_hits"),
+        (F.count(F.when(hit, F.lit(1))) > 0).cast("int").alias("contaminated"),
+    )
+
+
+def semantic_screen_ivf(
+    corpus: DataFrame,
+    refs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """IVF-pruned :func:`semantic_screen` — the recall/cost knob.
+
+    The brute screen costs |refs| dot products per corpus row; this
+    variant compares each corpus vector ONLY against references in its
+    own coarse cell (``cell_col`` — a trained IVF/k-means assignment;
+    the driver tables carry one as ``label``), cutting the per-row
+    constant to |refs in cell|. Same physical shape: the refs relation
+    is scale-independent and broadcasts, candidates generate map-side
+    (now an equi-join on cell instead of a nested loop), and the
+    per-row max/hit-count collapse map-side before the single
+    ``id_col`` shuffle — still one narrow corpus scan.
+
+    Recall < 1.0 by construction: a paraphrase that lands in a
+    different coarse cell than its eval twin is missed (the IVF trade;
+    pinned by a measured floor in tests/test_ann_recall.py). The LEFT
+    join keeps every corpus row in the audit trail — a row whose cell
+    holds no reference comes back uncontaminated with ``max_cosine``
+    NULL and ``n_hits`` 0, never dropped. ``refs`` must be non-empty
+    (same contract and reason as :func:`semantic_screen`).
+    """
+    if refs.isEmpty():
+        raise ValueError("refs must be non-empty")
+    unit_c = with_unit_vector(corpus, vec_col, "__u")
+    q = with_unit_vector(refs, vec_col, "__u").select(
+        F.col(cell_col).alias("__cell"), F.col("__u").alias("r_vec")
+    )
+    scored = (
+        unit_c.select(
+            F.col(id_col),
+            F.col(cell_col).alias("__cell"),
+            F.col("__u").alias("c_vec"),
+        )
+        .join(F.broadcast(q), "__cell", "left")
         .withColumn("cosine", vec_dot("c_vec", "r_vec"))
     )
     hit = F.col("cosine") >= F.lit(threshold)

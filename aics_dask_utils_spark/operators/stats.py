@@ -754,6 +754,49 @@ def global_row_numbers(
     )
 
 
+def grouped_row_numbers(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    *,
+    num_partitions: int = 32,
+    out_col: str = "i",
+) -> DataFrame:
+    """Exact per-group row numbers 1..n_g, distributed — the scale-safe
+    replacement for ``row_number().over(Window.partitionBy(g)
+    .orderBy(o))`` when single groups outgrow one task (a handful of
+    query ids ranking a whole corpus each: the partitioned window is
+    lint-clean but still funnels |corpus| rows per group through one
+    task).
+
+    Formulation: one :func:`global_row_numbers` pass over the composite
+    total order (group columns ascending, then ``order_cols``) — every
+    group's rows are contiguous in the global numbering — then each
+    group's rank is the global number minus the group's offset
+    ``min(i) - 1``, a |groups|-sized aggregate joined back (AQE
+    broadcasts it while it fits; no forced hint, so a high-cardinality
+    group column degrades to a keyed join, not an OOM).
+
+    ``order_cols`` must be total WITHIN each group (unique tiebreak).
+    ``group_cols`` are plain column names. Returns ``df`` with
+    ``out_col`` appended (long, 1-based within each group).
+    """
+    composite = [F.asc(c) for c in group_cols] + [
+        F.col(c) if isinstance(c, str) else c for c in order_cols
+    ]
+    g = global_row_numbers(
+        df, composite, num_partitions=num_partitions, out_col="__gi"
+    )
+    offsets = g.groupBy(*group_cols).agg(
+        (F.min("__gi") - F.lit(1)).alias("__off")
+    )
+    return (
+        g.join(offsets, list(group_cols))
+        .withColumn(out_col, (F.col("__gi") - F.col("__off")).cast("long"))
+        .drop("__gi", "__off")
+    )
+
+
 def global_running_sums(
     df: DataFrame,
     order_cols: list,

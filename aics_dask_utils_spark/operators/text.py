@@ -251,6 +251,88 @@ def bm25_scores(
     return weighted.groupBy("doc_id", "dl").agg(dsum("w").alias("bm25"))
 
 
+def bm25_scores_multi(
+    docs: DataFrame,
+    queries: dict[int, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 for a BATCH of bag-of-terms queries in ONE corpus scan
+    (the query-relation generalization of :func:`bm25_scores`, which is
+    this with the single query's bag folded straight into the term
+    filter).
+
+    Returns (q_id, doc_id, dl, bm25) for every (query, document) pair
+    sharing >= 1 term. Same arithmetic as the single-query variant
+    (Lucene idf, 6-dp-rounded per-term weights, exact-decimal sum), so
+    running query q alone or in a batch gives identical scores — df and
+    corpus stats are query-independent.
+
+    Scale shape: the token explode is filtered to the UNION of all
+    query bags before the (doc, term) aggregation, so the corpus is
+    scanned once however many queries ride the batch; the per-term
+    postings then join the broadcast (q_id, term) relation — query-
+    dimension-sized, scale-independent of the corpus — and collapse to
+    per-(q_id, doc) scores with map-side partials. Adding a query adds
+    rows to a broadcast relation, never a corpus scan.
+    """
+    from ..functions.deterministic import dsum
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if any(not terms for terms in queries.values()):
+        raise ValueError("every query bag must be non-empty")
+    all_terms = sorted({t for terms in queries.values() for t in terms})
+    toks = tokens(text_col)
+    union_bag = F.array(*[F.lit(t) for t in all_terms])
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(
+            F.filter(toks, lambda t: F.array_contains(union_bag, t))
+        ).alias("term"),
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_dl"),
+    )
+    from pyspark import StorageLevel
+
+    # persisted for the same reason as the single-query variant: dfreq
+    # and the weighted join both consume the |matches|-sized postings.
+    tf = (
+        base.groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_tf = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    )
+    qrel = docs.sparkSession.createDataFrame(
+        [(int(q), t) for q, terms in sorted(queries.items()) for t in terms],
+        "q_id int, term string",
+    )
+    weighted = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", F.round(idf * norm_tf, 6))
+        .join(F.broadcast(qrel), "term")
+    )
+    return weighted.groupBy("q_id", "doc_id", "dl").agg(
+        dsum("w").alias("bm25")
+    )
+
+
 def bpe_train_encode(
     df: DataFrame,
     id_col: str = "doc_id",

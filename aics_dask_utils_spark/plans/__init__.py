@@ -60,137 +60,119 @@ def register(
 # ``queries()`` yields them and has only ever reached the FIRST 50.
 # ``PRIORITY_WINDOW`` pins that order deliberately, re-cut each round:
 #
-# Round-9 cut. Round 8 paid the worst of the attestation-age debt
-# (all 9 round-1 plans + the 29 alphabetically-first round-2 plans).
-# This round the must-attest set is 14 and the rotation keeps paying
-# it down, oldest round first then name (docs/attestation_age_r8.md):
+# Round-10 cut. The rotation keeps paying the attestation-age debt,
+# oldest round first then name (docs/attestation_age_r9.md — r9
+# cleared the round-2 tail and 30 of the 38 round-3 names):
 #
-#   slots 1-14 (must-attest):
-#     search_hybrid_rrf — NEW (BM25 + dense-cosine Reciprocal Rank
-#       Fusion on two exact distributed ranks; pre-validated at 3
-#       SFs);
-#     pipeline_semantic_decontaminate — NEW (embedding-space benchmark
-#       decontamination: broadcast eval set, map-side max/hit-count,
-#       one corpus-id shuffle; pre-validated at 3 SFs);
-#     dedup_keep_best_quality — NEW (quality-aware retention per
-#       near-dup component: keep the longest member, row_number over a
-#       component-partitioned window; pre-validated at 3 SFs);
-#     text_bpe_frozen_encode — NEW (the library-only r8 frozen-merge-
-#       table encode gets its registry plan: literal merge table,
-#       zero-shuffle F.aggregate fold, literal-fold oracle;
-#       pre-validated bit-for-bit at sf0.001/0.01/0.1);
-#     stream_cusum_exec — NEW (the library-only r8 online CUSUM
-#       monitor executed end-to-end: events replayed through
-#       applyInPandasWithState against an offline-trained reference,
-#       final state hash-matched to a DuckDB struct-accumulator
-#       list_reduce fold; pre-validated at 3 SFs);
-#     pipeline_leakage_safe_kfold — NEW (k-fold generalization of the
-#       leakage-safe split: fold unit = near-dup component, unit % 5;
-#       all-fold-pairs straddling invariant pinned; pre-validated at
-#       3 SFs);
-#     pipeline_leakage_safe_split — physical change: its component
-#       stage moved from min-label propagation onto
-#       connected_components_star (identical components, O(log n)
-#       rounds, hub-degree bounded — the r8 verdict's What's-wrong #2);
-#     pipeline_pack_sequences / pipeline_token_budget /
-#       pipeline_curriculum_buckets / events_rfm_segments /
-#       text_token_ids / agg_gini_customer_revenue /
-#       agg_exact_quantiles_rank — physical change on principle: the
-#       shared global_running_sums core gained exact NULL semantics
-#       (r8 ADVICE; all callers pass non-nullable expressions, values
-#       bit-identical — re-validated vs oracle at sf0.001/0.01).
-#   slots 15-20: the round-2 tail (udf_grouped_agg, udf_map_in_arrow,
-#     udf_pandas_scalar, window_lag_lead, window_rank, window_running)
-#     — the oldest green rows left after the r8 rotation.
-#   slots 21-50: the 30 alphabetically-first of the 38 remaining
-#     round-3-attested plans (sketches, UDTF/Arrow UDFs, asof
-#     variants, r3 sources/sinks, multimodal). The last 8
-#     (source_sequences_roundtrip, source_text_roundtrip,
-#     stream_hll_rollup_exec,
-#     stream_topk_rollup_exec, text_chunk_sliding, text_quality_gate,
-#     udf_apply_in_arrow, udf_python_udtf) rotate in r10 —
-#     deterministic rule: oldest round first, then name.
+#   slots 1-6 (must-attest: new plans + every plan riding code that
+#   changed in round 10):
+#     search_hybrid_rrf_batch — NEW (query-relation generalization of
+#       search_hybrid_rrf: one corpus scan scores all BM25 bags via
+#       bm25_scores_multi's broadcast (q_id, term) relation; every
+#       per-query ranking is an exact distributed grouped_row_numbers
+#       rank, never a q_id-partitioned corpus-sized window;
+#       pre-validated at 3 SFs);
+#     pipeline_semantic_decontaminate_ivf — NEW (the IVF recall/cost
+#       knob on the semantic screen: corpus rows probe their TWO
+#       nearest trained k-means cells, eval side broadcast; measured
+#       contamination recall floor + subset invariant pinned in
+#       tests/test_ann_recall.py; pre-validated at 3 SFs);
+#     dedup_keep_best_scored — NEW (quality-SCORE-parametrized
+#       retention: the pluggable operators/dedup.py:keep_best core
+#       keyed on the calibrated composite text-quality score instead
+#       of raw length; pre-validated at 3 SFs);
+#     dedup_keep_best_quality — physical change: its inline max_by
+#       winner moved onto the shared keep_best core (same aggregate
+#       shape, one implementation);
+#     pipeline_semantic_decontaminate — code change on principle:
+#       semantic_screen gained the empty-refs ValueError guard (r9
+#       ADVICE — an empty eval suite must be a loud error, not a
+#       silently dropped corpus audit trail);
+#     ann_topk_multiprobe — code change on principle:
+#       kmeans_assign_topn now carries the vector through its output
+#       so probe-side consumers skip a vid self-join (values
+#       unchanged — re-validated vs oracle at sf0.001/0.01/0.1).
+#   slots 7-14: the 8 remaining round-3-attested names — the oldest
+#     green rows left (source/stream roundtrips, chunker, quality
+#     gate, Arrow/UDTF UDFs).
+#   slots 15-50: the 36 alphabetically-first of the 41 round-4-
+#     attested plans. The last 5 (text_pii_redact, topk_per_group,
+#     udf_map_in_pandas, udtf_sql_table_function, window_distribution)
+#     rotate in r11 — deterministic rule: oldest round first, then
+#     name.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
 # green) in registration order. ``WINDOW_CRITICAL`` below is guard-
 # tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-14: must-attest (new plans, CC-star swap, grs fix) --
-    "search_hybrid_rrf",
-    "pipeline_semantic_decontaminate",
+    # -- slots 1-6: must-attest (new plans + r10 code changes) --
+    "search_hybrid_rrf_batch",
+    "pipeline_semantic_decontaminate_ivf",
+    "dedup_keep_best_scored",
     "dedup_keep_best_quality",
-    "text_bpe_frozen_encode",
-    "stream_cusum_exec",
-    "pipeline_leakage_safe_kfold",
-    "pipeline_leakage_safe_split",
-    "pipeline_pack_sequences",
-    "pipeline_token_budget",
-    "pipeline_curriculum_buckets",
-    "events_rfm_segments",
-    "text_token_ids",
-    "agg_gini_customer_revenue",
-    "agg_exact_quantiles_rank",
-    # -- slots 15-20: round-2-attested tail (oldest green) --
-    "udf_grouped_agg",
-    "udf_map_in_arrow",
-    "udf_pandas_scalar",
-    "window_lag_lead",
-    "window_rank",
-    "window_running",
-    # -- slots 21-50: oldest round-3-attested residue (first 30) --
-    "agg_approx",
-    "agg_hll_sketch",
-    "agg_key_skew_profile",
-    "agg_kll_price_quantiles",
-    "agg_theta_users",
-    "agg_topk_sketch",
-    "ann_topk_pq_refine",
-    "array_slice_sort",
-    "asof_join_forward_tolerance",
-    "asof_join_nearest",
-    "dedup_srp_lsh",
-    "embedding_dim_stats",
-    "embedding_quantize",
-    "events_attribution_linear",
-    "events_markov_transitions",
-    "events_sliding_distinct_hll",
-    "events_sliding_topk_sketch",
-    "multimodal_decode_slice",
-    "multimodal_frame_sample",
-    "multimodal_resize_plane",
-    "multimodal_scene_cuts",
-    "pipeline_dataset_card",
-    "pipeline_rag_index",
-    "sample_bootstrap_ci",
-    "sample_epoch_shuffle",
-    "scalar_json_typed",
-    "scalar_url_parse",
-    "sink_bucketed_join",
-    "sink_dynamic_partition_overwrite",
-    "sink_row_files_digest",
+    "pipeline_semantic_decontaminate",
+    "ann_topk_multiprobe",
+    # -- slots 7-14: round-3-attested residue (the last 8) --
+    "source_sequences_roundtrip",
+    "source_text_roundtrip",
+    "stream_hll_rollup_exec",
+    "stream_topk_rollup_exec",
+    "text_chunk_sliding",
+    "text_quality_gate",
+    "udf_apply_in_arrow",
+    "udf_python_udtf",
+    # -- slots 15-50: oldest round-4-attested residue (first 36) --
+    "agg_cms_heavy_hitters",
+    "agg_listagg_report",
+    "agg_regression_per_group",
+    "agg_table_profile",
+    "agg_two_level_rollup",
+    "array_basics",
+    "dedup_null_text",
+    "dedup_simhash",
+    "embedding_centroids",
+    "events_anomaly_zscore",
+    "events_pattern_match",
+    "events_session",
+    "events_session_dynamic_gap",
+    "events_tumbling",
+    "graph_reachability_recursive_cte",
+    "join_lateral_topn",
+    "join_point_in_time",
+    "join_skew_salted",
+    "multimodal_audio_frames",
+    "pipeline_observe_metrics",
+    "sample_weighted_per_group",
+    "scalar_collation_group",
+    "scalar_conditional",
+    "scalar_null_safe",
+    "scalar_sql_udf",
+    "sink_upsert_merge",
+    "sink_zorder_clustered",
+    "source_json_roundtrip",
+    "source_xml_roundtrip",
+    "sql_session_variables",
+    "stream_foreach_batch_exec",
+    "stream_stream_full_outer_join_exec",
+    "stream_stream_left_join_exec",
+    "stream_update_mode_exec",
+    "text_fingerprint",
+    "text_langid",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
-#: this round: the round-9 additions and every plan whose operator
-#: code, plan code, or oracle SQL changed in round 9. Guard-tested in
+#: this round: the round-10 additions and every plan whose operator
+#: code, plan code, or oracle SQL changed in round 10. Guard-tested in
 #: tests/test_plan_quality.py so a slot can never silently slip below
 #: the window cut.
 WINDOW_CRITICAL: frozenset[str] = frozenset({
-    "search_hybrid_rrf",
-    "pipeline_semantic_decontaminate",
+    "search_hybrid_rrf_batch",
+    "pipeline_semantic_decontaminate_ivf",
+    "dedup_keep_best_scored",
     "dedup_keep_best_quality",
-    "text_bpe_frozen_encode",
-    "stream_cusum_exec",
-    "pipeline_leakage_safe_kfold",
-    "pipeline_leakage_safe_split",
-    "pipeline_pack_sequences",
-    "pipeline_token_budget",
-    "pipeline_curriculum_buckets",
-    "events_rfm_segments",
-    "text_token_ids",
-    "agg_gini_customer_revenue",
-    "agg_exact_quantiles_rank",
+    "pipeline_semantic_decontaminate",
+    "ann_topk_multiprobe",
 })
 
 

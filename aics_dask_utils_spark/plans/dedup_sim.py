@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import similarity as S
+from ..operators import text as _T
 from ..sources import load_table
 from . import register
 
@@ -957,35 +958,211 @@ def pipeline_semantic_decontaminate(
     "corpus dedup actually wants (a quoted fragment dies, the full "
     "article survives). Same minhash_lsh_pairs + "
     "connected_components_star chain as the leakage-safe family "
-    "(plans/dedup_sim.py:_component_units); the winner is a "
-    "max_by(doc_id, (n_chars, -doc_id)) AGGREGATE, not a "
-    "component-partitioned window — max_by is partial-aggregable, so "
-    "even a degenerate boilerplate mega-cluster (near-dup components "
-    "are usually radius-bounded, but one template repeated across the "
-    "corpus is not) collapses map-side instead of funneling through "
-    "one window-sort task. Emits every doc with its unit and kept "
-    "flag so the filter AND the audit trail are one result (EXT, LLM "
-    "pipeline)",
+    "(plans/dedup_sim.py:_component_units); the winner is the shared "
+    "retention core operators/dedup.py:keep_best — a max_by(doc_id, "
+    "(score, -doc_id)) AGGREGATE, not a component-partitioned window — "
+    "max_by is partial-aggregable, so even a degenerate boilerplate "
+    "mega-cluster (near-dup components are usually radius-bounded, "
+    "but one template repeated across the corpus is not) collapses "
+    "map-side instead of funneling through one window-sort task. "
+    "Emits every doc with its unit and kept flag so the filter AND "
+    "the audit trail are one result (EXT, LLM pipeline)",
     tags=("dedup", "pipeline", "iterative"),
 )
 def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     t = _component_units(spark, sf_dir).join(docs, "doc_id")
-    # struct ordering is lexicographic: max n_chars first, then max of
-    # -doc_id = min doc_id — the same total tiebreak the oracle's
-    # ROW_NUMBER (ORDER BY n_chars DESC, doc_id) expresses
-    winners = t.groupBy("unit").agg(
-        F.max_by(
-            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
-        ).alias("best_doc")
-    )
+    # keep_best's struct ordering is lexicographic: max score first,
+    # then max of -doc_id = min doc_id — the same total tiebreak the
+    # oracle's ROW_NUMBER (ORDER BY n_chars DESC, doc_id) expresses
     return (
-        t.join(winners, "unit")
+        D.keep_best(t, unit_col="unit", id_col="doc_id", score_col="n_chars")
+        .select("doc_id", "unit", "n_chars", "kept")
+        .orderBy("doc_id")
+    )
+
+
+# Stopword list literal for the quality-score oracle (mirrors
+# operators/text.py:quality_features, same literal plans/text.py uses).
+_SW_Q = ",".join(f"'{w}'" for w in _T.QUALITY_STOPWORDS)
+
+
+@register(
+    "dedup_keep_best_scored",
+    oracle=rf"""
+    WITH RECURSIVE {{pair_ctes}},
+    und AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS unit
+      FROM reach GROUP BY a
+    ),
+    qb AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 t -> list_contains([{{sw}}], t))) AS n_sw,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+      FROM documents
+    ),
+    qs AS (
+      SELECT doc_id,
+             LEAST(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+               + LEAST((n_sw::DOUBLE / n_tokens) * 5.0, 1.0) * 0.3
+               + (1.0 - LEAST((n_punct::DOUBLE / n_chars) * 10.0, 1.0)) * 0.2
+               AS quality_score
+      FROM qb
+    ),
+    u AS (
+      SELECT d.doc_id, q.quality_score, COALESCE(c.unit, d.doc_id) AS unit
+      FROM documents d
+      JOIN qs q USING (doc_id)
+      LEFT JOIN comp c USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, unit, quality_score,
+             ROW_NUMBER() OVER (PARTITION BY unit
+                                ORDER BY quality_score DESC, doc_id) AS rn
+      FROM u
+    )
+    SELECT doc_id, unit, ROUND(quality_score, 6) AS quality_r6,
+           CAST(rn = 1 AS INT) AS kept
+    FROM ranked ORDER BY doc_id
+    """.format(pair_ctes=_minhash_pair_ctes(), sw=_SW_Q),
+    doc="quality-SCORE-parametrized retention (E31/E39 composition): "
+    "the production generalization of dedup_keep_best_quality — the "
+    "retention key is the calibrated composite text-quality score "
+    "(operators/text.py:quality_features, the same C4/Gopher-style "
+    "heuristic text_quality_calibrated gates on), not raw length, so "
+    "each near-dup component keeps its BEST member (a clean full "
+    "article beats a longer boilerplate-ridden scrape of it). Same "
+    "minhash_lsh_pairs + connected_components_star unit relation and "
+    "the same shared operators/dedup.py:keep_best core — the winner "
+    "is a partial-aggregable max_by(doc_id, (score, -doc_id)), never "
+    "a component-partitioned window, so a corpus-wide template "
+    "mega-cluster collapses map-side. The score doubles are "
+    "bit-identical cross-engine (IEEE +,-,*,/ and LEAST over "
+    "identical integer inputs — proved by text_quality's unrounded "
+    "oracle), so ranking on the unrounded score is hash-safe; 6-dp "
+    "rounding is presentation only (EXT, LLM pipeline)",
+    tags=("dedup", "pipeline", "text", "iterative"),
+)
+def dedup_keep_best_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = _T.quality_features(docs, "text").select(
+        "doc_id", "quality_score"
+    )
+    t = _component_units(spark, sf_dir).join(scored, "doc_id")
+    return (
+        D.keep_best(
+            t, unit_col="unit", id_col="doc_id", score_col="quality_score"
+        )
         .select(
             "doc_id",
             "unit",
-            "n_chars",
-            (F.col("doc_id") == F.col("best_doc")).cast("int").alias("kept"),
+            F.round("quality_score", 6).alias("quality_r6"),
+            "kept",
         )
         .orderBy("doc_id")
     )
+
+
+def _kmeans_screen_ctes() -> str:
+    """Trained-quantizer CTEs for the IVF decontamination oracle —
+    reuses the attested k-means chain (plans/clustering.py)."""
+    from .clustering import _kmeans_ctes
+
+    return _kmeans_ctes(k=4, iters=2, final_assign=True)
+
+
+@register(
+    "pipeline_semantic_decontaminate_ivf",
+    oracle=f"""
+    WITH {{kmeans}},
+    u AS (
+      SELECT vid, cid,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM a3
+    ),
+    q AS (SELECT cid AS cell, u AS ru FROM u WHERE vid < 25),
+    probe AS (
+      SELECT vid, cid AS cell FROM (
+        SELECT vid, cid,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist2, cid) AS rn
+        FROM s3
+      ) WHERE rn <= 2 AND vid >= 25
+    ),
+    cu AS (SELECT vid, u FROM u WHERE vid >= 25),
+    scored AS (
+      SELECT p.vid, list_dot_product(c.u, q.ru) AS cosine
+      FROM probe p JOIN cu c USING (vid) LEFT JOIN q ON q.cell = p.cell
+    )
+    SELECT vid AS vec_id,
+           ROUND(MAX(cosine), 6) AS max_cosine,
+           COUNT(*) FILTER (WHERE cosine >= 0.4) AS n_hits,
+           CAST((COUNT(*) FILTER (WHERE cosine >= 0.4)) > 0 AS INT)
+             AS contaminated
+    FROM scored GROUP BY vid ORDER BY vec_id
+    """.format(kmeans=_kmeans_screen_ctes()),
+    doc="IVF-PRUNED semantic decontamination (E40/E48 composition, "
+    "operators/similarity.py:semantic_screen_ivf): the recall/cost "
+    "knob documented on pipeline_semantic_decontaminate — each corpus "
+    "vector is screened only against eval-set members in its TWO "
+    "nearest cells of the trained k-means quantizer (the same k=4, "
+    "2-Lloyd-round training + multiprobe assignment the attested "
+    "ann_topk_multiprobe uses; NOT the random `label` column, which "
+    "carries no geometry), cutting the per-row dot-product count "
+    "from |eval| to |eval in probed cells|. Same physical shape as "
+    "the full screen: broadcast scale-independent eval side, "
+    "map-side candidate generation (equi-join on cell) and map-side "
+    "max/hit partials before the single corpus-id shuffle — one "
+    "narrow corpus scan at any scale, now with a smaller per-row "
+    "constant. LEFT join keeps rows whose probed cells hold no eval "
+    "member in the audit trail (max_cosine NULL, n_hits 0) — never "
+    "dropped; contamination recall vs the full screen is pinned by a "
+    "measured floor in tests/test_ann_recall.py (EXT, LLM pipeline)",
+    tags=("pipeline", "similarity", "dedup", "iterative"),
+)
+def pipeline_semantic_decontaminate_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.vectors import as_double_array
+    from ..operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_topn,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("vec_id").alias("vid"), as_double_array("embedding").alias("v")
+    )
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=2)
+    refs = kmeans_assign(e.where(F.col("vid") < 25), cent).select(
+        F.col("vid").alias("vec_id"),
+        F.col("v").alias("embedding"),
+        F.col("cid").alias("cell"),
+    )
+    corpus = kmeans_assign_topn(
+        e.where(F.col("vid") >= 25), cent, n=2
+    ).select(
+        F.col("vid").alias("vec_id"),
+        F.col("v").alias("embedding"),
+        F.col("cid").alias("cell"),
+    )
+    res = S.semantic_screen_ivf(corpus, refs, cell_col="cell", threshold=0.4)
+    return res.select(
+        "vec_id",
+        F.round("max_cosine", 6).alias("max_cosine"),
+        "n_hits",
+        "contaminated",
+    ).orderBy("vec_id")

@@ -722,3 +722,149 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
     )
+
+
+# Query batch for the batched hybrid-retrieval plan: q0 is the single-
+# query plan's bag; the dense twins are embeddings 0/1/2.
+_RRF_QUERIES: dict[int, list[str]] = {
+    0: list(_BM25_TERMS),
+    1: ["stream", "window", "merge"],
+    2: ["customer", "query", "filter"],
+}
+_RRF_ALL_TERMS_SQL = ",".join(
+    f"'{t}'" for t in sorted({t for ts in _RRF_QUERIES.values() for t in ts})
+)
+_RRF_QTERMS_SQL = ",".join(
+    f"({q},'{t}')" for q, ts in sorted(_RRF_QUERIES.items()) for t in ts
+)
+
+
+@register(
+    "search_hybrid_rrf_batch",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_dl FROM toks),
+    qterms(q_id, term) AS (VALUES {_RRF_QTERMS_SQL}),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             unnest(list_filter(t, x -> list_contains([{_RRF_ALL_TERMS_SQL}], x))) AS term
+      FROM toks
+    ),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT doc_id, term,
+             ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+                                  / (total_dl::DOUBLE / n_docs))), 6) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT q.q_id, w.doc_id,
+             CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) AS bm25
+      FROM w JOIN qterms q USING (term) GROUP BY q.q_id, w.doc_id
+    ),
+    lex AS (
+      SELECT q_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM bm
+    ),
+    raw AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM raw
+    ),
+    qv AS (
+      SELECT CAST(vec_id AS INTEGER) AS q_id, u AS qu
+      FROM e WHERE vec_id < 3
+    ),
+    vec AS (
+      SELECT q_id, vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY list_dot_product(u, qu) DESC, vec_id) AS r_vec
+      FROM e CROSS JOIN qv
+    ),
+    fused AS (
+      SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.r_lex, v.r_vec,
+             COALESCE(1.0 / (60 + l.r_lex), 0)
+               + COALESCE(1.0 / (60 + v.r_vec), 0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+    ),
+    topr AS (
+      SELECT q_id, doc_id, r_lex, r_vec, rrf,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    )
+    SELECT q_id, doc_id, r_lex, r_vec, ROUND(rrf, 6) AS rrf
+    FROM topr WHERE rk <= 5 ORDER BY q_id, doc_id
+    """,
+    doc="BATCHED hybrid retrieval with Reciprocal Rank Fusion (the "
+    "query-relation generalization of search_hybrid_rrf): three "
+    "queries — each a BM25 term bag paired with a dense query "
+    "embedding (vec_id 0/1/2) — fused per query by rrf = sum "
+    "1/(60+rank), top-5 per query. ONE corpus scan scores all "
+    "lexical bags (operators/text.py:bm25_scores_multi — postings "
+    "join a broadcast query-dimension (q_id, term) relation); every "
+    "per-query ranking is an EXACT DISTRIBUTED rank via "
+    "operators/stats.py:grouped_row_numbers (one global_row_numbers "
+    "pass over the (q_id, score) composite order + a |queries|-sized "
+    "offset join) — NEVER a q_id-partitioned window, which is "
+    "lint-clean but still funnels |corpus| rows per query through "
+    "one task. A doc missing from a query's lexical list contributes "
+    "only its vector rank (full outer join + coalesce). At 100 TB the "
+    "dense side ranks ANN candidates (ann_topk_ivf) per query; the "
+    "fusion and rank machinery are unchanged (EXT, retrieval)",
+    tags=("text", "similarity", "pipeline"),
+)
+def search_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import vec_dot, with_unit_vector
+    from ..operators.stats import grouped_row_numbers
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = T.bm25_scores_multi(docs, _RRF_QUERIES)
+    lex = grouped_row_numbers(
+        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex"
+    ).select("q_id", "doc_id", "r_lex")
+
+    emb = with_unit_vector(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "__u"
+    )
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("q_id"), F.col("__u").alias("__qu")
+    )
+    scored = emb.crossJoin(F.broadcast(qv)).withColumn(
+        "cosine", vec_dot("__u", "__qu")
+    )
+    vec = grouped_row_numbers(
+        scored, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], out_col="r_vec"
+    ).select("q_id", F.col("vec_id").alias("doc_id"), "r_vec")
+
+    fused = lex.join(vec, ["q_id", "doc_id"], "full").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)),
+    )
+    top = grouped_row_numbers(
+        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk"
+    )
+    return (
+        top.where(F.col("__rk") <= 5)
+        .select(
+            "q_id", "doc_id", "r_lex", "r_vec", F.round("rrf", 6).alias("rrf")
+        )
+        .orderBy("q_id", "doc_id")
+    )

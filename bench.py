@@ -162,6 +162,14 @@ HEADLINE = [
     # BM25 + dense-cosine Reciprocal Rank Fusion over two exact
     # distributed ranks — the hybrid-search headline
     "search_hybrid_rrf",
+    # round-10 additions (name-hash grouping: only their own buckets
+    # gain a member): the batched RRF (one corpus scan for all query
+    # bags, grouped exact ranks), the IVF-pruned semantic screen (the
+    # recall/cost knob next to its brute sibling above), and the
+    # score-keyed retention pipeline
+    "search_hybrid_rrf_batch",
+    "pipeline_semantic_decontaminate_ivf",
+    "dedup_keep_best_scored",
 ]
 
 

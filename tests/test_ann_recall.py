@@ -115,3 +115,75 @@ def test_semantic_screen_counts_multiple_hits_and_covers_all_rows(spark):
     rows = semantic_screen(corpus, refs, threshold=0.7).collect()
     assert len(rows) == 1  # one output row per corpus vector, always
     assert rows[0]["n_hits"] == 2 and rows[0]["contaminated"] == 1
+
+
+def test_semantic_screen_rejects_empty_refs(spark):
+    # An empty eval suite must be a loud error, not a silently empty
+    # audit trail (the crossJoin/equi-join would otherwise drop every
+    # corpus row from the result).
+    import pytest as _pytest
+
+    from aics_dask_utils_spark.operators.similarity import (
+        semantic_screen,
+        semantic_screen_ivf,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    empty = corpus.where("vec_id < 0")
+    with _pytest.raises(ValueError, match="refs must be non-empty"):
+        semantic_screen(corpus, empty)
+    with _pytest.raises(ValueError, match="refs must be non-empty"):
+        semantic_screen_ivf(corpus, empty)
+
+
+def test_semantic_screen_ivf_keeps_unprobed_rows_in_audit_trail(spark):
+    # A corpus row whose cell holds no reference must survive the LEFT
+    # join: uncontaminated, n_hits 0, max_cosine NULL — never dropped.
+    from aics_dask_utils_spark.operators.similarity import semantic_screen_ivf
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 0),  # cell 0: has a ref, identical
+            (11, [1.0, 0.0], 1),  # cell 1: no refs at all
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    refs = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_screen_ivf(corpus, refs, threshold=0.9).collect()
+    }
+    assert len(got) == 2
+    assert got[10]["contaminated"] == 1 and got[10]["n_hits"] == 1
+    assert got[11]["contaminated"] == 0 and got[11]["n_hits"] == 0
+    assert got[11]["max_cosine"] is None
+
+
+def _contaminated_set(spark, sf_dir, name):
+    return {
+        r["vec_id"]
+        for r in all_plans()[name].fn(spark, sf_dir).collect()
+        if r["contaminated"] == 1
+    }
+
+
+def test_ivf_decontamination_is_a_subset_with_recall_floor(spark, sf_dir):
+    # The IVF screen only ever REMOVES comparisons, so its contaminated
+    # set must be a subset of the full screen's (no spurious flags),
+    # and the 2-of-4-probe-cell prune must keep measured contamination
+    # recall above the floor (0.67/1.0/0.70 observed at sf0.001/0.01/
+    # 0.1 — the same regime as the learned-IVF ANN floor).
+    full = _contaminated_set(spark, sf_dir, "pipeline_semantic_decontaminate")
+    ivf = _contaminated_set(
+        spark, sf_dir, "pipeline_semantic_decontaminate_ivf"
+    )
+    assert ivf <= full, ivf - full
+    assert full, "full screen found nothing — fixture drifted"
+    recall = len(ivf & full) / len(full)
+    assert recall >= 0.6, recall

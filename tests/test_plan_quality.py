@@ -545,6 +545,11 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("operators/text.py", "dfreq"):
         "contract: one row per term of a fixed query",
     ("operators/text.py", "n_docs"): "scalar: 1-row document count",
+    ("operators/text.py", "qrel"):
+        "contract: (q_id, term) rows of a fixed query batch — "
+        "query-dimension-sized, scale-independent of the corpus",
+    ("plans/text.py", "qv"):
+        "contract: 3 query embeddings (vec_id < 3 pushed filter)",
     ("plans/clustering.py", "q"): "contract: query side",
     ("plans/clustering.py", "probes"): "contract: |queries| x nprobe cells",
     ("plans/events_windows.py", "stats"): "grid: one row per event_type",
@@ -1001,3 +1006,52 @@ def test_gini_rank_never_single_partition_sorts_data(spark, sf_dir):
     # at most the final 1-row agg + the counts prefix-sum go single-
     # partition; the data relation itself never does
     assert plan.count("Arguments: SinglePartition") <= 2, plan
+
+
+def test_hybrid_rrf_batch_matches_single_query_plan(spark, sf_dir):
+    # Batch-vs-single consistency: query 0 of the batch IS the single-
+    # query plan's (bag, embedding) pair, and BM25 df / corpus stats are
+    # query-independent — so on every doc_id both plans surface, the
+    # lexical rank, vector rank, and fused score must agree exactly.
+    single = {
+        r["doc_id"]: r
+        for r in all_plans()["search_hybrid_rrf"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        r["doc_id"]: r
+        for r in all_plans()["search_hybrid_rrf_batch"]
+        .fn(spark, sf_dir)
+        .collect()
+        if r["q_id"] == 0
+    }
+    shared = set(single) & set(batch)
+    assert shared, "no overlap between single and batch top lists"
+    for d in shared:
+        assert single[d]["r_lex"] == batch[d]["r_lex"], d
+        assert single[d]["r_vec"] == batch[d]["r_vec"], d
+        assert single[d]["rrf"] == batch[d]["rrf"], d
+
+
+def test_hybrid_rrf_batch_never_single_partition_sorts_data(spark, sf_dir):
+    # Every per-query ranking must be the two-phase range-partitioned
+    # grouped_row_numbers form: range exchanges leading with q_id on
+    # the composite (q_id, score) order for all three DATA rankings
+    # (lexical, vector, fused); unpartitioned windows only over the
+    # tiny per-partition counts relations. The lexical side must scan
+    # the documents parquet exactly twice — postings (persisted, reused
+    # for df) + the corpus-stats aggregate — exactly like the attested
+    # single-query bm25_scores shape, however many queries ride the
+    # batch.
+    import re
+
+    plan = _formatted(spark, "search_hybrid_rrf_batch", sf_dir)
+    range_parts = re.findall(r"rangepartitioning\(q_id\S*", plan)
+    assert len(set(range_parts)) >= 3, set(range_parts)
+    # unique scan NODES (the tree rendering repeats subtree refs)
+    doc_scan_ids = set()
+    for m in re.finditer(
+        r"\((\d+)\) Scan parquet[^\n]*\n(?:[^\n]*\n){1,6}", plan
+    ):
+        if "documents" in m.group(0):
+            doc_scan_ids.add(m.group(1))
+    assert len(doc_scan_ids) == 2, doc_scan_ids

@@ -619,3 +619,38 @@ def test_decimal_moment_ols_matches_numpy(spark, pts):
     assert math.isclose(slope, ref_slope, rel_tol=0, abs_tol=1e-4 * scale)
     scale_i = max(abs(ref_intercept), 1.0)
     assert math.isclose(intercept, ref_intercept, rel_tol=0, abs_tol=1e-4 * scale_i)
+
+
+def test_keep_best_picks_max_score_min_id_and_flags_everyone(spark):
+    # The retention core: per unit, exactly one kept=1 winner — the max
+    # score, ties to the smallest id — and every member survives in the
+    # audit trail with its flag.
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators.dedup import keep_best
+
+    members = spark.createDataFrame(
+        [
+            (1, 100, 0.5),
+            (2, 100, 0.9),   # winner of unit 100
+            (3, 100, 0.9),   # same score, larger id -> loses the tie
+            (7, 200, 0.1),   # singleton unit
+        ],
+        "doc_id long, unit long, score double",
+    )
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in keep_best(
+            members, unit_col="unit", id_col="doc_id", score_col="score"
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 0, 7: 1}
+    # exactly one winner per unit
+    kept = keep_best(
+        members, unit_col="unit", id_col="doc_id", score_col="score"
+    )
+    per_unit = {
+        r["unit"]: r["n"]
+        for r in kept.groupBy("unit").agg(F.sum("kept").alias("n")).collect()
+    }
+    assert per_unit == {100: 1, 200: 1}

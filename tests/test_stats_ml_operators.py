@@ -603,3 +603,54 @@ def test_cusum_degenerate_yields_null(spark):
     got = {r["g"]: r for r in cusum_changepoint(df, "g", "t", "v").collect()}
     assert got["a"]["cusum_stat"] is None  # zero variance
     assert got["b"]["cusum_stat"] is None  # single point
+
+
+def test_grouped_row_numbers_matches_partitioned_window(spark):
+    # Differential: the distributed per-group rank must equal the
+    # single-task-per-group row_number().over(partitionBy(g).orderBy(o))
+    # it replaces, on a skewed layout (one big group, one singleton).
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators.stats import grouped_row_numbers
+
+    rng = random.Random(7)
+    rows = [(i % 3 if i < 59 else 99, rng.randint(0, 9), i) for i in range(60)]
+    df = spark.createDataFrame(rows, "g int, v int, id long")
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        (r["g"], r["id"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = {
+        (r["g"], r["id"]): r["i"]
+        for r in grouped_row_numbers(
+            df, ["g"], [F.desc("v"), F.asc("id")], num_partitions=7
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_row_numbers_partition_count_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators.stats import grouped_row_numbers
+
+    df = spark.createDataFrame(
+        [(i % 4, (i * 13) % 11, i) for i in range(50)], "g int, v int, id long"
+    )
+    a = {
+        (r["g"], r["id"]): r["i"]
+        for r in grouped_row_numbers(
+            df, ["g"], ["v", "id"], num_partitions=2
+        ).collect()
+    }
+    b = {
+        (r["g"], r["id"]): r["i"]
+        for r in grouped_row_numbers(
+            df, ["g"], ["v", "id"], num_partitions=13
+        ).collect()
+    }
+    assert a == b
