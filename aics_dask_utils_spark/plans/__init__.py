@@ -92,28 +92,42 @@ def register(
 #       kmeans_assign_topn now carries the vector through its output
 #       so probe-side consumers skip a vid self-join (values
 #       unchanged — re-validated vs oracle at sf0.001/0.01/0.1).
-#   slots 7-14: the 8 remaining round-3-attested names — the oldest
+#   slots 4-5 (late-r10 must-attest additions, annotated inline
+#     below): search_hybrid_rrf_batch_ann, dedup_keep_best_source.
+#   slots 9-16: the 8 remaining round-3-attested names — the oldest
 #     green rows left (source/stream roundtrips, chunker, quality
 #     gate, Arrow/UDTF UDFs).
-#   slots 15-50: the 36 alphabetically-first of the 41 round-4-
-#     attested plans. The last 5 (text_pii_redact, topk_per_group,
-#     udf_map_in_pandas, udtf_sql_table_function, window_distribution)
-#     rotate in r11 — deterministic rule: oldest round first, then
-#     name.
+#   slots 17-50: the 34 alphabetically-first of the 41 round-4-
+#     attested plans. The last 7 (text_fingerprint, text_langid,
+#     text_pii_redact, topk_per_group, udf_map_in_pandas,
+#     udtf_sql_table_function, window_distribution) rotate in r11 —
+#     deterministic rule: oldest round first, then name.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
 # green) in registration order. ``WINDOW_CRITICAL`` below is guard-
 # tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-6: must-attest (new plans + r10 code changes) --
+    # -- slots 1-8: must-attest (new plans + r10 code changes) --
     "search_hybrid_rrf_batch",
     "pipeline_semantic_decontaminate_ivf",
     "dedup_keep_best_scored",
+    # late-r10 additions (displacing the two alphabetically-last
+    # round-4 rotation names, text_fingerprint/text_langid, to the
+    # r11 head — docs/round11_queue.md):
+    #   search_hybrid_rrf_batch_ann — the batched hybrid RRF with an
+    #     IVF (trained-quantizer, 2-probe) dense side: the documented
+    #     100 TB retrieval shape end-to-end, dense recall pinned vs
+    #     the exact batch plan in tests/test_ann_recall.py;
+    #   dedup_keep_best_source — the third keep-best retention policy
+    #     (provenance tier: curated > web > crawl, length tiebreak)
+    #     on the same shared max_by core.
+    "search_hybrid_rrf_batch_ann",
+    "dedup_keep_best_source",
     "dedup_keep_best_quality",
     "pipeline_semantic_decontaminate",
     "ann_topk_multiprobe",
-    # -- slots 7-14: round-3-attested residue (the last 8) --
+    # -- slots 9-16: round-3-attested residue (the last 8) --
     "source_sequences_roundtrip",
     "source_text_roundtrip",
     "stream_hll_rollup_exec",
@@ -122,7 +136,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_quality_gate",
     "udf_apply_in_arrow",
     "udf_python_udtf",
-    # -- slots 15-50: oldest round-4-attested residue (first 36) --
+    # -- slots 17-50: oldest round-4-attested residue (first 34) --
     "agg_cms_heavy_hitters",
     "agg_listagg_report",
     "agg_regression_per_group",
@@ -157,8 +171,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "stream_stream_full_outer_join_exec",
     "stream_stream_left_join_exec",
     "stream_update_mode_exec",
-    "text_fingerprint",
-    "text_langid",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
@@ -170,6 +182,8 @@ WINDOW_CRITICAL: frozenset[str] = frozenset({
     "search_hybrid_rrf_batch",
     "pipeline_semantic_decontaminate_ivf",
     "dedup_keep_best_scored",
+    "search_hybrid_rrf_batch_ann",
+    "dedup_keep_best_source",
     "dedup_keep_best_quality",
     "pipeline_semantic_decontaminate",
     "ann_topk_multiprobe",

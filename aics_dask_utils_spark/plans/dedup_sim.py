@@ -1166,3 +1166,97 @@ def pipeline_semantic_decontaminate_ivf(
         "n_hits",
         "contaminated",
     ).orderBy("vec_id")
+
+
+# Source-priority tiers for the retention-policy matrix. The map is a
+# PLUGGABLE policy constant (a production pipeline would load its own
+# curated/licensed/crawl tiering); the driver tables carry 20 synthetic
+# sources, tiered here deterministically.
+_SRC_CURATED = ("src0", "src1", "src2", "src3")
+_SRC_WEB = tuple(f"src{i}" for i in range(4, 12))
+_SRC_CURATED_SQL = ",".join(f"'{s}'" for s in _SRC_CURATED)
+_SRC_WEB_SQL = ",".join(f"'{s}'" for s in _SRC_WEB)
+
+
+@register(
+    "dedup_keep_best_source",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    und AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS unit
+      FROM reach GROUP BY a
+    ),
+    pr AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN source IN ({_SRC_CURATED_SQL}) THEN 3
+                  WHEN source IN ({_SRC_WEB_SQL}) THEN 2
+                  ELSE 1 END AS priority
+      FROM documents
+    ),
+    u AS (
+      SELECT p.doc_id, p.source, p.priority,
+             p.priority * 1000000 + p.n_chars AS retention_key,
+             COALESCE(c.unit, p.doc_id) AS unit
+      FROM pr p LEFT JOIN comp c USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, unit, source, priority,
+             ROW_NUMBER() OVER (PARTITION BY unit
+                                ORDER BY retention_key DESC, doc_id) AS rn
+      FROM u
+    )
+    SELECT doc_id, unit, source, priority, CAST(rn = 1 AS INT) AS kept
+    FROM ranked ORDER BY doc_id
+    """,
+    doc="source-PRIORITY retention per near-dup cluster (E31 "
+    "composition) — the third member of the keep-best policy matrix "
+    "(longest: dedup_keep_best_quality; best-scored: "
+    "dedup_keep_best_scored; canonical-source: this plan). Each "
+    "near-dup connected component keeps the member from the "
+    "highest-priority source tier (curated > web > crawl — the "
+    "licensing/provenance policy production corpora dedup by: the "
+    "licensed canonical copy survives, its crawled mirrors die), "
+    "tie-broken by length then doc_id via one integer retention key "
+    "(priority*1e6 + n_chars — n_chars is bounded far below 1e6, so "
+    "the composite is a total lexicographic order in one BIGINT). "
+    "documents has no timestamp column, so the r10-queue 'freshest' "
+    "variant is expressed as this provenance tier instead — the same "
+    "pluggable-key shape. Same minhash_lsh_pairs + "
+    "connected_components_star unit relation and the same shared "
+    "operators/dedup.py:keep_best core as its two siblings — the "
+    "winner is a partial-aggregable max_by(doc_id, (key, -doc_id)), "
+    "never a component-partitioned window, so a corpus-wide template "
+    "mega-cluster collapses map-side (EXT, LLM pipeline)",
+    tags=("dedup", "pipeline", "iterative"),
+)
+def dedup_keep_best_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    keyed = docs.withColumn(
+        "priority",
+        F.when(F.col("source").isin(*_SRC_CURATED), F.lit(3))
+        .when(F.col("source").isin(*_SRC_WEB), F.lit(2))
+        .otherwise(F.lit(1)),
+    ).withColumn(
+        "retention_key",
+        F.col("priority") * F.lit(1000000) + F.col("n_chars"),
+    )
+    t = _component_units(spark, sf_dir).join(keyed, "doc_id")
+    return (
+        D.keep_best(
+            t, unit_col="unit", id_col="doc_id", score_col="retention_key"
+        )
+        .select("doc_id", "unit", "source", "priority", "kept")
+        .orderBy("doc_id")
+    )

@@ -868,3 +868,186 @@ def search_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "doc_id")
     )
+
+
+def _hybrid_ann_kmeans_ctes() -> str:
+    """Trained-quantizer CTEs for the batch-ANN hybrid oracle — the
+    attested k-means chain (plans/clustering.py:_kmeans_ctes)."""
+    from .clustering import _kmeans_ctes
+
+    return _kmeans_ctes(k=4, iters=2, final_assign=True)
+
+
+@register(
+    "search_hybrid_rrf_batch_ann",
+    oracle=rf"""
+    WITH {{kmeans}},
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_dl FROM toks),
+    qterms(q_id, term) AS (VALUES {{qterms}}),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             unnest(list_filter(t, x -> list_contains([{{all_terms}}], x))) AS term
+      FROM toks
+    ),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT doc_id, term,
+             ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+                                  / (total_dl::DOUBLE / n_docs))), 6) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT q.q_id, w.doc_id,
+             CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) AS bm25
+      FROM w JOIN qterms q USING (term) GROUP BY q.q_id, w.doc_id
+    ),
+    lex AS (
+      SELECT q_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM bm
+    ),
+    u AS (
+      SELECT vid, cid,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM a3
+    ),
+    qprobe AS (
+      SELECT CAST(vid AS INTEGER) AS q_id, cid AS cell FROM (
+        SELECT vid, cid,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist2, cid) AS rn
+        FROM s3
+      ) WHERE rn <= 2 AND vid < 3
+    ),
+    qv AS (
+      SELECT CAST(vid AS INTEGER) AS q_id, u AS qu
+      FROM u WHERE vid < 3
+    ),
+    cand AS (
+      SELECT p.q_id, c.vid AS doc_id, list_dot_product(q.qu, c.u) AS cosine
+      FROM qprobe p
+      JOIN u c ON c.cid = p.cell
+      JOIN qv q ON q.q_id = p.q_id
+    ),
+    vec AS (
+      SELECT q_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, doc_id) AS r_vec
+      FROM cand
+    ),
+    fused AS (
+      SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.r_lex, v.r_vec,
+             COALESCE(1.0 / (60 + l.r_lex), 0)
+               + COALESCE(1.0 / (60 + v.r_vec), 0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+    ),
+    topr AS (
+      SELECT q_id, doc_id, r_lex, r_vec, rrf,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    )
+    SELECT q_id, doc_id, r_lex, r_vec, ROUND(rrf, 6) AS rrf
+    FROM topr WHERE rk <= 5 ORDER BY q_id, doc_id
+    """.format(
+        kmeans=_hybrid_ann_kmeans_ctes(),
+        qterms=_RRF_QTERMS_SQL,
+        all_terms=_RRF_ALL_TERMS_SQL,
+    ),
+    doc="batched hybrid RRF with an ANN DENSE SIDE (the end-to-end "
+    "100 TB shape search_hybrid_rrf_batch documents): the same three "
+    "(BM25 bag, dense query embedding) queries, but each query's "
+    "vector ranking covers only its IVF CANDIDATE SET — the corpus "
+    "vectors whose trained-quantizer cell (k=4, 2 Lloyd rounds, the "
+    "attested kmeans_centroids chain) is among the query's TWO "
+    "nearest cells (kmeans_assign_topn multiprobe, the attested "
+    "ann_topk_multiprobe machinery) — instead of the full corpus. "
+    "Docs outside the probed cells contribute only their lexical "
+    "rank (full outer join + coalesce), exactly how a production "
+    "retrieval stack degrades: ANN recall loss shifts fused ranks, "
+    "it never drops lexical hits. Scale shape: ONE corpus text scan "
+    "for all BM25 bags (bm25_scores_multi), ONE corpus embedding "
+    "scan for assignment; candidates = cell-equi-join against a "
+    "broadcast query-dimension probe relation; every ranking is an "
+    "exact distributed grouped_row_numbers rank over the (bounded) "
+    "candidate relation — never a q_id-partitioned corpus window. "
+    "Dense-side recall vs the exact full-corpus ranking is pinned in "
+    "tests/test_ann_recall.py (EXT, retrieval)",
+    tags=("text", "similarity", "pipeline", "iterative"),
+)
+def search_hybrid_rrf_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.vectors import as_double_array, vec_dot
+    from ..operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_topn,
+        kmeans_centroids,
+    )
+    from ..operators.stats import grouped_row_numbers
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = T.bm25_scores_multi(docs, _RRF_QUERIES)
+    lex = grouped_row_numbers(
+        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex"
+    ).select("q_id", "doc_id", "r_lex")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("vec_id").alias("vid"), as_double_array("embedding").alias("v")
+    )
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=2)
+    nrm = F.sqrt(vec_dot("v", "v"))
+    # persisted: the query side and the corpus side both consume the
+    # assigned+normalized relation (same reason as ann_topk_multiprobe)
+    unit = (
+        kmeans_assign(e, cent)
+        .withColumn("u", F.transform("v", lambda x: x / nrm))
+        .select("vid", "cid", "u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    probes = kmeans_assign_topn(e.where(F.col("vid") < 3), cent, n=2).select(
+        F.col("vid").cast("int").alias("q_id"), F.col("cid").alias("cell")
+    )
+    qv = unit.where(F.col("vid") < 3).select(
+        F.col("vid").cast("int").alias("q_id"), F.col("u").alias("qu")
+    )
+    cand = (
+        unit.select(
+            F.col("vid").alias("doc_id"),
+            F.col("cid").alias("cell"),
+            F.col("u").alias("cu"),
+        )
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn("cosine", vec_dot("qu", "cu"))
+    )
+    vec = grouped_row_numbers(
+        cand, ["q_id"], [F.desc("cosine"), F.asc("doc_id")], out_col="r_vec"
+    ).select("q_id", "doc_id", "r_vec")
+
+    fused = lex.join(vec, ["q_id", "doc_id"], "full").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)),
+    )
+    top = grouped_row_numbers(
+        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk"
+    )
+    return (
+        top.where(F.col("__rk") <= 5)
+        .select(
+            "q_id", "doc_id", "r_lex", "r_vec", F.round("rrf", 6).alias("rrf")
+        )
+        .orderBy("q_id", "doc_id")
+    )

@@ -170,6 +170,11 @@ HEADLINE = [
     "search_hybrid_rrf_batch",
     "pipeline_semantic_decontaminate_ivf",
     "dedup_keep_best_scored",
+    # late round-10 additions (own name-hash buckets): the batched RRF
+    # with an IVF dense side — the end-to-end 100 TB retrieval shape —
+    # and the provenance-tier retention policy
+    "search_hybrid_rrf_batch_ann",
+    "dedup_keep_best_source",
 ]
 
 

@@ -187,3 +187,89 @@ def test_ivf_decontamination_is_a_subset_with_recall_floor(spark, sf_dir):
     assert full, "full screen found nothing — fixture drifted"
     recall = len(ivf & full) / len(full)
     assert recall >= 0.6, recall
+
+
+def test_ivf_decontamination_nprobe_monotone_and_exhaustive_at_k(spark, sf_dir):
+    # The n-probe knob's contract, measured (the r10-queue recall
+    # curve): probing more cells only ADDS comparisons, so the
+    # contaminated sets must form a subset chain in n_probe, and
+    # probing ALL k=4 cells must reproduce the full screen exactly
+    # (every corpus row then compares against every reference).
+    # Measured recall curve at sf0.01: n=1 -> 0.?, n=2 -> 1.0 (the
+    # plan's pinned floor), n=4 -> 1.0 by construction.
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.functions.vectors import as_double_array
+    from aics_dask_utils_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_topn,
+        kmeans_centroids,
+    )
+    from aics_dask_utils_spark.operators.similarity import semantic_screen_ivf
+    from aics_dask_utils_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("vec_id").alias("vid"), as_double_array("embedding").alias("v")
+    )
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=2)
+    refs = kmeans_assign(e.where(F.col("vid") < 25), cent).select(
+        F.col("vid").alias("vec_id"),
+        F.col("v").alias("embedding"),
+        F.col("cid").alias("cell"),
+    )
+
+    def contaminated(n_probe):
+        corpus = kmeans_assign_topn(
+            e.where(F.col("vid") >= 25), cent, n=n_probe
+        ).select(
+            F.col("vid").alias("vec_id"),
+            F.col("v").alias("embedding"),
+            F.col("cid").alias("cell"),
+        )
+        res = semantic_screen_ivf(corpus, refs, cell_col="cell", threshold=0.4)
+        return {r["vec_id"] for r in res.collect() if r["contaminated"] == 1}
+
+    full = _contaminated_set(spark, sf_dir, "pipeline_semantic_decontaminate")
+    assert full, "full screen found nothing — fixture drifted"
+    c1, c2, c4 = contaminated(1), contaminated(2), contaminated(4)
+    assert c1 <= c2 <= c4, "probe widening must only add flags"
+    assert c4 == full, "probing all cells must equal the full screen"
+    # the plan ships n=2; its measured recall floor is pinned in
+    # test_ivf_decontamination_is_a_subset_with_recall_floor
+    assert len(c2 & full) / len(full) >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# batched hybrid RRF: the ANN dense side vs the exact dense side
+# ---------------------------------------------------------------------------
+
+
+def _fused_top5(spark, sf_dir, name):
+    rows = all_plans()[name].fn(spark, sf_dir).collect()
+    by_q, lex = {}, {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], set()).add(r["doc_id"])
+        lex[(r["q_id"], r["doc_id"])] = r["r_lex"]
+    return by_q, lex
+
+
+def test_hybrid_batch_ann_prunes_without_losing_the_lexical_side(
+    spark, sf_dir
+):
+    # The IVF dense side may shift fused ranks (that's the documented
+    # recall/cost trade) but must never (a) lose a query, (b) disagree
+    # with the exact plan on any lexical rank it reports, or (c) drop
+    # fused top-5 overlap below the measured floor.
+    exact_top, exact_lex = _fused_top5(spark, sf_dir, "search_hybrid_rrf_batch")
+    ann_top, ann_lex = _fused_top5(
+        spark, sf_dir, "search_hybrid_rrf_batch_ann"
+    )
+    assert set(exact_top) == set(ann_top) == {0, 1, 2}
+    for key, rl in ann_lex.items():
+        if key in exact_lex and rl is not None and exact_lex[key] is not None:
+            assert rl == exact_lex[key], key
+    rec = sum(
+        len(exact_top[q] & ann_top[q]) / len(exact_top[q]) for q in exact_top
+    ) / len(exact_top)
+    assert rec >= 0.5, rec

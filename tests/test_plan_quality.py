@@ -550,6 +550,9 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "query-dimension-sized, scale-independent of the corpus",
     ("plans/text.py", "qv"):
         "contract: 3 query embeddings (vec_id < 3 pushed filter)",
+    ("plans/text.py", "probes"):
+        "contract: |queries| x nprobe cells (3 x 2 rows — the "
+        "hybrid-ANN probe relation, query-dimension-sized)",
     ("plans/clustering.py", "q"): "contract: query side",
     ("plans/clustering.py", "probes"): "contract: |queries| x nprobe cells",
     ("plans/events_windows.py", "stats"): "grid: one row per event_type",
