@@ -92,23 +92,25 @@ def register(
 #       kmeans_assign_topn now carries the vector through its output
 #       so probe-side consumers skip a vid self-join (values
 #       unchanged — re-validated vs oracle at sf0.001/0.01/0.1).
-#   slots 4-5 (late-r10 must-attest additions, annotated inline
-#     below): search_hybrid_rrf_batch_ann, dedup_keep_best_source.
-#   slots 9-16: the 8 remaining round-3-attested names — the oldest
+#   slots 4-6 (late-r10 must-attest additions, annotated inline
+#     below): search_hybrid_rrf_batch_ann, dedup_keep_best_source,
+#     pipeline_contamination_report.
+#   slots 10-17: the 8 remaining round-3-attested names — the oldest
 #     green rows left (source/stream roundtrips, chunker, quality
 #     gate, Arrow/UDTF UDFs).
-#   slots 17-50: the 34 alphabetically-first of the 41 round-4-
-#     attested plans. The last 7 (text_fingerprint, text_langid,
-#     text_pii_redact, topk_per_group, udf_map_in_pandas,
-#     udtf_sql_table_function, window_distribution) rotate in r11 —
-#     deterministic rule: oldest round first, then name.
+#   slots 18-50: the 33 alphabetically-first of the 41 round-4-
+#     attested plans. The last 8 (stream_update_mode_exec,
+#     text_fingerprint, text_langid, text_pii_redact, topk_per_group,
+#     udf_map_in_pandas, udtf_sql_table_function,
+#     window_distribution) rotate in r11 — deterministic rule:
+#     oldest round first, then name.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
 # green) in registration order. ``WINDOW_CRITICAL`` below is guard-
 # tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-8: must-attest (new plans + r10 code changes) --
+    # -- slots 1-9: must-attest (new plans + r10 code changes) --
     "search_hybrid_rrf_batch",
     "pipeline_semantic_decontaminate_ivf",
     "dedup_keep_best_scored",
@@ -121,13 +123,20 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     #     the exact batch plan in tests/test_ann_recall.py;
     #   dedup_keep_best_source — the third keep-best retention policy
     #     (provenance tier: curated > web > crawl, length tiebreak)
-    #     on the same shared max_by core.
+    #     on the same shared max_by core;
+    #   pipeline_contamination_report — the 5-gram and semantic
+    #     screens joined FULL OUTER per doc with a four-way verdict
+    #     (both/ngram/semantic/clean): the audit artifact a
+    #     decontamination pipeline ships (displaces
+    #     stream_update_mode_exec, the next alphabetically-last
+    #     round-4 rotation name, to the r11 head).
     "search_hybrid_rrf_batch_ann",
     "dedup_keep_best_source",
+    "pipeline_contamination_report",
     "dedup_keep_best_quality",
     "pipeline_semantic_decontaminate",
     "ann_topk_multiprobe",
-    # -- slots 9-16: round-3-attested residue (the last 8) --
+    # -- slots 10-17: round-3-attested residue (the last 8) --
     "source_sequences_roundtrip",
     "source_text_roundtrip",
     "stream_hll_rollup_exec",
@@ -136,7 +145,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_quality_gate",
     "udf_apply_in_arrow",
     "udf_python_udtf",
-    # -- slots 17-50: oldest round-4-attested residue (first 34) --
+    # -- slots 18-50: oldest round-4-attested residue (first 33) --
     "agg_cms_heavy_hitters",
     "agg_listagg_report",
     "agg_regression_per_group",
@@ -170,7 +179,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "stream_foreach_batch_exec",
     "stream_stream_full_outer_join_exec",
     "stream_stream_left_join_exec",
-    "stream_update_mode_exec",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
@@ -184,6 +192,7 @@ WINDOW_CRITICAL: frozenset[str] = frozenset({
     "dedup_keep_best_scored",
     "search_hybrid_rrf_batch_ann",
     "dedup_keep_best_source",
+    "pipeline_contamination_report",
     "dedup_keep_best_quality",
     "pipeline_semantic_decontaminate",
     "ann_topk_multiprobe",

@@ -1146,3 +1146,117 @@ def pipeline_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source", "n_chars").orderBy(
         "source", "doc_id"
     )
+
+
+def _semantic_unit_cte() -> str:
+    """The semantic screen's normalized-embedding CTE fragment
+    (plans/dedup_sim.py:_UNIT_CTE) — names (raw, e) are disjoint from
+    the 5-gram screen's (grams, eval_ng, train, hits)."""
+    from .dedup_sim import _UNIT_CTE
+
+    return _UNIT_CTE
+
+
+@register(
+    "pipeline_contamination_report",
+    oracle=rf"""
+    WITH grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+                 range(1, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 3),
+                 i -> array_to_string(
+                        (regexp_split_to_array(lower(trim(text)), '\s+'))[i:i+4], ' ')
+             )) AS ngs
+      FROM documents
+    ),
+    eval_ng AS (
+      SELECT DISTINCT unnest(ngs) AS ng FROM grams WHERE source = '{EVAL_SOURCE}'
+    ),
+    train AS (SELECT doc_id, ngs FROM grams WHERE source <> '{EVAL_SOURCE}'),
+    hits AS (
+      SELECT tr.doc_id, COUNT(*) AS n_contaminated
+      FROM (SELECT doc_id, unnest(ngs) AS ng FROM train) tr
+      JOIN eval_ng USING (ng)
+      GROUP BY tr.doc_id
+    ),
+    ngrep AS (
+      SELECT t.doc_id,
+             CAST(COALESCE(h.n_contaminated, 0) > 0 AS INT)
+               AS ngram_contaminated,
+             ROUND(COALESCE(h.n_contaminated, 0)::DOUBLE / len(t.ngs), 6)
+               AS contamination_ratio_r6
+      FROM train t LEFT JOIN hits h USING (doc_id)
+    ),
+    {{unit}},
+    q AS (SELECT vec_id AS r_id, u AS ru FROM e WHERE vec_id < 25),
+    c AS (SELECT vec_id, u FROM e WHERE vec_id >= 25),
+    scored AS (
+      SELECT c.vec_id, list_dot_product(c.u, q.ru) AS cosine
+      FROM c CROSS JOIN q
+    ),
+    sem AS (
+      SELECT vec_id,
+             ROUND(MAX(cosine), 6) AS max_cosine_r6,
+             CAST((COUNT(*) FILTER (WHERE cosine >= 0.4)) > 0 AS INT)
+               AS semantic_contaminated
+      FROM scored GROUP BY vec_id
+    )
+    SELECT COALESCE(n.doc_id, s.vec_id) AS doc_id,
+           n.ngram_contaminated,
+           n.contamination_ratio_r6,
+           s.semantic_contaminated,
+           s.max_cosine_r6,
+           CASE WHEN COALESCE(n.ngram_contaminated, 0) = 1
+                 AND COALESCE(s.semantic_contaminated, 0) = 1 THEN 'both'
+                WHEN COALESCE(n.ngram_contaminated, 0) = 1 THEN 'ngram'
+                WHEN COALESCE(s.semantic_contaminated, 0) = 1 THEN 'semantic'
+                ELSE 'clean' END AS verdict
+    FROM ngrep n FULL OUTER JOIN sem s ON n.doc_id = s.vec_id
+    ORDER BY doc_id
+    """.format(unit=_semantic_unit_cte()),
+    doc="per-document contamination REPORT (E48 capstone): the audit "
+    "artifact a decontamination pipeline actually ships — the 5-gram "
+    "lexical screen (text_decontaminate: distinct 5-gram overlap vs "
+    "the broadcast src0 eval split) and the embedding-space semantic "
+    "screen (pipeline_semantic_decontaminate: max cosine vs the "
+    "broadcast vec_id<25 eval set) joined FULL OUTER per document, "
+    "with a four-way verdict (both / ngram / semantic / clean). A doc "
+    "outside one screen's corpus definition keeps NULLs for that "
+    "screen's columns (the 'which screen even applied' dimension of "
+    "the audit), never drops; coalesced flags drive the verdict. "
+    "Scale shape: both screens are one narrow corpus scan each with "
+    "broadcast scale-independent eval sides and map-side partials, "
+    "and the final join is per-doc-keyed — no new shuffle class "
+    "beyond its two attested components (EXT, LLM pipeline)",
+    tags=("pipeline", "text", "similarity", "dedup"),
+)
+def pipeline_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_sim import pipeline_semantic_decontaminate as _sem_plan
+
+    ng = text_decontaminate(spark, sf_dir).select(
+        "doc_id",
+        F.col("contaminated").alias("ngram_contaminated"),
+        F.round("contamination_ratio", 6).alias("contamination_ratio_r6"),
+    )
+    sem = _sem_plan(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("contaminated").alias("semantic_contaminated"),
+        F.col("max_cosine").alias("max_cosine_r6"),
+    )
+    j = ng.join(sem, "doc_id", "full")
+    ng_flag = F.coalesce(F.col("ngram_contaminated"), F.lit(0))
+    sem_flag = F.coalesce(F.col("semantic_contaminated"), F.lit(0))
+    verdict = (
+        F.when((ng_flag == 1) & (sem_flag == 1), F.lit("both"))
+        .when(ng_flag == 1, F.lit("ngram"))
+        .when(sem_flag == 1, F.lit("semantic"))
+        .otherwise(F.lit("clean"))
+    )
+    return j.select(
+        "doc_id",
+        "ngram_contaminated",
+        "contamination_ratio_r6",
+        "semantic_contaminated",
+        "max_cosine_r6",
+        verdict.alias("verdict"),
+    ).orderBy("doc_id")

@@ -175,6 +175,8 @@ HEADLINE = [
     # and the provenance-tier retention policy
     "search_hybrid_rrf_batch_ann",
     "dedup_keep_best_source",
+    # the per-doc audit join of the 5-gram + semantic screens
+    "pipeline_contamination_report",
 ]
 
 
