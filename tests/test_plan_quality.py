@@ -1058,3 +1058,31 @@ def test_hybrid_rrf_batch_never_single_partition_sorts_data(spark, sf_dir):
         if "documents" in m.group(0):
             doc_scan_ids.add(m.group(1))
     assert len(doc_scan_ids) == 2, doc_scan_ids
+
+
+def test_hybrid_rrf_batch_ann_pruned_dense_side_plan_shape(spark, sf_dir):
+    # The ANN variant inherits the batch plan's contracts — >= 3
+    # distinct range-partitioned grouped ranks, documents scanned
+    # exactly twice — and must additionally keep its dense side
+    # CELL-PRUNED: the candidate relation is an equi-join on `cell`
+    # (shows up as cell join keys / cell hash-partitioning), never a
+    # corpus×queries cartesian. The only nested-loop join allowed is
+    # the k-centroid broadcast inside kmeans assignment.
+    import re
+
+    plan = _formatted(spark, "search_hybrid_rrf_batch_ann", sf_dir)
+    range_parts = re.findall(r"rangepartitioning\(q_id\S*", plan)
+    assert len(set(range_parts)) >= 3, set(range_parts)
+    doc_scan_ids = set()
+    for m in re.finditer(
+        r"\((\d+)\) Scan parquet[^\n]*\n(?:[^\n]*\n){1,6}", plan
+    ):
+        if "documents" in m.group(0):
+            doc_scan_ids.add(m.group(1))
+    assert len(doc_scan_ids) == 2, doc_scan_ids
+    # the probe relation joins candidates on the cell key (renders as
+    # the join's key detail lines), and nothing plans a cartesian
+    assert re.search(r"keys \[1\]: \[cell#", plan), (
+        "dense side lost its cell-equi-join pruning"
+    )
+    assert "CartesianProduct" not in plan
