@@ -92,14 +92,16 @@ def register(
 #       kmeans_assign_topn now carries the vector through its output
 #       so probe-side consumers skip a vid self-join (values
 #       unchanged — re-validated vs oracle at sf0.001/0.01/0.1).
-#   slots 4-6 (late-r10 must-attest additions, annotated inline
+#   slots 4-8 (late-r10 must-attest additions, annotated inline
 #     below): search_hybrid_rrf_batch_ann, dedup_keep_best_source,
-#     pipeline_contamination_report.
-#   slots 10-17: the 8 remaining round-3-attested names — the oldest
+#     pipeline_contamination_report, sample_mixture_weights,
+#     pipeline_dedup_card.
+#   slots 12-19: the 8 remaining round-3-attested names — the oldest
 #     green rows left (source/stream roundtrips, chunker, quality
 #     gate, Arrow/UDTF UDFs).
-#   slots 18-50: the 33 alphabetically-first of the 41 round-4-
-#     attested plans. The last 8 (stream_update_mode_exec,
+#   slots 20-50: the 31 alphabetically-first of the 41 round-4-
+#     attested plans. The last 10 (stream_stream_full_outer_join_exec,
+#     stream_stream_left_join_exec, stream_update_mode_exec,
 #     text_fingerprint, text_langid, text_pii_redact, topk_per_group,
 #     udf_map_in_pandas, udtf_sql_table_function,
 #     window_distribution) rotate in r11 — deterministic rule:
@@ -110,7 +112,7 @@ def register(
 # tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-9: must-attest (new plans + r10 code changes) --
+    # -- slots 1-11: must-attest (new plans + r10 code changes) --
     "search_hybrid_rrf_batch",
     "pipeline_semantic_decontaminate_ivf",
     "dedup_keep_best_scored",
@@ -130,13 +132,26 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     #     decontamination pipeline ships (displaces
     #     stream_update_mode_exec, the next alphabetically-last
     #     round-4 rotation name, to the r11 head).
+    #   sample_mixture_weights — temperature-based domain-mixture
+    #     solver (per-source token mass ^ tau, normalized; budget ->
+    #     effective epochs) — the GPT-3/LLaMA mixing rule as one
+    #     narrow scan + a source-dimension normalize;
+    #   pipeline_dedup_card — the dedup savings report: per
+    #     cluster-size units/docs/bytes-total/kept/dropped on the
+    #     shared CC-star unit relation (two shrinking partial-agg
+    #     groupBys, no window). These two displace the next two
+    #     alphabetically-last round-4 rotation names
+    #     (stream_stream_full_outer_join_exec,
+    #     stream_stream_left_join_exec) to the r11 head.
     "search_hybrid_rrf_batch_ann",
     "dedup_keep_best_source",
     "pipeline_contamination_report",
+    "sample_mixture_weights",
+    "pipeline_dedup_card",
     "dedup_keep_best_quality",
     "pipeline_semantic_decontaminate",
     "ann_topk_multiprobe",
-    # -- slots 10-17: round-3-attested residue (the last 8) --
+    # -- slots 12-19: round-3-attested residue (the last 8) --
     "source_sequences_roundtrip",
     "source_text_roundtrip",
     "stream_hll_rollup_exec",
@@ -145,7 +160,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_quality_gate",
     "udf_apply_in_arrow",
     "udf_python_udtf",
-    # -- slots 18-50: oldest round-4-attested residue (first 33) --
+    # -- slots 20-50: oldest round-4-attested residue (first 31) --
     "agg_cms_heavy_hitters",
     "agg_listagg_report",
     "agg_regression_per_group",
@@ -177,8 +192,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "source_xml_roundtrip",
     "sql_session_variables",
     "stream_foreach_batch_exec",
-    "stream_stream_full_outer_join_exec",
-    "stream_stream_left_join_exec",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
@@ -190,9 +203,22 @@ WINDOW_CRITICAL: frozenset[str] = frozenset({
     "search_hybrid_rrf_batch",
     "pipeline_semantic_decontaminate_ivf",
     "dedup_keep_best_scored",
+    #   sample_mixture_weights — temperature-based domain-mixture
+    #     solver (per-source token mass ^ tau, normalized; budget ->
+    #     effective epochs) — the GPT-3/LLaMA mixing rule as one
+    #     narrow scan + a source-dimension normalize;
+    #   pipeline_dedup_card — the dedup savings report: per
+    #     cluster-size units/docs/bytes-total/kept/dropped on the
+    #     shared CC-star unit relation (two shrinking partial-agg
+    #     groupBys, no window). These two displace the next two
+    #     alphabetically-last round-4 rotation names
+    #     (stream_stream_full_outer_join_exec,
+    #     stream_stream_left_join_exec) to the r11 head.
     "search_hybrid_rrf_batch_ann",
     "dedup_keep_best_source",
     "pipeline_contamination_report",
+    "sample_mixture_weights",
+    "pipeline_dedup_card",
     "dedup_keep_best_quality",
     "pipeline_semantic_decontaminate",
     "ann_topk_multiprobe",

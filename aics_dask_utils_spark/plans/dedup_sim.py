@@ -1260,3 +1260,76 @@ def dedup_keep_best_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "unit", "source", "priority", "kept")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pipeline_dedup_card",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    und AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS unit
+      FROM reach GROUP BY a
+    ),
+    u AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(c.unit, d.doc_id) AS unit
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    per_unit AS (
+      SELECT unit, COUNT(*) AS sz,
+             SUM(n_chars) AS bytes_total, MAX(n_chars) AS bytes_kept
+      FROM u GROUP BY unit
+    )
+    SELECT sz AS cluster_size,
+           COUNT(*) AS n_units,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(bytes_total) AS BIGINT) AS bytes_total,
+           CAST(SUM(bytes_kept) AS BIGINT) AS bytes_kept,
+           CAST(SUM(bytes_total) - SUM(bytes_kept) AS BIGINT)
+             AS bytes_dropped
+    FROM per_unit GROUP BY sz ORDER BY cluster_size
+    """,
+    doc="near-dup DEDUP CARD (E31/E52 composition): the savings report "
+    "a production dedup run publishes — per near-dup cluster SIZE "
+    "(singletons = size 1): how many clusters, how many documents, "
+    "total bytes, bytes kept under the keep-one-per-cluster policy "
+    "(the longest member — max n_chars per unit, matching "
+    "dedup_keep_best_quality's winner), and bytes dropped. Same "
+    "minhash_lsh_pairs + connected_components_star unit relation as "
+    "the retention/leakage-safe family; the per-unit rollup and the "
+    "size histogram are two partial-aggregable groupBys (unit-keyed "
+    "then size-keyed, each strictly smaller than the last) — no "
+    "window, no skew hazard even for a corpus-wide boilerplate "
+    "mega-cluster. The cluster-size distribution is the dedup-health "
+    "signal (a fat tail = template spam; mass at size 1 = clean "
+    "corpus) (EXT, LLM pipeline)",
+    tags=("dedup", "pipeline", "iterative"),
+)
+def pipeline_dedup_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = _component_units(spark, sf_dir).join(docs, "doc_id")
+    per_unit = t.groupBy("unit").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum("n_chars").alias("bytes_total"),
+        F.max("n_chars").alias("bytes_kept"),
+    )
+    return (
+        per_unit.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum("bytes_total").alias("bytes_total"),
+            F.sum("bytes_kept").alias("bytes_kept"),
+            (F.sum("bytes_total") - F.sum("bytes_kept")).alias("bytes_dropped"),
+        )
+        .orderBy("cluster_size")
+    )

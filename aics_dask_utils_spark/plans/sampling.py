@@ -506,3 +506,89 @@ def pipeline_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+#: Mixture-solver constants: sampling temperature and the target token
+#: budget the mixture allocates (plan-level policy constants, pluggable
+#: the way CAP_PER_SOURCE is).
+MIX_TEMPERATURE = 0.7
+MIX_TOKEN_BUDGET = 50_000
+
+
+@register(
+    "sample_mixture_weights",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY source
+    ),
+    powed AS (
+      SELECT source, n_docs, n_tokens,
+             ROUND(pow(n_tokens::DOUBLE, {MIX_TEMPERATURE}), 6) AS num
+      FROM per_src
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(num AS DECIMAL(30,6))) AS DOUBLE) AS total
+      FROM powed
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(num / total, 6) AS weight_r6,
+           ROUND({MIX_TOKEN_BUDGET} * (num / total) / n_tokens, 6)
+             AS epochs_r6
+    FROM powed CROSS JOIN tot
+    ORDER BY source
+    """,
+    doc="temperature-based domain-MIXTURE solver (E53/E66 composition; "
+    "the unigram-LM mixing rule of GPT-3/LLaMA-style pipelines): "
+    "per-source token masses are raised to temperature "
+    f"{MIX_TEMPERATURE} and normalized into sampling weights — tau<1 "
+    "upweights small curated domains against the web-scale crawl — "
+    "then a target token budget is allocated per source and expressed "
+    "as effective EPOCHS (allocated/available; >1 means the source "
+    "repeats, the signal data-constrained scaling laws watch). Scale "
+    "shape: one narrow corpus scan collapsing map-side to |sources| "
+    "rows; the pow/normalize runs on the source-dimension relation — "
+    "scale-independent. Hash-safety: pow is the only libm call and "
+    "both engines see identical integer token masses; its result is "
+    "6-dp-rounded BEFORE the exact-decimal normalizer sum (the "
+    "bm25/ln idiom), so the division inputs — and hence the weights — "
+    "are bit-identical (EXT, LLM pipeline)",
+    tags=("sampling", "pipeline", "text"),
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as _T
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.select(
+        "source", _T.token_count("text").alias("n_tok")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    powed = per_src.withColumn(
+        "num",
+        F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_TEMPERATURE)), 6),
+    )
+    tot = powed.agg(dsum("num").alias("total"))
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("num") / F.col("total"), 6).alias("weight_r6"),
+            F.round(
+                F.lit(MIX_TOKEN_BUDGET)
+                * (F.col("num") / F.col("total"))
+                / F.col("n_tokens"),
+                6,
+            ).alias("epochs_r6"),
+        )
+        .orderBy("source")
+    )

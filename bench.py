@@ -177,6 +177,9 @@ HEADLINE = [
     "dedup_keep_best_source",
     # the per-doc audit join of the 5-gram + semantic screens
     "pipeline_contamination_report",
+    # the temperature mixture solver and the dedup savings card
+    "sample_mixture_weights",
+    "pipeline_dedup_card",
 ]
 
 
