@@ -1204,15 +1204,15 @@ _SRC_WEB_SQL = ",".join(f"'{s}'" for s in _SRC_WEB)
       FROM documents
     ),
     u AS (
-      SELECT p.doc_id, p.source, p.priority,
-             p.priority * 1000000 + p.n_chars AS retention_key,
+      SELECT p.doc_id, p.source, p.priority, p.n_chars,
              COALESCE(c.unit, p.doc_id) AS unit
       FROM pr p LEFT JOIN comp c USING (doc_id)
     ),
     ranked AS (
       SELECT doc_id, unit, source, priority,
              ROW_NUMBER() OVER (PARTITION BY unit
-                                ORDER BY retention_key DESC, doc_id) AS rn
+                                ORDER BY priority DESC, n_chars DESC,
+                                         doc_id) AS rn
       FROM u
     )
     SELECT doc_id, unit, source, priority, CAST(rn = 1 AS INT) AS kept
@@ -1226,9 +1226,12 @@ _SRC_WEB_SQL = ",".join(f"'{s}'" for s in _SRC_WEB)
     "highest-priority source tier (curated > web > crawl — the "
     "licensing/provenance policy production corpora dedup by: the "
     "licensed canonical copy survives, its crawled mirrors die), "
-    "tie-broken by length then doc_id via one integer retention key "
-    "(priority*1e6 + n_chars — n_chars is bounded far below 1e6, so "
-    "the composite is a total lexicographic order in one BIGINT). "
+    "tie-broken by length then doc_id via a STRUCT retention key "
+    "(priority, n_chars) — a true lexicographic order, so no "
+    "document length can ever promote a lower provenance tier (the "
+    "r10 ADVICE hazard of an arithmetic priority*1e6+n_chars "
+    "composite, which both engines would have inverted identically "
+    "past n_chars >= 1e6, invisible to the oracle gate). "
     "documents has no timestamp column, so the r10-queue 'freshest' "
     "variant is expressed as this provenance tier instead — the same "
     "pluggable-key shape. Same minhash_lsh_pairs + "
@@ -1249,8 +1252,11 @@ def dedup_keep_best_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("source").isin(*_SRC_WEB), F.lit(2))
         .otherwise(F.lit(1)),
     ).withColumn(
+        # a STRUCT key compares lexicographically (priority first,
+        # length second) — unlike an arithmetic composite, no n_chars
+        # magnitude can cross tiers (r10 ADVICE)
         "retention_key",
-        F.col("priority") * F.lit(1000000) + F.col("n_chars"),
+        F.struct(F.col("priority"), F.col("n_chars")),
     )
     t = _component_units(spark, sf_dir).join(keyed, "doc_id")
     return (

@@ -24,7 +24,8 @@ def main() -> int:
     t0 = time.time()
     fails = 0
     lines = []
-    for n in list(all_plans())[:50]:
+    window = list(all_plans())[:50]
+    for n in window:
         try:
             run_plan_vs_oracle(spark, n, sf, con=con)
             lines.append(f"PASS {n}")
@@ -33,9 +34,9 @@ def main() -> int:
             lines.append(f"FAIL {n} {str(ex)[:200]}")
         spark.catalog.clearCache()
     lines.append(
-        f"gate simulation (first 50 window slots, "
+        f"gate simulation (first {len(window)} window slots, "
         f"{sf.rstrip('/').split('/')[-1]}, {tag}): "
-        f"{50 - fails}/50 green, {int(time.time() - t0)}s"
+        f"{len(window) - fails}/{len(window)} green, {int(time.time() - t0)}s"
     )
     with open(log, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")

@@ -195,8 +195,8 @@ def test_ivf_decontamination_nprobe_monotone_and_exhaustive_at_k(spark, sf_dir):
     # contaminated sets must form a subset chain in n_probe, and
     # probing ALL k=4 cells must reproduce the full screen exactly
     # (every corpus row then compares against every reference).
-    # Measured recall curve at sf0.01: n=1 -> 0.?, n=2 -> 1.0 (the
-    # plan's pinned floor), n=4 -> 1.0 by construction.
+    # Measured recall curve at sf0.01: n=1 -> 0.43 (3/7), n=2 -> 1.0
+    # (the plan's pinned floor), n=4 -> 1.0 by construction.
     from pyspark.sql import functions as F
 
     from aics_dask_utils_spark.functions.vectors import as_double_array
