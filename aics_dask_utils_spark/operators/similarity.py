@@ -271,10 +271,17 @@ def pq_topk(
         lambda acc, x: acc + x,
     )
     scored_q = partials.groupBy("q_id", "vid").agg(approx.alias("approx_cosine"))
-    w = W.partitionBy("q_id").orderBy(F.desc("approx_cosine"), F.col("vid"))
+    # Per-query ranks are exact DISTRIBUTED grouped_row_numbers, not a
+    # q_id-partitioned window: with a handful of queries ranking a
+    # whole corpus each, the partitioned window is lint-clean but
+    # still funnels |corpus| rows per query through one task. Values
+    # are identical (same total order per query).
+    from .stats import grouped_row_numbers
+
+    pq_order = [F.desc("approx_cosine"), F.asc("vid")]
     if refine is None:
         return (
-            scored_q.withColumn("rank", F.row_number().over(w))
+            grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="rank")
             .where(F.col("rank") <= k)
             .select(
                 "q_id", F.col("vid").alias("neighbor_id"), "approx_cosine", "rank"
@@ -287,7 +294,7 @@ def pq_topk(
     # touches refine x |queries| vectors — thousands, not billions —
     # so recall approaches exact while the scan stays compressed.
     short = (
-        scored_q.withColumn("arank", F.row_number().over(w))
+        grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="arank")
         .where(F.col("arank") <= refine)
         .select("q_id", "vid")
     )
@@ -296,9 +303,10 @@ def pq_topk(
         .join(F.broadcast(qe), "q_id")
         .select("q_id", "vid", vec_dot("u", "qu").alias("cosine"))
     )
-    w2 = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("vid"))
     return (
-        ref.withColumn("rank", F.row_number().over(w2))
+        grouped_row_numbers(
+            ref, ["q_id"], [F.desc("cosine"), F.asc("vid")], out_col="rank"
+        )
         .where(F.col("rank") <= k)
         .select("q_id", F.col("vid").alias("neighbor_id"), "cosine", "rank")
     )
