@@ -60,168 +60,122 @@ def register(
 # ``queries()`` yields them and has only ever reached the FIRST 50.
 # ``PRIORITY_WINDOW`` pins that order deliberately, re-cut each round:
 #
-# Round-10 cut. The rotation keeps paying the attestation-age debt,
-# oldest round first then name (docs/attestation_age_r9.md — r9
-# cleared the round-2 tail and 30 of the 38 round-3 names):
+# Round-11 cut. The rotation keeps paying the attestation-age debt,
+# oldest round first then name (docs/attestation_age_r10.md — r10
+# cleared the round-3 tail and 31 of the 41 round-4 names):
 #
 #   slots 1-6 (must-attest: new plans + every plan riding code that
-#   changed in round 10):
-#     search_hybrid_rrf_batch — NEW (query-relation generalization of
-#       search_hybrid_rrf: one corpus scan scores all BM25 bags via
-#       bm25_scores_multi's broadcast (q_id, term) relation; every
-#       per-query ranking is an exact distributed grouped_row_numbers
-#       rank, never a q_id-partitioned corpus-sized window;
-#       pre-validated at 3 SFs);
-#     pipeline_semantic_decontaminate_ivf — NEW (the IVF recall/cost
-#       knob on the semantic screen: corpus rows probe their TWO
-#       nearest trained k-means cells, eval side broadcast; measured
-#       contamination recall floor + subset invariant pinned in
+#   changed in round 11):
+#     search_hybrid_rrf_weighted — NEW (alpha-weighted RRF fusion,
+#       alpha = 0.7 lexical, mirrored literally into the oracle — the
+#       tuning knob production hybrid search exposes; same scan shape
+#       as search_hybrid_rrf_batch; pre-validated at 3 SFs);
+#     search_hybrid_rrf_batch_pq — NEW (the batched hybrid with a
+#       PQ/refine dense side: ADC compressed-domain shortlist per
+#       query + exact re-rank, the memory-bound counterpart of the
+#       r10 IVF dense side; contract pinned in
 #       tests/test_ann_recall.py; pre-validated at 3 SFs);
-#     dedup_keep_best_scored — NEW (quality-SCORE-parametrized
-#       retention: the pluggable operators/dedup.py:keep_best core
-#       keyed on the calibrated composite text-quality score instead
-#       of raw length; pre-validated at 3 SFs);
-#     dedup_keep_best_quality — physical change: its inline max_by
-#       winner moved onto the shared keep_best core (same aggregate
-#       shape, one implementation);
-#     pipeline_semantic_decontaminate — code change on principle:
-#       semantic_screen gained the empty-refs ValueError guard (r9
-#       ADVICE — an empty eval suite must be a loud error, not a
-#       silently dropped corpus audit trail);
-#     ann_topk_multiprobe — code change on principle:
-#       kmeans_assign_topn now carries the vector through its output
-#       so probe-side consumers skip a vid self-join (values
-#       unchanged — re-validated vs oracle at sf0.001/0.01/0.1).
-#   slots 4-8 (late-r10 must-attest additions, annotated inline
-#     below): search_hybrid_rrf_batch_ann, dedup_keep_best_source,
-#     pipeline_contamination_report, sample_mixture_weights,
-#     pipeline_dedup_card.
-#   slots 12-19: the 8 remaining round-3-attested names — the oldest
-#     green rows left (source/stream roundtrips, chunker, quality
-#     gate, Arrow/UDTF UDFs).
-#   slots 20-50: the 31 alphabetically-first of the 41 round-4-
-#     attested plans. The last 10 (stream_stream_full_outer_join_exec,
-#     stream_stream_left_join_exec, stream_update_mode_exec,
-#     text_fingerprint, text_langid, text_pii_redact, topk_per_group,
-#     udf_map_in_pandas, udtf_sql_table_function,
-#     window_distribution) rotate in r11 — deterministic rule:
-#     oldest round first, then name.
+#     pipeline_retention_suite — NEW (one LSH + CC-star pass emitting
+#       the dedup card columns AND all three keep-best policy winners
+#       per unit from a single groupBy of max_by aggregates — the
+#       production composition of the four r10 retention siblings;
+#       pre-validated at 3 SFs);
+#     dedup_keep_best_source — code + oracle change: the retention
+#       key is now a (priority, n_chars) STRUCT, a true lexicographic
+#       order, replacing the priority*1e6+n_chars arithmetic
+#       composite the r10 ADVICE flagged (an n_chars >= 1e6 document
+#       would have crossed tiers identically in both engines,
+#       invisible to the oracle gate);
+#     ann_topk_pq / ann_topk_pq_refine — code change on principle:
+#       pq_topk's per-query ADC and refine rankings moved from
+#       q_id-partitioned windows to exact distributed
+#       grouped_row_numbers ranks (values unchanged — re-validated vs
+#       oracle at sf0.001/0.01; the same de-funnel the r10 batch RRF
+#       plans established).
+#   slots 7-16: the 10 remaining round-4-attested names — the oldest
+#     green rows left (the five displaced by the late-r10 additions
+#     plus the five that never fit).
+#   slots 17-50: the 34 alphabetically-first of the 39 round-5-
+#     attested plans (ann_topk_pq already occupies a must-attest
+#     slot, so the round-5 block effectively advances by 35). The
+#     last 4 (text_quality_calibrated, text_token_stats,
+#     text_top_bigrams, window_trailing_range) rotate in r12 —
+#     deterministic rule: oldest round first, then name.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
 # green) in registration order. ``WINDOW_CRITICAL`` below is guard-
 # tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-11: must-attest (new plans + r10 code changes) --
-    "search_hybrid_rrf_batch",
-    "pipeline_semantic_decontaminate_ivf",
-    "dedup_keep_best_scored",
-    # late-r10 additions (displacing the two alphabetically-last
-    # round-4 rotation names, text_fingerprint/text_langid, to the
-    # r11 head — docs/round11_queue.md):
-    #   search_hybrid_rrf_batch_ann — the batched hybrid RRF with an
-    #     IVF (trained-quantizer, 2-probe) dense side: the documented
-    #     100 TB retrieval shape end-to-end, dense recall pinned vs
-    #     the exact batch plan in tests/test_ann_recall.py;
-    #   dedup_keep_best_source — the third keep-best retention policy
-    #     (provenance tier: curated > web > crawl, length tiebreak)
-    #     on the same shared max_by core;
-    #   pipeline_contamination_report — the 5-gram and semantic
-    #     screens joined FULL OUTER per doc with a four-way verdict
-    #     (both/ngram/semantic/clean): the audit artifact a
-    #     decontamination pipeline ships (displaces
-    #     stream_update_mode_exec, the next alphabetically-last
-    #     round-4 rotation name, to the r11 head).
-    #   sample_mixture_weights — temperature-based domain-mixture
-    #     solver (per-source token mass ^ tau, normalized; budget ->
-    #     effective epochs) — the GPT-3/LLaMA mixing rule as one
-    #     narrow scan + a source-dimension normalize;
-    #   pipeline_dedup_card — the dedup savings report: per
-    #     cluster-size units/docs/bytes-total/kept/dropped on the
-    #     shared CC-star unit relation (two shrinking partial-agg
-    #     groupBys, no window). These two displace the next two
-    #     alphabetically-last round-4 rotation names
-    #     (stream_stream_full_outer_join_exec,
-    #     stream_stream_left_join_exec) to the r11 head.
-    "search_hybrid_rrf_batch_ann",
+    # -- slots 1-6: must-attest (new plans + r11 code changes) --
+    "search_hybrid_rrf_weighted",
+    "search_hybrid_rrf_batch_pq",
+    "pipeline_retention_suite",
     "dedup_keep_best_source",
-    "pipeline_contamination_report",
-    "sample_mixture_weights",
-    "pipeline_dedup_card",
-    "dedup_keep_best_quality",
-    "pipeline_semantic_decontaminate",
-    "ann_topk_multiprobe",
-    # -- slots 12-19: round-3-attested residue (the last 8) --
-    "source_sequences_roundtrip",
-    "source_text_roundtrip",
-    "stream_hll_rollup_exec",
-    "stream_topk_rollup_exec",
-    "text_chunk_sliding",
-    "text_quality_gate",
-    "udf_apply_in_arrow",
-    "udf_python_udtf",
-    # -- slots 20-50: oldest round-4-attested residue (first 31) --
-    "agg_cms_heavy_hitters",
-    "agg_listagg_report",
-    "agg_regression_per_group",
-    "agg_table_profile",
-    "agg_two_level_rollup",
-    "array_basics",
-    "dedup_null_text",
-    "dedup_simhash",
-    "embedding_centroids",
-    "events_anomaly_zscore",
-    "events_pattern_match",
-    "events_session",
-    "events_session_dynamic_gap",
-    "events_tumbling",
-    "graph_reachability_recursive_cte",
-    "join_lateral_topn",
-    "join_point_in_time",
-    "join_skew_salted",
-    "multimodal_audio_frames",
-    "pipeline_observe_metrics",
-    "sample_weighted_per_group",
-    "scalar_collation_group",
-    "scalar_conditional",
-    "scalar_null_safe",
-    "scalar_sql_udf",
-    "sink_upsert_merge",
-    "sink_zorder_clustered",
-    "source_json_roundtrip",
-    "source_xml_roundtrip",
-    "sql_session_variables",
-    "stream_foreach_batch_exec",
+    "ann_topk_pq",
+    "ann_topk_pq_refine",
+    # -- slots 7-16: round-4-attested residue (the last 10) --
+    "stream_stream_full_outer_join_exec",
+    "stream_stream_left_join_exec",
+    "stream_update_mode_exec",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_redact",
+    "topk_per_group",
+    "udf_map_in_pandas",
+    "udtf_sql_table_function",
+    "window_distribution",
+    # -- slots 17-50: oldest round-5-attested residue (first 34,
+    #    ann_topk_pq excluded: it sits in a must-attest slot) --
+    "agg_corr_matrix",
+    "ann_topk_brute",
+    "ann_topk_learned_ivf",
+    "ann_topk_pandas",
+    "dedup_keep_first_per_source",
+    "dedup_repeated_chunks",
+    "dedup_simhash_near",
+    "embedding_pca_gram",
+    "events_daily_active",
+    "events_daily_growth",
+    "events_ewma",
+    "events_rate_per_type",
+    "events_sliding",
+    "kmeans_embeddings",
+    "multimodal_image_dedup",
+    "pipeline_incremental_dedup",
+    "sample_bernoulli",
+    "sample_train_test_split",
+    "scalar_json",
+    "sink_cdc_apply",
+    "sink_compacted_files",
+    "sink_python_datasource_roundtrip",
+    "sink_scd2_history",
+    "source_orc_roundtrip",
+    "source_python_datasource",
+    "sql_group_by_all",
+    "sql_scripting_batch",
+    "stream_python_source_exec",
+    "stream_session_exec",
+    "stream_session_state_exec",
+    "stream_sliding_exec",
+    "stream_stateful_count_exec",
+    "stream_stream_join_exec",
+    "text_normalize_nfc",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
-#: this round: the round-10 additions and every plan whose operator
-#: code, plan code, or oracle SQL changed in round 10. Guard-tested in
-#: tests/test_plan_quality.py so a slot can never silently slip below
-#: the window cut.
+#: this round: the round-11 additions and every plan whose operator
+#: code, plan code, or oracle SQL changed in round 11 (rationale per
+#: name: the slots 1-6 block of the PRIORITY_WINDOW comment above).
+#: Guard-tested in tests/test_plan_quality.py so a slot can never
+#: silently slip below the window cut.
 WINDOW_CRITICAL: frozenset[str] = frozenset({
-    "search_hybrid_rrf_batch",
-    "pipeline_semantic_decontaminate_ivf",
-    "dedup_keep_best_scored",
-    #   sample_mixture_weights — temperature-based domain-mixture
-    #     solver (per-source token mass ^ tau, normalized; budget ->
-    #     effective epochs) — the GPT-3/LLaMA mixing rule as one
-    #     narrow scan + a source-dimension normalize;
-    #   pipeline_dedup_card — the dedup savings report: per
-    #     cluster-size units/docs/bytes-total/kept/dropped on the
-    #     shared CC-star unit relation (two shrinking partial-agg
-    #     groupBys, no window). These two displace the next two
-    #     alphabetically-last round-4 rotation names
-    #     (stream_stream_full_outer_join_exec,
-    #     stream_stream_left_join_exec) to the r11 head.
-    "search_hybrid_rrf_batch_ann",
+    "search_hybrid_rrf_weighted",
+    "search_hybrid_rrf_batch_pq",
+    "pipeline_retention_suite",
     "dedup_keep_best_source",
-    "pipeline_contamination_report",
-    "sample_mixture_weights",
-    "pipeline_dedup_card",
-    "dedup_keep_best_quality",
-    "pipeline_semantic_decontaminate",
-    "ann_topk_multiprobe",
+    "ann_topk_pq",
+    "ann_topk_pq_refine",
 })
 
 

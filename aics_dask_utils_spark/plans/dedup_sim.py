@@ -1339,3 +1339,157 @@ def pipeline_dedup_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "pipeline_retention_suite",
+    oracle=rf"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    und AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS unit
+      FROM reach GROUP BY a
+    ),
+    qb AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+             length(text) AS len_chars,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 t -> list_contains([{_SW_Q}], t))) AS n_sw,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+      FROM documents
+    ),
+    qs AS (
+      SELECT doc_id,
+             LEAST(n_tokens::DOUBLE / 100.0, 1.0) * 0.5
+               + LEAST((n_sw::DOUBLE / n_tokens) * 5.0, 1.0) * 0.3
+               + (1.0 - LEAST((n_punct::DOUBLE / len_chars) * 10.0, 1.0)) * 0.2
+               AS quality_score
+      FROM qb
+    ),
+    pr AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN source IN ({_SRC_CURATED_SQL}) THEN 3
+                  WHEN source IN ({_SRC_WEB_SQL}) THEN 2
+                  ELSE 1 END AS priority
+      FROM documents
+    ),
+    u AS (
+      SELECT p.doc_id, p.n_chars, p.priority, q.quality_score,
+             COALESCE(c.unit, p.doc_id) AS unit
+      FROM pr p
+      JOIN qs q USING (doc_id)
+      LEFT JOIN comp c USING (doc_id)
+    ),
+    agg AS (
+      SELECT unit, COUNT(*) AS sz,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+             MAX(n_chars) AS bytes_kept
+      FROM u GROUP BY unit
+    ),
+    wl AS (
+      SELECT unit, doc_id AS winner_longest FROM (
+        SELECT unit, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY unit
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM u
+      ) WHERE rn = 1
+    ),
+    ws AS (
+      SELECT unit, doc_id AS winner_scored FROM (
+        SELECT unit, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY unit
+                                  ORDER BY quality_score DESC, doc_id) AS rn
+        FROM u
+      ) WHERE rn = 1
+    ),
+    wp AS (
+      SELECT unit, doc_id AS winner_source FROM (
+        SELECT unit, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY unit
+                                  ORDER BY priority DESC, n_chars DESC,
+                                           doc_id) AS rn
+        FROM u
+      ) WHERE rn = 1
+    )
+    SELECT a.unit, a.sz, a.bytes_total, a.bytes_kept,
+           CAST(a.bytes_total - a.bytes_kept AS BIGINT) AS bytes_dropped,
+           wl.winner_longest, ws.winner_scored, wp.winner_source
+    FROM agg a
+    JOIN wl USING (unit) JOIN ws USING (unit) JOIN wp USING (unit)
+    ORDER BY a.unit
+    """,
+    doc="composed RETENTION SUITE (E31/E52; r10-verdict Next-round #5): "
+    "the production shape of the keep-best family — ONE "
+    "minhash_lsh_pairs + connected_components_star pass over the "
+    "corpus emits, per near-dup unit, the savings card columns "
+    "(size, bytes total/kept/dropped under keep-longest) AND the "
+    "winner under all three retention policies (longest = "
+    "dedup_keep_best_quality's key; calibrated quality score = "
+    "dedup_keep_best_scored's; provenance tier curated > web > crawl "
+    "with length tiebreak = dedup_keep_best_source's). The four "
+    "sibling plans each re-derive the unit relation because per-plan "
+    "independence is the registry's contract; a production pipeline "
+    "runs THIS plan — one LSH + CC chain, one scan of the per-doc "
+    "policy keys (quality_features preserves its input columns, so "
+    "source, n_chars, and the quality score ride one documents "
+    "read), and ONE partial-aggregable groupBy(unit) computing every "
+    "policy winner as a max_by(doc_id, key) aggregate — no "
+    "component-partitioned window, so a corpus-wide boilerplate "
+    "mega-cluster collapses map-side; N policy outputs for one "
+    "component cost. Winners rank on the unrounded quality doubles "
+    "(bit-identical cross-engine, proved by text_quality's unrounded "
+    "oracle) (EXT, LLM pipeline)",
+    tags=("dedup", "pipeline", "text", "iterative"),
+)
+def pipeline_retention_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    keyed = (
+        _T.quality_features(docs, "text")
+        .withColumn(
+            "priority",
+            F.when(F.col("source").isin(*_SRC_CURATED), F.lit(3))
+            .when(F.col("source").isin(*_SRC_WEB), F.lit(2))
+            .otherwise(F.lit(1)),
+        )
+        .select("doc_id", "n_chars", "priority", "quality_score")
+    )
+    t = _component_units(spark, sf_dir).join(keyed, "doc_id")
+    nid = (-F.col("doc_id")).alias("__nid")
+    return (
+        t.groupBy("unit")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.sum("n_chars").cast("bigint").alias("bytes_total"),
+            F.max("n_chars").alias("bytes_kept"),
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), nid)
+            ).alias("winner_longest"),
+            F.max_by(
+                "doc_id", F.struct(F.col("quality_score"), nid)
+            ).alias("winner_scored"),
+            F.max_by(
+                "doc_id", F.struct(F.col("priority"), F.col("n_chars"), nid)
+            ).alias("winner_source"),
+        )
+        .withColumn(
+            "bytes_dropped",
+            (F.col("bytes_total") - F.col("bytes_kept")).cast("bigint"),
+        )
+        .select(
+            "unit", "sz", "bytes_total", "bytes_kept", "bytes_dropped",
+            "winner_longest", "winner_scored", "winner_source",
+        )
+        .orderBy("unit")
+    )

@@ -1051,3 +1051,290 @@ def search_hybrid_rrf_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "doc_id")
     )
+
+
+#: Lexical weight for the alpha-weighted RRF plan. PLUGGABLE: a
+#: production stack tunes this per corpus/eval set; 0.7 expresses a
+#: lexical-leaning deployment (e.g. code or exact-entity search).
+_RRF_ALPHA = 0.7
+
+
+@register(
+    "search_hybrid_rrf_weighted",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_dl FROM toks),
+    qterms(q_id, term) AS (VALUES {_RRF_QTERMS_SQL}),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             unnest(list_filter(t, x -> list_contains([{_RRF_ALL_TERMS_SQL}], x))) AS term
+      FROM toks
+    ),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT doc_id, term,
+             ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+                                  / (total_dl::DOUBLE / n_docs))), 6) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT q.q_id, w.doc_id,
+             CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) AS bm25
+      FROM w JOIN qterms q USING (term) GROUP BY q.q_id, w.doc_id
+    ),
+    lex AS (
+      SELECT q_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM bm
+    ),
+    raw AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM raw
+    ),
+    qv AS (
+      SELECT CAST(vec_id AS INTEGER) AS q_id, u AS qu
+      FROM e WHERE vec_id < 3
+    ),
+    vec AS (
+      SELECT q_id, vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY list_dot_product(u, qu) DESC, vec_id) AS r_vec
+      FROM e CROSS JOIN qv
+    ),
+    fused AS (
+      SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.r_lex, v.r_vec,
+             {_RRF_ALPHA} * COALESCE(1.0 / (60 + l.r_lex), 0)
+               + {1.0 - _RRF_ALPHA} * COALESCE(1.0 / (60 + v.r_vec), 0)
+               AS rrf
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+    ),
+    topr AS (
+      SELECT q_id, doc_id, r_lex, r_vec, rrf,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    )
+    SELECT q_id, doc_id, r_lex, r_vec, ROUND(rrf, 6) AS rrf
+    FROM topr WHERE rk <= 5 ORDER BY q_id, doc_id
+    """,
+    doc="ALPHA-WEIGHTED batched hybrid RRF (the tuning knob production "
+    "hybrid search exposes; r10-verdict queue item): rrf = "
+    "alpha/(60+r_lex) + (1-alpha)/(60+r_vec) with alpha = 0.7 — a "
+    "lexical-leaning fusion for exact-entity-heavy corpora; alpha is "
+    "the pluggable policy constant and is mirrored literally into the "
+    "oracle. Identical scan shape to search_hybrid_rrf_batch (one "
+    "corpus text scan for all BM25 bags via bm25_scores_multi, one "
+    "embedding scan, every per-query ranking an exact distributed "
+    "grouped_row_numbers rank, full outer fuse so a doc missing from "
+    "one ranking still scores); the weight multiplies integer-rank "
+    "reciprocals, so the doubles stay bit-identical cross-engine "
+    "before the 6-dp presentation rounding (EXT, retrieval)",
+    tags=("text", "similarity", "pipeline"),
+)
+def search_hybrid_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import vec_dot, with_unit_vector
+    from ..operators.stats import grouped_row_numbers
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = T.bm25_scores_multi(docs, _RRF_QUERIES)
+    lex = grouped_row_numbers(
+        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex"
+    ).select("q_id", "doc_id", "r_lex")
+
+    emb = with_unit_vector(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "__u"
+    )
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("q_id"), F.col("__u").alias("__qu")
+    )
+    scored = emb.crossJoin(F.broadcast(qv)).withColumn(
+        "cosine", vec_dot("__u", "__qu")
+    )
+    vec = grouped_row_numbers(
+        scored, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], out_col="r_vec"
+    ).select("q_id", F.col("vec_id").alias("doc_id"), "r_vec")
+
+    fused = lex.join(vec, ["q_id", "doc_id"], "full").withColumn(
+        "rrf",
+        F.lit(_RRF_ALPHA)
+        * F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+        + F.lit(1.0 - _RRF_ALPHA)
+        * F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)),
+    )
+    top = grouped_row_numbers(
+        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk"
+    )
+    return (
+        top.where(F.col("__rk") <= 5)
+        .select(
+            "q_id", "doc_id", "r_lex", "r_vec", F.round("rrf", 6).alias("rrf")
+        )
+        .orderBy("q_id", "doc_id")
+    )
+
+
+def _hybrid_pq_ctes() -> str:
+    """Trained product-quantizer CTEs for the batch-PQ hybrid oracle —
+    the attested PQ chain (plans/clustering.py:_pq_ctes) at the same
+    hyper-parameters as ann_topk_pq_refine, with the three hybrid
+    query embeddings as the query relation."""
+    from .clustering import _pq_ctes
+
+    return _pq_ctes(m=16, d=4, k=16, iters=2, n_q=3)
+
+
+@register(
+    "search_hybrid_rrf_batch_pq",
+    oracle=rf"""
+    WITH {{pq}},
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_dl FROM toks),
+    qterms(q_id, term) AS (VALUES {{qterms}}),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             unnest(list_filter(t, x -> list_contains([{{all_terms}}], x))) AS term
+      FROM toks
+    ),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT doc_id, term,
+             ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+                                  / (total_dl::DOUBLE / n_docs))), 6) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT q.q_id, w.doc_id,
+             CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) AS bm25
+      FROM w JOIN qterms q USING (term) GROUP BY q.q_id, w.doc_id
+    ),
+    lex AS (
+      SELECT q_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM bm
+    ),
+    short AS (
+      SELECT q_id, vid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY approx_cosine DESC, vid) AS arank
+        FROM scored
+      ) WHERE arank <= 50
+    ),
+    ref AS (
+      SELECT s.q_id, s.vid, list_dot_product(cu.u, qu.u) AS cosine
+      FROM short s
+      JOIN uu cu ON cu.vid = s.vid
+      JOIN uu qu ON qu.vid = s.q_id
+    ),
+    vec AS (
+      SELECT CAST(q_id AS INTEGER) AS q_id, vid AS doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vid) AS r_vec
+      FROM ref
+    ),
+    fused AS (
+      SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.r_lex, v.r_vec,
+             COALESCE(1.0 / (60 + l.r_lex), 0)
+               + COALESCE(1.0 / (60 + v.r_vec), 0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+    ),
+    topr AS (
+      SELECT q_id, doc_id, r_lex, r_vec, rrf,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    )
+    SELECT q_id, doc_id, r_lex, r_vec, ROUND(rrf, 6) AS rrf
+    FROM topr WHERE rk <= 5 ORDER BY q_id, doc_id
+    """.format(
+        pq=_hybrid_pq_ctes(),
+        qterms=_RRF_QTERMS_SQL,
+        all_terms=_RRF_ALL_TERMS_SQL,
+    ),
+    doc="batched hybrid RRF with a PQ/REFINE dense side — the "
+    "memory-bound counterpart of search_hybrid_rrf_batch_ann's IVF "
+    "side, closing the r10-verdict gap between the batched hybrid "
+    "and the PQ story at 100 TB: the same three (BM25 bag, dense "
+    "query embedding) queries, but each query's vector candidates "
+    "come from the trained product-quantizer's ADC scan "
+    "(operators/similarity.py:pq_topk — 16 subspace codebooks, "
+    "per-query (s,code) dot LUT broadcast, compressed-domain scores "
+    "folded in subspace order), shortlisted to the ADC top-50 and "
+    "exactly re-ranked on raw unit vectors (FAISS IndexRefine). Docs "
+    "outside the shortlist contribute only their lexical rank (full "
+    "outer join + coalesce) — ANN recall loss shifts fused ranks, "
+    "never drops lexical hits. Scale shape: ONE corpus text scan for "
+    "all BM25 bags; the dense corpus is scanned as ~2% code bytes "
+    "(the PQ memory play — no raw-vector shuffle anywhere); the "
+    "exact pass touches 50 x |queries| vectors; every per-query rank "
+    "(ADC shortlist, exact re-rank, lexical, fused) is an exact "
+    "distributed grouped_row_numbers rank — never a q_id-partitioned "
+    "corpus window. Dense-side recall + lexical-rank agreement vs "
+    "the exact batch plan pinned in tests/test_ann_recall.py (EXT, "
+    "retrieval)",
+    tags=("text", "similarity", "pipeline", "iterative"),
+)
+def search_hybrid_rrf_batch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+    from ..operators.stats import grouped_row_numbers
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = T.bm25_scores_multi(docs, _RRF_QUERIES)
+    lex = grouped_row_numbers(
+        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex"
+    ).select("q_id", "doc_id", "r_lex")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    # ADC top-50 shortlist per query, exactly re-ranked (refine);
+    # k=refine keeps every re-ranked candidate as the dense ranking
+    dense = pq_topk(
+        emb, queries, "vec_id", "embedding",
+        m=16, codes_k=16, iters=2, k=50, n_dims=64, refine=50,
+    )
+    vec = dense.select(
+        F.col("q_id").cast("int").alias("q_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_vec"),
+    )
+
+    fused = lex.join(vec, ["q_id", "doc_id"], "full").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)),
+    )
+    top = grouped_row_numbers(
+        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk"
+    )
+    return (
+        top.where(F.col("__rk") <= 5)
+        .select(
+            "q_id", "doc_id", "r_lex", "r_vec", F.round("rrf", 6).alias("rrf")
+        )
+        .orderBy("q_id", "doc_id")
+    )

@@ -273,3 +273,24 @@ def test_hybrid_batch_ann_prunes_without_losing_the_lexical_side(
         len(exact_top[q] & ann_top[q]) / len(exact_top[q]) for q in exact_top
     ) / len(exact_top)
     assert rec >= 0.5, rec
+
+
+def test_hybrid_batch_pq_shortlist_keeps_the_lexical_side(spark, sf_dir):
+    # Same contract as the IVF dense side, for the PQ/refine dense
+    # side: the ADC shortlist may shift fused ranks, but must never
+    # (a) lose a query, (b) disagree with the exact plan on any
+    # lexical rank it reports, or (c) drop fused top-5 overlap below
+    # the measured floor. Additional PQ-specific invariant: every
+    # dense rank it reports is <= 50 (the shortlist bound).
+    exact_top, exact_lex = _fused_top5(spark, sf_dir, "search_hybrid_rrf_batch")
+    pq_top, pq_lex = _fused_top5(spark, sf_dir, "search_hybrid_rrf_batch_pq")
+    assert set(exact_top) == set(pq_top) == {0, 1, 2}
+    for key, rl in pq_lex.items():
+        if key in exact_lex and rl is not None and exact_lex[key] is not None:
+            assert rl == exact_lex[key], key
+    rows = all_plans()["search_hybrid_rrf_batch_pq"].fn(spark, sf_dir).collect()
+    assert all(r["r_vec"] is None or r["r_vec"] <= 50 for r in rows)
+    rec = sum(
+        len(exact_top[q] & pq_top[q]) / len(exact_top[q]) for q in exact_top
+    ) / len(exact_top)
+    assert rec >= 0.5, rec
