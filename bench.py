@@ -180,7 +180,38 @@ HEADLINE = [
     # the temperature mixture solver and the dedup savings card
     "sample_mixture_weights",
     "pipeline_dedup_card",
+    # round-11 additions (own name-hash buckets): the alpha-weighted
+    # RRF fusion knob, the batched hybrid with a PQ/refine dense side
+    # (the memory-bound counterpart of the IVF dense side), and the
+    # composed retention suite (one LSH+CC pass, all three policy
+    # winners + the savings card columns)
+    "search_hybrid_rrf_weighted",
+    "search_hybrid_rrf_batch_pq",
+    "pipeline_retention_suite",
 ]
+
+
+def _calibration_probe() -> float:
+    """Machine-speed scalar recorded with every bench capture: a
+    fixed-size CPU-bound loop (numpy sort + a pure-Python arithmetic
+    sum — no Spark, no disk, no randomness in the timing path), best
+    of 3. Round 10 spent real adjudication effort proving a 2.9x
+    headline swing was a VM swap, not a regression; this one number
+    lets scripts/compare_bench.py report calibration-normalized
+    ratios so the next machine discontinuity is a non-event. Compare
+    ratios of calib_sec across records — the absolute value is
+    meaningless."""
+    import numpy as np
+
+    a = np.random.RandomState(42).rand(4_000_000)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = float(np.sort(a)[::4096].sum())
+        s += sum(i * i for i in range(1_000_000)) % 97
+        assert s > 0
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 5)
 
 
 #: Number of isolated-worker groups. Assignment is a FIXED name-hash
@@ -410,6 +441,8 @@ def main() -> None:
     _LIVE.update(
         {"metric": "headline_queries_total_sec", "unit": "sec", "sf": _sf_val}
     )
+    # machine-speed scalar FIRST (before any JVM competes for cores)
+    _LIVE["calib_sec"] = _calibration_probe()
     run_isolated = (
         "--no-isolated" not in sys.argv
         and os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0"
@@ -459,6 +492,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_val,
+        "calib_sec": _LIVE["calib_sec"],
     }
     spark.stop()
     if run_isolated:

@@ -43,6 +43,19 @@ def main() -> int:
         f"{key}: n={len(inter)} old={so:.2f}s new={sn:.2f}s "
         f"ratio={sn / so:.3f}"
     )
+    # Calibration-normalized ratio: each side divided by its recorded
+    # machine-speed scalar (bench.py:_calibration_probe), so a VM swap
+    # between captures reads ~1.0x instead of a phantom regression
+    # (r10 spent a round adjudicating a 2.9x environmental artifact).
+    co, cn = old.get("calib_sec"), new.get("calib_sec")
+    if co and cn:
+        print(
+            f"  calib: old={co}s new={cn}s machine={cn / co:.3f}x -> "
+            f"normalized ratio={(sn / so) * (co / cn):.3f}"
+        )
+    else:
+        missing = [t for t, c in (("old", co), ("new", cn)) if not c]
+        print(f"  calib_sec missing in: {', '.join(missing)} — raw ratio only")
     if key == "queries_isolated":
         eo = (old.get("isolated_n_groups"), new.get("isolated_n_groups"))
         if eo[0] != eo[1]:
