@@ -54,6 +54,14 @@ PLANS = [
     "dedup_keep_best_quality",
     # fused RRF ranks ride two global_row_numbers total orders
     "search_hybrid_rrf",
+    # round-11 additions: the weighted fusion multiplies integer-rank
+    # reciprocals (rank purity is the invariance); the PQ dense side's
+    # codebook Lloyd rounds use exact-decimal means and the ADC fold
+    # is pinned in subspace order; the retention suite's winners are
+    # partial-aggregable max_by over total keys
+    "search_hybrid_rrf_weighted",
+    "search_hybrid_rrf_batch_pq",
+    "pipeline_retention_suite",
 ]
 
 

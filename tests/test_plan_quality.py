@@ -1086,3 +1086,33 @@ def test_hybrid_rrf_batch_ann_pruned_dense_side_plan_shape(spark, sf_dir):
         "dense side lost its cell-equi-join pruning"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_batch_pq_compressed_dense_side_plan_shape(spark, sf_dir):
+    # The PQ variant inherits the batch plan's contracts — >= 3
+    # distinct range-partitioned grouped ranks (lexical, fused, plus
+    # the PQ shortlist/refine ranks), documents scanned exactly
+    # twice — and must additionally keep its dense side COMPRESSED:
+    # the ADC scoring joins the corpus CODES against the broadcast
+    # per-query LUT (never the raw vectors — the only raw-vector
+    # touches are codebook training, the unit-vector derivation, and
+    # the 50-per-query refine fetch), and nothing plans a cartesian.
+    import re
+
+    plan = _formatted(spark, "search_hybrid_rrf_batch_pq", sf_dir)
+    range_parts = re.findall(r"rangepartitioning\(q_id\S*", plan)
+    assert len(set(range_parts)) >= 3, set(range_parts)
+    doc_scan_ids = set()
+    for m in re.finditer(
+        r"\((\d+)\) Scan parquet[^\n]*\n(?:[^\n]*\n){1,6}", plan
+    ):
+        if "documents" in m.group(0):
+            doc_scan_ids.add(m.group(1))
+    assert len(doc_scan_ids) == 2, doc_scan_ids
+    assert "CartesianProduct" not in plan
+    # the per-query (s, cid) dot-product LUT reaches the codes via an
+    # equi-join on the subspace/code keys (renders as the join's key
+    # detail lines), never via the raw vectors
+    assert re.search(r"keys \[2\]: \[s#\d+, cid#", plan), (
+        "ADC scoring lost its (s, cid) LUT join"
+    )
