@@ -149,6 +149,61 @@ def brute_force_topk_pandas(
     )
 
 
+def _pq_train_encode(
+    subs: DataFrame,
+    codes_k: int,
+    iters: int,
+    carry: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """One Lloyd chain keyed by the subspace index ``s`` over
+    (vid, s, v) sub-vector rows: train a ``codes_k``-word codebook per
+    subspace (seeds = lowest ids, exact-decimal means — the same
+    deterministic trainer recipe as ``operators.clustering``) and run
+    the final encoding pass against the trained books. Returns
+    ``(codebooks, encoding)`` = ((s, cid, c), (vid, s, v, cid,
+    *carry)); ``carry`` threads extra ``subs`` columns (e.g. the IVF
+    cell) through the final assignment only. Shared by the plain-PQ
+    and the IVFADC residual quantizers."""
+    cent = subs.where(F.col("vid") < codes_k).select(
+        "s", F.col("vid").alias("cid"), F.col("v").alias("c")
+    )
+    assign = None
+    for it in range(iters + 1):
+        scored = subs.join(F.broadcast(cent), "s").withColumn(
+            "dist2",
+            vec_dot("v", "v") - F.lit(2.0) * vec_dot("v", "c") + vec_dot("c", "c"),
+        )
+        w = W.partitionBy("vid", "s").orderBy("dist2", "cid")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", "s", "v", "cid", *carry)
+        )
+        if it == iters:
+            break  # final encoding pass against the trained codebooks
+        dim_means = (
+            assign.select("s", "cid", F.posexplode("v"))
+            .groupBy("s", "cid", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("col").cast("decimal(30,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("mn")
+            )
+        )
+        # m·codes_k rows. Without a checkpoint every broadcast of cent
+        # re-executes ALL previous rounds (the broadcast exchange is
+        # re-planned per consumer), turning the loop quadratic.
+        cent = dim_means.groupBy("s", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+                lambda st: st["mn"],
+            ).alias("c")
+        ).localCheckpoint(eager=True)
+    return cent, assign
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -208,43 +263,7 @@ def pq_topk(
         eager=False
     )
 
-    cent = subs.where(F.col("vid") < codes_k).select(
-        "s", F.col("vid").alias("cid"), F.col("v").alias("c")
-    )
-    assign = None
-    for it in range(iters + 1):
-        scored = subs.join(F.broadcast(cent), "s").withColumn(
-            "dist2",
-            vec_dot("v", "v") - F.lit(2.0) * vec_dot("v", "c") + vec_dot("c", "c"),
-        )
-        w = W.partitionBy("vid", "s").orderBy("dist2", "cid")
-        assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vid", "s", "v", "cid")
-        )
-        if it == iters:
-            break  # final encoding pass against the trained codebooks
-        dim_means = (
-            assign.select("s", "cid", F.posexplode("v"))
-            .groupBy("s", "cid", "pos")
-            .agg(
-                F.round(
-                    F.sum(F.col("col").cast("decimal(30,12)")).cast("double")
-                    / F.count(F.lit(1)),
-                    9,
-                ).alias("mn")
-            )
-        )
-        # m·codes_k rows. Without a checkpoint every broadcast of cent
-        # re-executes ALL previous rounds (the broadcast exchange is
-        # re-planned per consumer), turning the loop quadratic.
-        cent = dim_means.groupBy("s", "cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mn"))),
-                lambda st: st["mn"],
-            ).alias("c")
-        ).localCheckpoint(eager=True)
+    cent, assign = _pq_train_encode(subs, codes_k, iters)
 
     qe = with_unit_vector(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("v0")),
@@ -293,6 +312,161 @@ def pq_topk(
     # an exact cosine re-rank to top k. At 100 TB the exact pass
     # touches refine x |queries| vectors — thousands, not billions —
     # so recall approaches exact while the scan stays compressed.
+    short = (
+        grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="arank")
+        .where(F.col("arank") <= refine)
+        .select("q_id", "vid")
+    )
+    ref = (
+        short.join(e, "vid")
+        .join(F.broadcast(qe), "q_id")
+        .select("q_id", "vid", vec_dot("u", "qu").alias("cosine"))
+    )
+    return (
+        grouped_row_numbers(
+            ref, ["q_id"], [F.desc("cosine"), F.asc("vid")], out_col="rank"
+        )
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("vid").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_coarse: int = 4,
+    coarse_iters: int = 2,
+    n_probe: int = 2,
+    m: int = 16,
+    codes_k: int = 16,
+    iters: int = 2,
+    k: int = 10,
+    n_dims: int = 64,
+    refine: int | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011; FAISS IndexIVFPQ): coarse cell
+    pruning + product quantization of the RESIDUALS — the composition
+    of the shipped IVF (``operators.clustering``) and PQ
+    (:func:`pq_topk`) halves, and the standard billion-scale index
+    layout. Fully deterministic:
+
+    1. unit-normalize; train the coarse quantizer IN UNIT SPACE
+       (``kmeans_centroids`` on the unit vectors — for unit vectors L2
+       and cosine rank identically, and the inner-product
+       decomposition below is exact);
+    2. residual r = u - c(cell); train the ``m``-subspace /
+       ``codes_k``-word codebooks on the residual sub-vectors (the
+       shared :func:`_pq_train_encode` Lloyd chain) and encode the
+       corpus to (vid, cell, m codes);
+    3. each query probes its ``n_probe`` nearest cells
+       (``kmeans_assign_topn``) and precomputes (a) the per-cell base
+       term qc = qu·c and (b) the (s, code) → qu_s·codeword LUT —
+       both broadcast, query-dimension-sized;
+    4. candidates = the codes of the probed cells (CELL-EQUI-JOIN
+       against the broadcast probe relation — the IVF prune, never a
+       cartesian); a candidate's approximate cosine is exactly
+       qu·u = qu·(c + r) ≈ qc + sum_s LUT[s, code_s], folded in
+       subspace order from 0.0 then shifted by qc — bit-identical on
+       any engine.
+
+    With ``refine=N`` the ADC top-N shortlist per query is re-ranked
+    by exact cosine on the raw unit vectors (FAISS IndexRefine),
+    returning (q_id, neighbor_id, cosine, rank).
+
+    Scale shape: the 100 TB vector corpus is scanned as ~1-2% code
+    bytes AND only in the probed cells (IVF cuts the scanned fraction
+    to ~n_probe/k_coarse); no raw-vector shuffle anywhere — the only
+    raw-vector touches are quantizer training, the one-off encode, and
+    the refine×|queries| exact fetch. Every per-query ranking is an
+    exact distributed grouped_row_numbers rank. Recall floor vs the
+    exact scan pinned in tests/test_ann_recall.py.
+    """
+    if n_dims % m != 0:
+        raise ValueError(f"dim {n_dims} not divisible by m={m}")
+    d = n_dims // m
+    from .clustering import kmeans_assign, kmeans_assign_topn, kmeans_centroids
+    from .stats import grouped_row_numbers
+
+    e = with_unit_vector(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v0")),
+        "v0",
+        "u",
+    ).select("vid", "u")
+    cent = kmeans_centroids(e, "vid", "u", k=k_coarse, iters=coarse_iters)
+    assigned = kmeans_assign(e.select("vid", F.col("u").alias("v")), cent)
+    res = assigned.join(F.broadcast(cent), "cid").select(
+        "vid",
+        F.col("cid").alias("cell"),
+        F.zip_with("v", "c", lambda a, b: a - b).alias("r"),
+    )
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.slice("r", i * d + 1, d),
+    )
+    # same checkpoint rationale as pq_topk: the sub-vector relation
+    # feeds every Lloyd round and the final encoding pass
+    subs = res.select(
+        "vid", "cell", F.posexplode(slices).alias("s", "v")
+    ).localCheckpoint(eager=False)
+    cb, enc = _pq_train_encode(subs, codes_k, iters, carry=("cell",))
+
+    qe = with_unit_vector(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("v0")),
+        "v0",
+        "qu",
+    ).select("q_id", "qu")
+    qslices = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.slice("qu", i * d + 1, d),
+    )
+    qsub = qe.select("q_id", F.posexplode(qslices).alias("s", "qs"))
+    lut = qsub.join(F.broadcast(cb), "s").select(
+        "q_id", "s", "cid", vec_dot("qs", "c").alias("dd")
+    )
+    probes = (
+        kmeans_assign_topn(
+            qe.select(F.col("q_id").alias("vid"), F.col("qu").alias("v")),
+            cent,
+            n=n_probe,
+        )
+        .select(F.col("vid").alias("q_id"), F.col("cid").alias("cell"), "v")
+        .join(F.broadcast(cent.withColumnRenamed("cid", "cell")), "cell")
+        .select("q_id", "cell", vec_dot("v", "c").alias("qc"))
+    )
+
+    cand = (
+        enc.select("vid", "s", "cid", "cell")
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["q_id", "s", "cid"])
+        .where(F.col("vid") != F.col("q_id"))
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "dd"))), lambda st: st["dd"]
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # qc is constant within a (q_id, vid) group — a corpus vector has
+    # exactly one cell — so max() is a deterministic pick of it
+    scored_q = (
+        cand.groupBy("q_id", "vid")
+        .agg(F.max("qc").alias("__qc"), fold.alias("__acc"))
+        .select(
+            "q_id", "vid", (F.col("__qc") + F.col("__acc")).alias("approx_cosine")
+        )
+    )
+    pq_order = [F.desc("approx_cosine"), F.asc("vid")]
+    if refine is None:
+        return (
+            grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="rank")
+            .where(F.col("rank") <= k)
+            .select(
+                "q_id", F.col("vid").alias("neighbor_id"), "approx_cosine", "rank"
+            )
+        )
     short = (
         grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="arank")
         .where(F.col("arank") <= refine)

@@ -92,15 +92,24 @@ def register(
 #       grouped_row_numbers ranks (values unchanged — re-validated vs
 #       oracle at sf0.001/0.01; the same de-funnel the r10 batch RRF
 #       plans established).
-#   slots 7-16: the 10 remaining round-4-attested names — the oldest
+#   slot 7 (late-r11 must-attest addition, displacing the
+#     alphabetically-last round-5 rotation name, text_normalize_nfc,
+#     to the r12 head):
+#     ann_topk_ivfpq — NEW (IVFADC end to end: unit-space coarse
+#       cells + product quantization of the RESIDUALS + ADC via the
+#       exact qu.c + qu.r inner-product decomposition + exact top-50
+#       refine — the FAISS IndexIVFPQ layout composing the shipped
+#       IVF and PQ halves; recall floor pinned in
+#       tests/test_ann_recall.py; pre-validated at 3 SFs).
+#   slots 8-17: the 10 remaining round-4-attested names — the oldest
 #     green rows left (the five displaced by the late-r10 additions
 #     plus the five that never fit).
-#   slots 17-50: the 34 alphabetically-first of the 39 round-5-
+#   slots 18-50: the 33 alphabetically-first of the 39 round-5-
 #     attested plans (ann_topk_pq already occupies a must-attest
-#     slot, so the round-5 block effectively advances by 35). The
-#     last 4 (text_quality_calibrated, text_token_stats,
-#     text_top_bigrams, window_trailing_range) rotate in r12 —
-#     deterministic rule: oldest round first, then name.
+#     slot). The last 5 (text_normalize_nfc, text_quality_calibrated,
+#     text_token_stats, text_top_bigrams, window_trailing_range)
+#     rotate in r12 — deterministic rule: oldest round first, then
+#     name.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
 # green) in registration order. ``WINDOW_CRITICAL`` below is guard-
@@ -114,7 +123,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_keep_best_source",
     "ann_topk_pq",
     "ann_topk_pq_refine",
-    # -- slots 7-16: round-4-attested residue (the last 10) --
+    "ann_topk_ivfpq",
+    # -- slots 8-17: round-4-attested residue (the last 10) --
     "stream_stream_full_outer_join_exec",
     "stream_stream_left_join_exec",
     "stream_update_mode_exec",
@@ -125,7 +135,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "udf_map_in_pandas",
     "udtf_sql_table_function",
     "window_distribution",
-    # -- slots 17-50: oldest round-5-attested residue (first 34,
+    # -- slots 18-50: oldest round-5-attested residue (first 33,
     #    ann_topk_pq excluded: it sits in a must-attest slot) --
     "agg_corr_matrix",
     "ann_topk_brute",
@@ -160,13 +170,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "stream_sliding_exec",
     "stream_stateful_count_exec",
     "stream_stream_join_exec",
-    "text_normalize_nfc",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
 #: this round: the round-11 additions and every plan whose operator
 #: code, plan code, or oracle SQL changed in round 11 (rationale per
-#: name: the slots 1-6 block of the PRIORITY_WINDOW comment above).
+#: name: the slots 1-7 blocks of the PRIORITY_WINDOW comment above).
 #: Guard-tested in tests/test_plan_quality.py so a slot can never
 #: silently slip below the window cut.
 WINDOW_CRITICAL: frozenset[str] = frozenset({
@@ -176,6 +185,7 @@ WINDOW_CRITICAL: frozenset[str] = frozenset({
     "dedup_keep_best_source",
     "ann_topk_pq",
     "ann_topk_pq_refine",
+    "ann_topk_ivfpq",
 })
 
 

@@ -188,6 +188,8 @@ HEADLINE = [
     "search_hybrid_rrf_weighted",
     "search_hybrid_rrf_batch_pq",
     "pipeline_retention_suite",
+    # the IVFADC index (coarse cells + residual PQ + exact refine)
+    "ann_topk_ivfpq",
 ]
 
 

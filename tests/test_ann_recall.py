@@ -56,6 +56,17 @@ def test_pq_recall_floor(spark, sf_dir, brute):
     assert r >= 0.35, r
 
 
+def test_ivfpq_recall_floor(spark, sf_dir, brute):
+    # IVFADC (coarse cells + residual PQ + exact top-50 refine): the
+    # 2-of-4-cell probe caps recall at whatever survives the IVF prune
+    # (measured 0.92 at sf0.001, 0.78 at sf0.01); the floor pins "the
+    # residual quantizer and the base-term decomposition are not
+    # broken" — a regression in either collapses it toward the
+    # 10/500 = 0.02 chance level.
+    r = _mean_recall(brute, _topsets(spark, sf_dir, "ann_topk_ivfpq"))
+    assert r >= 0.7, r
+
+
 def test_pq_refine_recovers_recall(spark, sf_dir, brute):
     # exact re-rank of the ADC top-50 shortlist must beat raw PQ and
     # clear a high floor: any brute-force top-10 neighbor missed means

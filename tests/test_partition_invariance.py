@@ -62,6 +62,10 @@ PLANS = [
     "search_hybrid_rrf_weighted",
     "search_hybrid_rrf_batch_pq",
     "pipeline_retention_suite",
+    # late-r11: IVFADC — coarse + residual Lloyd rounds use
+    # exact-decimal means, the ADC fold is pinned in subspace order
+    # from the per-cell base term, ranks are pure order functions
+    "ann_topk_ivfpq",
 ]
 
 
