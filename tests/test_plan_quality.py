@@ -534,6 +534,15 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("operators/similarity.py", "lut"): "contract: |queries| x k ADC LUT",
     ("operators/similarity.py", "qe"): "contract: query embeddings",
     ("operators/similarity.py", "q"): "contract: query side (bounded by API)",
+    ("operators/similarity.py", "cb"): "contract: m x codes_k PQ codebooks",
+    (
+        "operators/similarity.py",
+        'cent.withColumnRenamed("cid", "cell")',
+    ): "contract: k_coarse centroids (IVFADC base-term join)",
+    (
+        "operators/similarity.py",
+        "probes",
+    ): "contract: n_probe x |queries| probe relation (IVFADC cell prune)",
     ("operators/stats.py", "base"): "scalar: one baseline-variant row",
     ("operators/stats.py", "gmax"):
         "scalar: 1-row global max timestamp (Kaplan-Meier censor edge)",
