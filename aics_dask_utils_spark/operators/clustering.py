@@ -92,18 +92,28 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     k: int = 4,
     iters: int = 2,
+    train_limit: int | None = None,
 ) -> DataFrame:
     """Train the coarse quantizer: ``iters`` Lloyd rounds from the k
-    lowest-id seeds. Returns (cid, c)."""
+    lowest-id seeds. Returns (cid, c).
+
+    ``train_limit``: when set, Lloyd trains ONLY on rows with
+    ``vid < train_limit`` — the production bounded-sample recipe
+    (FAISS trains coarse quantizers on ≤~1M vectors, not the corpus);
+    without it every consumer pays ``iters`` full-corpus passes before
+    the quantizer exists. Deterministic and oracle-mirrorable (one
+    WHERE clause). Assignment of the full corpus against the trained
+    centroids is the caller's (cheap, single-pass) job."""
     e = df.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v"))
-    cent = e.where(F.col("vid") < k).select(
+    train = e.where(F.col("vid") < train_limit) if train_limit is not None else e
+    cent = train.where(F.col("vid") < k).select(
         F.col("vid").alias("cid"), F.col("v").alias("c")
     )
     for _ in range(iters):
         # k tiny rows; without the checkpoint every later broadcast of
         # cent re-executes ALL previous rounds (broadcast exchanges are
         # re-planned per consumer), making the loop quadratic in iters.
-        cent = _recompute_centroids(kmeans_assign(e, cent)).localCheckpoint(
+        cent = _recompute_centroids(kmeans_assign(train, cent)).localCheckpoint(
             eager=True
         )
     return cent

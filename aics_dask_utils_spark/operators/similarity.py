@@ -154,6 +154,7 @@ def _pq_train_encode(
     codes_k: int,
     iters: int,
     carry: tuple[str, ...] = (),
+    train_limit: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One Lloyd chain keyed by the subspace index ``s`` over
     (vid, s, v) sub-vector rows: train a ``codes_k``-word codebook per
@@ -163,13 +164,37 @@ def _pq_train_encode(
     ``(codebooks, encoding)`` = ((s, cid, c), (vid, s, v, cid,
     *carry)); ``carry`` threads extra ``subs`` columns (e.g. the IVF
     cell) through the final assignment only. Shared by the plain-PQ
-    and the IVFADC residual quantizers."""
-    cent = subs.where(F.col("vid") < codes_k).select(
+    and the IVFADC residual quantizers.
+
+    ``train_limit``: when set, the Lloyd rounds train ONLY on rows with
+    ``vid < train_limit`` (the final encoding pass still covers every
+    row) — the production FAISS recipe, which fits codebooks on a
+    bounded sample (~1M vectors) instead of the corpus. Without it,
+    every ANN plan pays ``iters+1`` full-corpus shuffles before
+    answering a single query; with it the training cost is O(sample)
+    regardless of corpus size. The ``vid < N`` cut is deterministic
+    and oracle-mirrorable (one WHERE clause); ids here are arbitrary
+    synthetic keys, so the cut is an unbiased sample — on a corpus
+    whose ids correlate with content, use the content-hash idiom from
+    ``operators.sampling.hash48`` instead.
+
+    Seed-diversity note: seeds are always the sub-vectors of ids
+    0..codes_k-1. For the IVFADC residual trainer those seeds may all
+    come from one coarse cell, which can yield low-diversity codebooks
+    — a recall/quality concern, not a correctness one (the oracle
+    mirrors the same recipe and tests/test_ann_recall.py pins the
+    measured floor). If recall degrades at larger k_coarse, seed
+    per-cell instead."""
+    train = (
+        subs.where(F.col("vid") < train_limit) if train_limit is not None else subs
+    )
+    cent = train.where(F.col("vid") < codes_k).select(
         "s", F.col("vid").alias("cid"), F.col("v").alias("c")
     )
     assign = None
     for it in range(iters + 1):
-        scored = subs.join(F.broadcast(cent), "s").withColumn(
+        src = subs if it == iters else train
+        scored = src.join(F.broadcast(cent), "s").withColumn(
             "dist2",
             vec_dot("v", "v") - F.lit(2.0) * vec_dot("v", "c") + vec_dot("c", "c"),
         )
@@ -215,6 +240,7 @@ def pq_topk(
     k: int = 10,
     n_dims: int = 64,
     refine: int | None = None,
+    train_limit: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011) with asymmetric
     distance computation, fully deterministic. With ``refine=N`` the
@@ -239,7 +265,10 @@ def pq_topk(
     bytes that scan at memory-bandwidth speed; scoring is one narrow
     pass over the codes joined against the broadcast LUT, then one
     (q_id, vid)-keyed aggregation — no shuffle of the raw vectors at
-    any point. Returns (q_id, neighbor_id, approx_cosine, rank), top
+    any point. ``train_limit`` bounds the codebook training sample to
+    ``vid < train_limit`` (the FAISS bounded-sample recipe — see
+    :func:`_pq_train_encode`); the encoding pass always covers the
+    full corpus. Returns (q_id, neighbor_id, approx_cosine, rank), top
     ``k`` per query by approximate score; recall floor vs the exact
     scan pinned in tests/test_ann_recall.py.
     """
@@ -263,7 +292,7 @@ def pq_topk(
         eager=False
     )
 
-    cent, assign = _pq_train_encode(subs, codes_k, iters)
+    cent, assign = _pq_train_encode(subs, codes_k, iters, train_limit=train_limit)
 
     qe = with_unit_vector(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("v0")),
@@ -345,6 +374,7 @@ def ivfpq_topk(
     k: int = 10,
     n_dims: int = 64,
     refine: int | None = None,
+    train_limit: int | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011; FAISS IndexIVFPQ): coarse cell
     pruning + product quantization of the RESIDUALS — the composition
@@ -379,9 +409,13 @@ def ivfpq_topk(
     bytes AND only in the probed cells (IVF cuts the scanned fraction
     to ~n_probe/k_coarse); no raw-vector shuffle anywhere — the only
     raw-vector touches are quantizer training, the one-off encode, and
-    the refine×|queries| exact fetch. Every per-query ranking is an
-    exact distributed grouped_row_numbers rank. Recall floor vs the
-    exact scan pinned in tests/test_ann_recall.py.
+    the refine×|queries| exact fetch. ``train_limit`` bounds BOTH
+    trainers (coarse k-means and residual PQ) to ``vid < train_limit``
+    (the FAISS bounded-sample recipe — see :func:`_pq_train_encode`);
+    assignment and encoding always cover the full corpus. Every
+    per-query ranking is an exact distributed grouped_row_numbers
+    rank. Recall floor vs the exact scan pinned in
+    tests/test_ann_recall.py.
     """
     if n_dims % m != 0:
         raise ValueError(f"dim {n_dims} not divisible by m={m}")
@@ -394,7 +428,9 @@ def ivfpq_topk(
         "v0",
         "u",
     ).select("vid", "u")
-    cent = kmeans_centroids(e, "vid", "u", k=k_coarse, iters=coarse_iters)
+    cent = kmeans_centroids(
+        e, "vid", "u", k=k_coarse, iters=coarse_iters, train_limit=train_limit
+    )
     assigned = kmeans_assign(e.select("vid", F.col("u").alias("v")), cent)
     res = assigned.join(F.broadcast(cent), "cid").select(
         "vid",
@@ -410,7 +446,9 @@ def ivfpq_topk(
     subs = res.select(
         "vid", "cell", F.posexplode(slices).alias("s", "v")
     ).localCheckpoint(eager=False)
-    cb, enc = _pq_train_encode(subs, codes_k, iters, carry=("cell",))
+    cb, enc = _pq_train_encode(
+        subs, codes_k, iters, carry=("cell",), train_limit=train_limit
+    )
 
     qe = with_unit_vector(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("v0")),

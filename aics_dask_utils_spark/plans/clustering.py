@@ -15,23 +15,50 @@ from ..operators.clustering import kmeans_fit_predict
 from ..sources import load_table
 from . import register
 
+#: Quantizer-training sample bound for the ANN-serving plans (r11
+#: verdict item 1): Lloyd rounds train only on ``vid < _TRAIN_N``; the
+#: full corpus is still assigned/encoded against the trained books —
+#: the FAISS bounded-sample recipe, which turns training cost from
+#: O(corpus × iters) shuffles into O(sample × iters) regardless of
+#: corpus size. 512 covers the whole embeddings table at sf ≤ 0.01
+#: (500 vectors — results there are bit-identical to full-corpus
+#: training) and bounds it at sf0.1+ (2000 → 512). At 100 TB the same
+#: knob holds the training relation at ~1M vectors. NOT applied to
+#: kmeans_embeddings / dedup_semantic_clusters, where the full-corpus
+#: clustering IS the plan's output semantics, not an index to serve
+#: queries from.
+_TRAIN_N = 512
 
-def _kmeans_ctes(k: int = 4, iters: int = 2, final_assign: bool = False) -> str:
+
+def _kmeans_ctes(
+    k: int = 4,
+    iters: int = 2,
+    final_assign: bool = False,
+    train_n: int | None = None,
+) -> str:
     """CTE chain e, c0, (s_i, a_i, x_i, m_i, c_i)*; with ``final_assign``
-    one extra assignment block a{iters+1} against the trained c{iters}."""
+    one extra assignment block a{iters+1} against the trained c{iters}.
+    ``train_n`` mirrors the operator's bounded-sample training
+    (``kmeans_centroids(train_limit=...)``): Lloyd rounds read only
+    ``vid < train_n``; the final assignment still covers every row."""
     ctes = [
         "e AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
-        f"c0 AS (SELECT vid AS cid, v AS c FROM e WHERE vid < {k})",
     ]
+    train = "e"
+    if train_n is not None:
+        ctes.append(f"et AS (SELECT * FROM e WHERE vid < {train_n})")
+        train = "et"
+    ctes.append(f"c0 AS (SELECT vid AS cid, v AS c FROM {train} WHERE vid < {k})")
     n_assign = iters + 1 if final_assign else iters
     prev = "c0"
     for i in range(1, n_assign + 1):
+        src = "e" if i > iters else train
         ctes.append(
             f"""s{i} AS (
       SELECT e.vid, e.v, c.cid,
              list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
                + list_dot_product(c.c, c.c) AS dist2
-      FROM e CROSS JOIN {prev} c
+      FROM {src} e CROSS JOIN {prev} c
     )"""
         )
         ctes.append(
@@ -112,7 +139,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_topk_learned_ivf",
     oracle=f"""
-    WITH {_kmeans_ctes(k=4, iters=2, final_assign=True)},
+    WITH {_kmeans_ctes(k=4, iters=2, final_assign=True, train_n=_TRAIN_N)},
     u AS (
       SELECT vid, cid,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
@@ -132,10 +159,11 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rank <= 10
     """,
     doc="LEARNED-index ANN: k-means-trained coarse quantizer (k=4, 2 "
-    "Lloyd rounds) -> every vector assigned to its cell -> queries probe "
-    "only their own cell -> cosine top-10 on unit vectors. The complete "
-    "train/index/probe IVF pipeline in one lazy plan, hash-matched end "
-    "to end (E12,E40)",
+    "Lloyd rounds on a bounded vid<512 training sample — the FAISS "
+    "recipe; assignment covers every vector) -> every vector assigned "
+    "to its cell -> queries probe only their own cell -> cosine top-10 "
+    "on unit vectors. The complete train/index/probe IVF pipeline in "
+    "one lazy plan, hash-matched end to end (E12,E40)",
     tags=("similarity", "iterative"),
 )
 def ann_topk_learned_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +177,9 @@ def ann_topk_learned_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         F.col("vec_id").alias("vid"), as_double_array("embedding").alias("v")
     )
-    cent = kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=2)
+    cent = kmeans_centroids(
+        emb, "vec_id", "embedding", k=4, iters=2, train_limit=_TRAIN_N
+    )
     assigned = kmeans_assign(e, cent)
     nrm = F.sqrt(vec_dot("v", "v"))
     unit = assigned.withColumn(
@@ -178,7 +208,7 @@ def ann_topk_learned_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_topk_multiprobe",
     oracle=f"""
-    WITH {_kmeans_ctes(k=4, iters=2, final_assign=True)},
+    WITH {_kmeans_ctes(k=4, iters=2, final_assign=True, train_n=_TRAIN_N)},
     u AS (
       SELECT vid, cid,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
@@ -229,7 +259,9 @@ def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         F.col("vec_id").alias("vid"), as_double_array("embedding").alias("v")
     )
-    cent = kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=2)
+    cent = kmeans_centroids(
+        emb, "vec_id", "embedding", k=4, iters=2, train_limit=_TRAIN_N
+    )
     assigned = kmeans_assign(e, cent)
     from pyspark.storagelevel import StorageLevel
 
@@ -322,10 +354,19 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, "vec_id", "embedding", k=4, iters=2, threshold=0.4)
 
 
-def _pq_ctes(m: int = 16, d: int = 4, k: int = 16, iters: int = 2, n_q: int = 5) -> str:
+def _pq_ctes(
+    m: int = 16,
+    d: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    n_q: int = 5,
+    train_n: int | None = None,
+) -> str:
     """CTE chain for product quantization with the subspace index ``s``
     as a DATA column (one Lloyd chain keyed by s — mirrors the Spark
-    operator, whose plan size is O(iters), not O(m·iters))."""
+    operator, whose plan size is O(iters), not O(m·iters)).
+    ``train_n`` mirrors ``pq_topk(train_limit=...)``: Lloyd rounds read
+    only ``vid < train_n``; the final encode still covers every row."""
     parts = [
         "raw AS (SELECT vec_id AS vid, list_transform(embedding, "
         "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
@@ -335,16 +376,23 @@ def _pq_ctes(m: int = 16, d: int = 4, k: int = 16, iters: int = 2, n_q: int = 5)
       SELECT vid, s, u[s*{d}+1 : (s+1)*{d}] AS v
       FROM (SELECT vid, u, UNNEST(range(0, {m})) AS s FROM uu)
     )""",
-        f"cc0 AS (SELECT s, vid AS cid, v AS c FROM sub WHERE vid < {k})",
     ]
+    train = "sub"
+    if train_n is not None:
+        parts.append(f"subt AS (SELECT * FROM sub WHERE vid < {train_n})")
+        train = "subt"
+    parts.append(
+        f"cc0 AS (SELECT s, vid AS cid, v AS c FROM {train} WHERE vid < {k})"
+    )
     prev = "cc0"
     for i in range(1, iters + 2):
+        src = "sub" if i > iters else train
         parts.append(
             f"""sd{i} AS (
       SELECT e.vid, e.s, e.v, c.cid,
              list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
                + list_dot_product(c.c, c.c) AS dist2
-      FROM sub e JOIN {prev} c ON e.s = c.s
+      FROM {src} e JOIN {prev} c ON e.s = c.s
     )"""
         )
         parts.append(
@@ -411,7 +459,7 @@ def _pq_ctes(m: int = 16, d: int = 4, k: int = 16, iters: int = 2, n_q: int = 5)
 @register(
     "ann_topk_pq",
     oracle=f"""
-    WITH {_pq_ctes(m=16, d=4, k=16, iters=2, n_q=5)}
+    WITH {_pq_ctes(m=16, d=4, k=16, iters=2, n_q=5, train_n=_TRAIN_N)}
     SELECT q_id, vid AS neighbor_id, approx_cosine, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                   ORDER BY approx_cosine DESC, vid) AS rank
@@ -421,7 +469,9 @@ def _pq_ctes(m: int = 16, d: int = 4, k: int = 16, iters: int = 2, n_q: int = 5)
     doc="product-quantization ANN (Jégou et al. 2011): 64-dim unit "
     "vectors split into 16 subspaces AS ROWS (subspace id is data, so "
     "plan size is O(iters), not O(m)), one Lloyd loop trains all 16 "
-    "codebooks at once keyed by s, corpus encoded to 16 small codes/"
+    "codebooks at once keyed by s on a BOUNDED vid<512 sample (the "
+    "FAISS recipe — training cost is O(sample), not O(corpus), per "
+    "round), corpus encoded to 16 small codes/"
     "vector, queries scored by asymmetric distance — per-query (s,code) "
     "dot LUT broadcast, partials folded in subspace order from 0.0 so "
     "the doubles are bit-identical cross-engine. The compressed-domain "
@@ -439,14 +489,14 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(emb["vec_id"] < 5)
     return pq_topk(
         emb, queries, "vec_id", "embedding", m=16, codes_k=16, iters=2, k=10,
-        n_dims=64,
+        n_dims=64, train_limit=_TRAIN_N,
     )
 
 
 @register(
     "ann_topk_pq_refine",
     oracle=f"""
-    WITH {_pq_ctes(m=16, d=4, k=16, iters=2, n_q=5)},
+    WITH {_pq_ctes(m=16, d=4, k=16, iters=2, n_q=5, train_n=_TRAIN_N)},
     short AS (
       SELECT q_id, vid FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
@@ -484,7 +534,7 @@ def ann_topk_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(emb["vec_id"] < 5)
     return pq_topk(
         emb, queries, "vec_id", "embedding", m=16, codes_k=16, iters=2, k=10,
-        n_dims=64, refine=50,
+        n_dims=64, refine=50, train_limit=_TRAIN_N,
     )
 
 
@@ -498,27 +548,38 @@ def _ivfpq_ctes(
     codes_k: int = 16,
     iters: int = 2,
     n_q: int = 5,
+    train_n: int | None = None,
 ) -> str:
     """CTE chain for IVFADC: the coarse k-means chain RE-BASED onto the
     unit vectors (for unit vectors L2 and cosine rank identically, and
     the inner-product decomposition qu.u = qu.c + qu.r is exact), then
     the PQ Lloyd chain over the RESIDUALS keyed by the subspace index
-    ``s`` — mirrors operators/similarity.py:ivfpq_topk."""
+    ``s`` — mirrors operators/similarity.py:ivfpq_topk. ``train_n``
+    mirrors ``ivfpq_topk(train_limit=...)``: BOTH Lloyd chains train
+    only on ``vid < train_n``; full-corpus assignment/encode and the
+    query-side relations are unchanged."""
     parts = [
         "raw AS (SELECT vec_id AS vid, list_transform(embedding, "
         "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
         "uu AS (SELECT vid, list_transform(v, "
         "x -> x / sqrt(list_dot_product(v, v))) AS u FROM raw)",
-        f"gc0 AS (SELECT vid AS cid, u AS c FROM uu WHERE vid < {k_coarse})",
     ]
+    gtrain = "uu"
+    if train_n is not None:
+        parts.append(f"uut AS (SELECT * FROM uu WHERE vid < {train_n})")
+        gtrain = "uut"
+    parts.append(
+        f"gc0 AS (SELECT vid AS cid, u AS c FROM {gtrain} WHERE vid < {k_coarse})"
+    )
     prev = "gc0"
     for i in range(1, coarse_iters + 2):
+        src = "uu" if i > coarse_iters else gtrain
         parts.append(
             f"""gs{i} AS (
       SELECT e.vid, e.u, c.cid,
              list_dot_product(e.u, e.u) - 2 * list_dot_product(e.u, c.c)
                + list_dot_product(c.c, c.c) AS dist2
-      FROM uu e CROSS JOIN {prev} c
+      FROM {src} e CROSS JOIN {prev} c
     )"""
         )
         parts.append(
@@ -563,17 +624,22 @@ def _ivfpq_ctes(
       FROM (SELECT vid, cell, r, UNNEST(range(0, {m})) AS s FROM res)
     )"""
     )
+    ptrain = "sub"
+    if train_n is not None:
+        parts.append(f"subt AS (SELECT * FROM sub WHERE vid < {train_n})")
+        ptrain = "subt"
     parts.append(
-        f"cc0 AS (SELECT s, vid AS cid, v AS c FROM sub WHERE vid < {codes_k})"
+        f"cc0 AS (SELECT s, vid AS cid, v AS c FROM {ptrain} WHERE vid < {codes_k})"
     )
     prev = "cc0"
     for i in range(1, iters + 2):
+        src = "sub" if i > iters else ptrain
         parts.append(
             f"""sd{i} AS (
       SELECT e.vid, e.cell, e.s, e.v, c.cid,
              list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
                + list_dot_product(c.c, c.c) AS dist2
-      FROM sub e JOIN {prev} c ON e.s = c.s
+      FROM {src} e JOIN {prev} c ON e.s = c.s
     )"""
         )
         parts.append(
@@ -660,7 +726,7 @@ def _ivfpq_ctes(
     "ann_topk_ivfpq",
     oracle=f"""
     WITH {_ivfpq_ctes(k_coarse=4, coarse_iters=2, n_probe=2, m=16, d=4,
-                      codes_k=16, iters=2, n_q=5)},
+                      codes_k=16, iters=2, n_q=5, train_n=_TRAIN_N)},
     short AS (
       SELECT q_id, vid FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
@@ -683,7 +749,9 @@ def _ivfpq_ctes(
     doc="IVFADC end to end (Jegou et al. 2011; the FAISS IndexIVFPQ + "
     "IndexRefine stack — the standard billion-scale layout): coarse "
     "quantizer trained IN UNIT SPACE (k=4, 2 Lloyd rounds; for unit "
-    "vectors L2 and cosine rank identically), corpus encoded as "
+    "vectors L2 and cosine rank identically) and residual codebooks "
+    "both trained on a BOUNDED vid<512 sample (the FAISS recipe; "
+    "assignment and encoding cover the corpus), corpus encoded as "
     "(cell, 16 residual codes) — product quantization of the "
     "RESIDUALS u - c(cell), which carry less variance than the raw "
     "vectors, so the same code budget quantizes finer than plain PQ. "
@@ -712,6 +780,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding",
         k_coarse=4, coarse_iters=2, n_probe=2,
         m=16, codes_k=16, iters=2, k=10, n_dims=64, refine=50,
+        train_limit=_TRAIN_N,
     )
 
 

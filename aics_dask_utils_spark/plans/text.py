@@ -872,10 +872,11 @@ def search_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hybrid_ann_kmeans_ctes() -> str:
     """Trained-quantizer CTEs for the batch-ANN hybrid oracle — the
-    attested k-means chain (plans/clustering.py:_kmeans_ctes)."""
-    from .clustering import _kmeans_ctes
+    attested k-means chain (plans/clustering.py:_kmeans_ctes), with
+    the bounded vid<512 training sample the serving plans use."""
+    from .clustering import _TRAIN_N, _kmeans_ctes
 
-    return _kmeans_ctes(k=4, iters=2, final_assign=True)
+    return _kmeans_ctes(k=4, iters=2, final_assign=True, train_n=_TRAIN_N)
 
 
 @register(
@@ -1002,11 +1003,15 @@ def search_hybrid_rrf_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex"
     ).select("q_id", "doc_id", "r_lex")
 
+    from .clustering import _TRAIN_N
+
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         F.col("vec_id").alias("vid"), as_double_array("embedding").alias("v")
     )
-    cent = kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=2)
+    cent = kmeans_centroids(
+        emb, "vec_id", "embedding", k=4, iters=2, train_limit=_TRAIN_N
+    )
     nrm = F.sqrt(vec_dot("v", "v"))
     # persisted: the query side and the corpus side both consume the
     # assigned+normalized relation (same reason as ann_topk_multiprobe)
@@ -1118,8 +1123,9 @@ _RRF_ALPHA = 0.7
       SELECT COALESCE(l.q_id, v.q_id) AS q_id,
              COALESCE(l.doc_id, v.doc_id) AS doc_id,
              l.r_lex, v.r_vec,
-             {_RRF_ALPHA} * COALESCE(1.0 / (60 + l.r_lex), 0)
-               + {1.0 - _RRF_ALPHA} * COALESCE(1.0 / (60 + v.r_vec), 0)
+             CAST({_RRF_ALPHA} AS DOUBLE) * COALESCE(1.0 / (60 + l.r_lex), 0)
+               + CAST({1.0 - _RRF_ALPHA} AS DOUBLE)
+                 * COALESCE(1.0 / (60 + v.r_vec), 0)
                AS rrf
       FROM lex l FULL OUTER JOIN vec v
         ON l.q_id = v.q_id AND l.doc_id = v.doc_id
@@ -1192,11 +1198,12 @@ def search_hybrid_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hybrid_pq_ctes() -> str:
     """Trained product-quantizer CTEs for the batch-PQ hybrid oracle —
     the attested PQ chain (plans/clustering.py:_pq_ctes) at the same
-    hyper-parameters as ann_topk_pq_refine, with the three hybrid
-    query embeddings as the query relation."""
-    from .clustering import _pq_ctes
+    hyper-parameters as ann_topk_pq_refine (incl. the bounded vid<512
+    training sample), with the three hybrid query embeddings as the
+    query relation."""
+    from .clustering import _TRAIN_N, _pq_ctes
 
-    return _pq_ctes(m=16, d=4, k=16, iters=2, n_q=3)
+    return _pq_ctes(m=16, d=4, k=16, iters=2, n_q=3, train_n=_TRAIN_N)
 
 
 @register(
@@ -1313,9 +1320,12 @@ def search_hybrid_rrf_batch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 3)
     # ADC top-50 shortlist per query, exactly re-ranked (refine);
     # k=refine keeps every re-ranked candidate as the dense ranking
+    from .clustering import _TRAIN_N
+
     dense = pq_topk(
         emb, queries, "vec_id", "embedding",
         m=16, codes_k=16, iters=2, k=50, n_dims=64, refine=50,
+        train_limit=_TRAIN_N,
     )
     vec = dense.select(
         F.col("q_id").cast("int").alias("q_id"),

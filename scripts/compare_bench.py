@@ -48,13 +48,19 @@ def main() -> int:
     # between captures reads ~1.0x instead of a phantom regression
     # (r10 spent a round adjudicating a 2.9x environmental artifact).
     co, cn = old.get("calib_sec"), new.get("calib_sec")
-    if co and cn:
+    # explicit >0 guard: a 0.0 calib_sec from a pathological capture is
+    # "unusable", not "missing", and must never reach the division
+    if co is not None and cn is not None and co > 0 and cn > 0:
         print(
             f"  calib: old={co}s new={cn}s machine={cn / co:.3f}x -> "
             f"normalized ratio={(sn / so) * (co / cn):.3f}"
         )
     else:
-        missing = [t for t, c in (("old", co), ("new", cn)) if not c]
+        missing = [
+            t
+            for t, c in (("old", co), ("new", cn))
+            if c is None or not c > 0
+        ]
         print(f"  calib_sec missing in: {', '.join(missing)} — raw ratio only")
     if key == "queries_isolated":
         eo = (old.get("isolated_n_groups"), new.get("isolated_n_groups"))
