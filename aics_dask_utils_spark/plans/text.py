@@ -1348,3 +1348,298 @@ def search_hybrid_rrf_batch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "doc_id")
     )
+
+
+def _hybrid_lex_ctes() -> str:
+    """The shared lexical half of the batched hybrid oracles: one BM25
+    pass over the corpus for all query bags (mirrors
+    operators/text.py:bm25_scores_multi), ranked per query. Emits CTEs
+    toks/stats/qterms/base/tf/dfreq/w/bm/lex."""
+    return rf"""toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len(t)) AS total_dl FROM toks),
+    qterms(q_id, term) AS (VALUES {_RRF_QTERMS_SQL}),
+    base AS (
+      SELECT doc_id, len(t) AS dl,
+             unnest(list_filter(t, x -> list_contains([{_RRF_ALL_TERMS_SQL}], x))) AS term
+      FROM toks
+    ),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT doc_id, term,
+             ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE
+                                  / (total_dl::DOUBLE / n_docs))), 6) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT q.q_id, w.doc_id,
+             CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE) AS bm25
+      FROM w JOIN qterms q USING (term) GROUP BY q.q_id, w.doc_id
+    ),
+    lex AS (
+      SELECT q_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM bm
+    )"""
+
+
+def _hybrid_ivfpq_ctes() -> str:
+    """Trained IVFADC CTEs for the batch-IVFPQ hybrid oracle — the
+    attested IVFADC chain (plans/clustering.py:_ivfpq_ctes) at the
+    same hyper-parameters as ann_topk_ivfpq (incl. the bounded vid<512
+    training sample), with the three hybrid query embeddings as the
+    query relation."""
+    from .clustering import _TRAIN_N, _ivfpq_ctes
+
+    return _ivfpq_ctes(
+        k_coarse=4, coarse_iters=2, n_probe=2, m=16, d=4,
+        codes_k=16, iters=2, n_q=3, train_n=_TRAIN_N,
+    )
+
+
+def _lex_spark_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared lexical half of the batched hybrid plans: one corpus text
+    scan scores all BM25 bags, ranked per query by an exact distributed
+    grouped_row_numbers rank."""
+    from ..operators.stats import grouped_row_numbers
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = T.bm25_scores_multi(docs, _RRF_QUERIES)
+    return grouped_row_numbers(
+        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex"
+    ).select("q_id", "doc_id", "r_lex")
+
+
+def _rrf_fuse_top5(lex: DataFrame, vec: DataFrame) -> DataFrame:
+    """Unweighted RRF fusion + per-query top-5 (the shared tail of the
+    batched hybrid plans): full outer join so a doc missing from one
+    ranking still scores, exact distributed fused ranks."""
+    from ..operators.stats import grouped_row_numbers
+
+    fused = lex.join(vec, ["q_id", "doc_id"], "full").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)),
+    )
+    top = grouped_row_numbers(
+        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk"
+    )
+    return (
+        top.where(F.col("__rk") <= 5)
+        .select(
+            "q_id", "doc_id", "r_lex", "r_vec", F.round("rrf", 6).alias("rrf")
+        )
+        .orderBy("q_id", "doc_id")
+    )
+
+
+@register(
+    "search_hybrid_rrf_batch_ivfpq",
+    oracle=f"""
+    WITH {{ivfpq}},
+    {{lex}},
+    short AS (
+      SELECT q_id, vid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY approx_cosine DESC, vid) AS arank
+        FROM scored
+      ) WHERE arank <= 50
+    ),
+    ref AS (
+      SELECT s.q_id, s.vid, list_dot_product(cu.u, qu.u) AS cosine
+      FROM short s
+      JOIN uu cu ON cu.vid = s.vid
+      JOIN uu qu ON qu.vid = s.q_id
+    ),
+    vec AS (
+      SELECT CAST(q_id AS INTEGER) AS q_id, vid AS doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vid) AS r_vec
+      FROM ref
+    ),
+    fused AS (
+      SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.r_lex, v.r_vec,
+             COALESCE(1.0 / (60 + l.r_lex), 0)
+               + COALESCE(1.0 / (60 + v.r_vec), 0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+    ),
+    topr AS (
+      SELECT q_id, doc_id, r_lex, r_vec, rrf,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    )
+    SELECT q_id, doc_id, r_lex, r_vec, ROUND(rrf, 6) AS rrf
+    FROM topr WHERE rk <= 5 ORDER BY q_id, doc_id
+    """.format(ivfpq=_hybrid_ivfpq_ctes(), lex=_hybrid_lex_ctes()),
+    doc="batched hybrid RRF with an IVFADC DENSE SIDE — the full FAISS "
+    "IndexIVFPQ+IndexRefine retrieval story composed into the hybrid "
+    "(r11-verdict queue item), uniting the two prior dense options: "
+    "the batch_ann side prunes cells but scans raw vectors, the "
+    "batch_pq side compresses to codes but scans every cell; this "
+    "side does BOTH — each query's candidates are the RESIDUAL-PQ "
+    "codes of its 2 nearest coarse cells (operators/similarity.py:"
+    "ivfpq_topk — bounded vid<512 trainer, cell-equi-join against the "
+    "broadcast probe relation, ADC via the exact qu.c + qu.r "
+    "decomposition), shortlisted to the ADC top-50 and exactly "
+    "re-ranked on raw unit vectors. Docs outside the probed cells "
+    "contribute only their lexical rank (full outer join + coalesce) "
+    "— ANN recall loss shifts fused ranks, never drops lexical hits. "
+    "Scale shape: ONE corpus text scan for all BM25 bags; the dense "
+    "corpus is scanned as ~2% code bytes AND only in the probed cells "
+    "(~n_probe/k_coarse of them); the exact pass touches 50 x "
+    "|queries| vectors; every per-query rank is an exact distributed "
+    "grouped_row_numbers rank. Dense-side recall floor pinned in "
+    "tests/test_ann_recall.py (EXT, retrieval)",
+    tags=("text", "similarity", "pipeline", "iterative"),
+)
+def search_hybrid_rrf_batch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+    from .clustering import _TRAIN_N
+
+    lex = _lex_spark_side(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    # IVFADC shortlist (probed cells only, compressed-domain ADC) with
+    # exact top-50 refine; k=refine keeps every re-ranked candidate as
+    # the dense ranking, same contract as the PQ hybrid
+    dense = ivfpq_topk(
+        emb, queries, "vec_id", "embedding",
+        k_coarse=4, coarse_iters=2, n_probe=2,
+        m=16, codes_k=16, iters=2, k=50, n_dims=64, refine=50,
+        train_limit=_TRAIN_N,
+    )
+    vec = dense.select(
+        F.col("q_id").cast("int").alias("q_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_vec"),
+    )
+    return _rrf_fuse_top5(lex, vec)
+
+
+#: Per-query fusion weights for the alpha-as-data hybrid plan: the
+#: lexical weight RIDES THE QUERY RELATION (a column, not a plan
+#: literal) — the per-tenant/per-segment tuning production hybrid
+#: search ships (e.g. entity-heavy queries lean lexical, exploratory
+#: ones lean dense). Values are also the oracle's VALUES list.
+_RRF_QUERY_ALPHA: dict[int, float] = {0: 0.7, 1: 0.5, 2: 0.3}
+_RRF_QALPHA_SQL = ",".join(
+    f"({q},CAST({a} AS DOUBLE))" for q, a in sorted(_RRF_QUERY_ALPHA.items())
+)
+
+
+@register(
+    "search_hybrid_rrf_alpha_col",
+    oracle=f"""
+    WITH {{lex}},
+    raw AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+      FROM raw
+    ),
+    qv AS (
+      SELECT CAST(vec_id AS INTEGER) AS q_id, u AS qu
+      FROM e WHERE vec_id < 3
+    ),
+    vec AS (
+      SELECT q_id, vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY list_dot_product(u, qu) DESC, vec_id) AS r_vec
+      FROM e CROSS JOIN qv
+    ),
+    qalpha(q_id, alpha) AS (VALUES {{qalpha}}),
+    fused AS (
+      SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.r_lex, v.r_vec, a.alpha,
+             a.alpha * COALESCE(1.0 / (60 + l.r_lex), 0)
+               + (1.0 - a.alpha) * COALESCE(1.0 / (60 + v.r_vec), 0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+      JOIN qalpha a ON a.q_id = COALESCE(l.q_id, v.q_id)
+    ),
+    topr AS (
+      SELECT q_id, doc_id, r_lex, r_vec, alpha, rrf,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    )
+    SELECT q_id, doc_id, r_lex, r_vec, alpha, ROUND(rrf, 6) AS rrf
+    FROM topr WHERE rk <= 5 ORDER BY q_id, doc_id
+    """.format(lex=_hybrid_lex_ctes(), qalpha=_RRF_QALPHA_SQL),
+    doc="batched hybrid RRF with PER-QUERY fusion weights AS DATA "
+    "(r11-verdict queue item): alpha rides the query relation as a "
+    "column — (q_id 0,1,2) fuse at alpha 0.7/0.5/0.3 — instead of "
+    "one plan-literal weight, which is how production hybrid search "
+    "ships per-tenant/per-segment tuning (entity-heavy tenants lean "
+    "lexical, exploratory ones lean dense) without a plan change per "
+    "tenant. rrf = alpha/(60+r_lex) + (1-alpha)/(60+r_vec); the "
+    "alpha relation is query-dimension-sized and broadcast — ZERO "
+    "new scan shape vs search_hybrid_rrf_batch (one corpus text scan "
+    "for all BM25 bags, one embedding scan, every per-query ranking "
+    "an exact distributed grouped_row_numbers rank, full outer fuse "
+    "+ INNER alpha join keyed on the fused q_id so every surviving "
+    "row carries its weight). The weight multiplies integer-rank "
+    "reciprocals, bit-identical cross-engine before the 6-dp "
+    "presentation rounding; alpha is emitted as an output column so "
+    "the knob is auditable per row (EXT, retrieval)",
+    tags=("text", "similarity", "pipeline"),
+)
+def search_hybrid_rrf_alpha_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import vec_dot, with_unit_vector
+    from ..operators.stats import grouped_row_numbers
+
+    lex = _lex_spark_side(spark, sf_dir)
+
+    emb = with_unit_vector(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "__u"
+    )
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("q_id"), F.col("__u").alias("__qu")
+    )
+    scored = emb.crossJoin(F.broadcast(qv)).withColumn(
+        "cosine", vec_dot("__u", "__qu")
+    )
+    vec = grouped_row_numbers(
+        scored, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], out_col="r_vec"
+    ).select("q_id", F.col("vec_id").alias("doc_id"), "r_vec")
+
+    alpha = spark.createDataFrame(
+        sorted(_RRF_QUERY_ALPHA.items()), "q_id int, alpha double"
+    )
+    fused = (
+        lex.join(vec, ["q_id", "doc_id"], "full")
+        .join(F.broadcast(alpha), "q_id")
+        .withColumn(
+            "rrf",
+            F.col("alpha")
+            * F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + (F.lit(1.0) - F.col("alpha"))
+            * F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)),
+        )
+    )
+    top = grouped_row_numbers(
+        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk"
+    )
+    return (
+        top.where(F.col("__rk") <= 5)
+        .select(
+            "q_id", "doc_id", "r_lex", "r_vec", "alpha",
+            F.round("rrf", 6).alias("rrf"),
+        )
+        .orderBy("q_id", "doc_id")
+    )

@@ -305,3 +305,62 @@ def test_hybrid_batch_pq_shortlist_keeps_the_lexical_side(spark, sf_dir):
         len(exact_top[q] & pq_top[q]) / len(exact_top[q]) for q in exact_top
     ) / len(exact_top)
     assert rec >= 0.5, rec
+
+
+def test_hybrid_batch_ivfpq_prunes_and_compresses_without_losing_lexical(
+    spark, sf_dir
+):
+    # The IVFADC dense side (cell-pruned AND code-compressed) carries
+    # the same contract as the IVF and PQ dense sides: it may shift
+    # fused ranks, but must never (a) lose a query, (b) disagree with
+    # the exact plan on any lexical rank it reports, or (c) drop fused
+    # top-5 overlap below the measured floor; and every dense rank it
+    # reports is <= 50 (the refine shortlist bound).
+    exact_top, exact_lex = _fused_top5(spark, sf_dir, "search_hybrid_rrf_batch")
+    iv_top, iv_lex = _fused_top5(
+        spark, sf_dir, "search_hybrid_rrf_batch_ivfpq"
+    )
+    assert set(exact_top) == set(iv_top) == {0, 1, 2}
+    for key, rl in iv_lex.items():
+        if key in exact_lex and rl is not None and exact_lex[key] is not None:
+            assert rl == exact_lex[key], key
+    rows = (
+        all_plans()["search_hybrid_rrf_batch_ivfpq"].fn(spark, sf_dir).collect()
+    )
+    assert all(r["r_vec"] is None or r["r_vec"] <= 50 for r in rows)
+    rec = sum(
+        len(exact_top[q] & iv_top[q]) / len(exact_top[q]) for q in exact_top
+    ) / len(exact_top)
+    assert rec >= 0.5, rec
+
+
+def test_hybrid_alpha_col_matches_global_weight_where_alphas_agree(
+    spark, sf_dir
+):
+    # Per-query alpha as DATA must reproduce the plan-literal weighted
+    # fusion wherever the weights coincide: q_id 0 carries alpha 0.7 —
+    # exactly search_hybrid_rrf_weighted's global alpha — so its top-5
+    # (doc_id, r_lex, r_vec, rrf) rows must be identical; and every
+    # output row must carry its own alpha from the weight relation.
+    from aics_dask_utils_spark.plans.text import _RRF_QUERY_ALPHA
+
+    rows = (
+        all_plans()["search_hybrid_rrf_alpha_col"].fn(spark, sf_dir).collect()
+    )
+    assert {r["q_id"] for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert r["alpha"] == _RRF_QUERY_ALPHA[r["q_id"]], r
+    wrows = (
+        all_plans()["search_hybrid_rrf_weighted"].fn(spark, sf_dir).collect()
+    )
+    a0 = {
+        (r["doc_id"], r["r_lex"], r["r_vec"], r["rrf"])
+        for r in rows
+        if r["q_id"] == 0
+    }
+    w0 = {
+        (r["doc_id"], r["r_lex"], r["r_vec"], r["rrf"])
+        for r in wrows
+        if r["q_id"] == 0
+    }
+    assert a0 == w0, a0 ^ w0

@@ -573,6 +573,9 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("plans/llm_pipeline.py", "totals"): "scalar: 1-row vocab totals",
     ("plans/llm_pipeline.py", "q"): "contract: RAG query side",
     ("plans/text.py", "q"): "scalar: 1-row hybrid-search query embedding",
+    ("plans/text.py", "alpha"):
+        "contract: (q_id, alpha) fusion-weight relation — one row per "
+        "query, query-dimension-sized, scale-independent of the corpus",
     ("plans/llm_pipeline.py", "vs"): "scalar: 1-row (V, total) stats",
     ("plans/relational.py", "region"): "fixed-dim: region = 5 rows",
     ("plans/relational.py", "nation"): "fixed-dim: nation = 25 rows",
@@ -1125,3 +1128,53 @@ def test_hybrid_rrf_batch_pq_compressed_dense_side_plan_shape(spark, sf_dir):
     assert re.search(r"keys \[2\]: \[s#\d+, cid#", plan), (
         "ADC scoring lost its (s, cid) LUT join"
     )
+
+
+def test_hybrid_rrf_batch_ivfpq_pruned_and_compressed_dense_side(
+    spark, sf_dir
+):
+    # The IVFADC variant composes BOTH prior dense-side contracts: >= 3
+    # distinct range-partitioned grouped ranks, documents scanned
+    # exactly twice, candidates CELL-PRUNED (equi-join on `cell`
+    # against the broadcast probe relation) AND code-compressed (the
+    # ADC LUT reaches the codes via a (q_id, s, cid) equi-join, never
+    # the raw vectors), and nothing plans a cartesian.
+    import re
+
+    plan = _formatted(spark, "search_hybrid_rrf_batch_ivfpq", sf_dir)
+    range_parts = re.findall(r"rangepartitioning\(q_id\S*", plan)
+    assert len(set(range_parts)) >= 3, set(range_parts)
+    doc_scan_ids = set()
+    for m in re.finditer(
+        r"\((\d+)\) Scan parquet[^\n]*\n(?:[^\n]*\n){1,6}", plan
+    ):
+        if "documents" in m.group(0):
+            doc_scan_ids.add(m.group(1))
+    assert len(doc_scan_ids) == 2, doc_scan_ids
+    assert "CartesianProduct" not in plan
+    assert re.search(r"keys \[1\]: \[cell#", plan), (
+        "dense side lost its cell-equi-join pruning"
+    )
+    assert re.search(r"keys \[3\]: \[q_id#\d+L?, s#\d+L?, cid#", plan), (
+        "ADC scoring lost its (q_id, s, cid) LUT join"
+    )
+
+
+def test_hybrid_rrf_alpha_col_plan_shape(spark, sf_dir):
+    # Alpha-as-data must add ZERO scan shape vs the exact batch plan:
+    # >= 3 distinct range-partitioned grouped ranks, documents scanned
+    # exactly twice, the weight relation enters as a BROADCAST
+    # query-dimension join, and nothing plans a cartesian over data.
+    import re
+
+    plan = _formatted(spark, "search_hybrid_rrf_alpha_col", sf_dir)
+    range_parts = re.findall(r"rangepartitioning\(q_id\S*", plan)
+    assert len(set(range_parts)) >= 3, set(range_parts)
+    doc_scan_ids = set()
+    for m in re.finditer(
+        r"\((\d+)\) Scan parquet[^\n]*\n(?:[^\n]*\n){1,6}", plan
+    ):
+        if "documents" in m.group(0):
+            doc_scan_ids.add(m.group(1))
+    assert len(doc_scan_ids) == 2, doc_scan_ids
+    assert "BroadcastHashJoin" in plan
