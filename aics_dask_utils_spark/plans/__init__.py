@@ -60,132 +60,124 @@ def register(
 # ``queries()`` yields them and has only ever reached the FIRST 50.
 # ``PRIORITY_WINDOW`` pins that order deliberately, re-cut each round:
 #
-# Round-11 cut. The rotation keeps paying the attestation-age debt,
-# oldest round first then name (docs/attestation_age_r10.md — r10
-# cleared the round-3 tail and 31 of the 41 round-4 names):
+# Round-12 cut. The rotation keeps paying the attestation-age debt,
+# oldest round first then name (recomputed from CORRECTNESS_r01–r11;
+# docs/attestation_age_r12.md — r11 cleared the round-4 tail and 34
+# of the 39 round-5 names):
 #
-#   slots 1-6 (must-attest: new plans + every plan riding code that
-#   changed in round 11):
-#     search_hybrid_rrf_weighted — NEW (alpha-weighted RRF fusion,
-#       alpha = 0.7 lexical, mirrored literally into the oracle — the
-#       tuning knob production hybrid search exposes; same scan shape
-#       as search_hybrid_rrf_batch; pre-validated at 3 SFs);
-#     search_hybrid_rrf_batch_pq — NEW (the batched hybrid with a
-#       PQ/refine dense side: ADC compressed-domain shortlist per
-#       query + exact re-rank, the memory-bound counterpart of the
-#       r10 IVF dense side; contract pinned in
-#       tests/test_ann_recall.py; pre-validated at 3 SFs);
-#     pipeline_retention_suite — NEW (one LSH + CC-star pass emitting
-#       the dedup card columns AND all three keep-best policy winners
-#       per unit from a single groupBy of max_by aggregates — the
-#       production composition of the four r10 retention siblings;
+#   slots 1-11 (must-attest: the three r12 additions + every plan
+#   whose plan code or oracle SQL changed in round 12 — verified by
+#   an oracle-string diff against the r11 HEAD):
+#     search_hybrid_rrf_batch_ivfpq — NEW (IVFADC dense side for the
+#       batched hybrid RRF: candidates are the residual-PQ codes of
+#       each query's 2 probed coarse cells, ADC top-50 shortlist,
+#       exact re-rank — cell-pruned AND code-compressed, the full
+#       IndexIVFPQ retrieval story; plan shape + recall floor pinned;
 #       pre-validated at 3 SFs);
-#     dedup_keep_best_source — code + oracle change: the retention
-#       key is now a (priority, n_chars) STRUCT, a true lexicographic
-#       order, replacing the priority*1e6+n_chars arithmetic
-#       composite the r10 ADVICE flagged (an n_chars >= 1e6 document
-#       would have crossed tiers identically in both engines,
-#       invisible to the oracle gate);
-#     ann_topk_pq / ann_topk_pq_refine — code change on principle:
-#       pq_topk's per-query ADC and refine rankings moved from
-#       q_id-partitioned windows to exact distributed
-#       grouped_row_numbers ranks (values unchanged — re-validated vs
-#       oracle at sf0.001/0.01; the same de-funnel the r10 batch RRF
-#       plans established).
-#   slot 7 (late-r11 must-attest addition, displacing the
-#     alphabetically-last round-5 rotation name, text_normalize_nfc,
-#     to the r12 head):
-#     ann_topk_ivfpq — NEW (IVFADC end to end: unit-space coarse
-#       cells + product quantization of the RESIDUALS + ADC via the
-#       exact qu.c + qu.r inner-product decomposition + exact top-50
-#       refine — the FAISS IndexIVFPQ layout composing the shipped
-#       IVF and PQ halves; recall floor pinned in
-#       tests/test_ann_recall.py; pre-validated at 3 SFs).
-#   slots 8-17: the 10 remaining round-4-attested names — the oldest
-#     green rows left (the five displaced by the late-r10 additions
-#     plus the five that never fit).
-#   slots 18-50: the 33 alphabetically-first of the 39 round-5-
-#     attested plans (ann_topk_pq already occupies a must-attest
-#     slot). The last 5 (text_normalize_nfc, text_quality_calibrated,
-#     text_token_stats, text_top_bigrams, window_trailing_range)
-#     rotate in r12 — deterministic rule: oldest round first, then
-#     name.
+#     search_hybrid_rrf_alpha_col — NEW (per-query fusion weights AS
+#       DATA: a broadcast (q_id, alpha) relation instead of a plan
+#       literal — zero new scan shape; pre-validated at 3 SFs);
+#     pipeline_retention_materialize — NEW (retention-suite EXECUTOR:
+#       provenance-policy winner set materialized as a
+#       source-partitioned parquet corpus, read back and aggregated —
+#       the hash match proves the on-disk artifact equals the logical
+#       winner set; pre-validated at 3 SFs);
+#     ann_topk_pq / ann_topk_pq_refine / ann_topk_ivfpq /
+#     ann_topk_learned_ivf / ann_topk_multiprobe /
+#     search_hybrid_rrf_batch_ann / search_hybrid_rrf_batch_pq —
+#       code + oracle change (r11-verdict item 1): quantizer training
+#       (PQ Lloyd chain and coarse k-means) now bounded to a
+#       deterministic vid<512 sample, mirrored into the oracle CTEs;
+#       full-corpus assignment/encode unchanged. Bit-identical at
+#       sf<=0.01 (500 vectors), re-validated vs oracle at all 3 SFs;
+#     search_hybrid_rrf_weighted — oracle-only change (r11 ADVICE):
+#       the interpolated alpha literals are now CAST(... AS DOUBLE)
+#       so cross-engine bit-identity doesn't ride on DuckDB's
+#       decimal-literal typing.
+#   slots 12-16: the 5 remaining round-5-attested names (the oldest
+#     green rows left).
+#   slots 17-45: the full round-6-attested block (29 names).
+#   slots 46-50: the 5 alphabetically-first round-7-attested names.
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
 # green) in registration order. ``WINDOW_CRITICAL`` below is guard-
 # tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-6: must-attest (new plans + r11 code changes) --
-    "search_hybrid_rrf_weighted",
-    "search_hybrid_rrf_batch_pq",
-    "pipeline_retention_suite",
-    "dedup_keep_best_source",
+    # -- slots 1-11: must-attest (new plans + r12 code/oracle changes) --
+    "search_hybrid_rrf_batch_ivfpq",
+    "search_hybrid_rrf_alpha_col",
+    "pipeline_retention_materialize",
     "ann_topk_pq",
     "ann_topk_pq_refine",
     "ann_topk_ivfpq",
-    # -- slots 8-17: round-4-attested residue (the last 10) --
-    "stream_stream_full_outer_join_exec",
-    "stream_stream_left_join_exec",
-    "stream_update_mode_exec",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_redact",
-    "topk_per_group",
-    "udf_map_in_pandas",
-    "udtf_sql_table_function",
-    "window_distribution",
-    # -- slots 18-50: oldest round-5-attested residue (first 33,
-    #    ann_topk_pq excluded: it sits in a must-attest slot) --
-    "agg_corr_matrix",
-    "ann_topk_brute",
     "ann_topk_learned_ivf",
-    "ann_topk_pandas",
-    "dedup_keep_first_per_source",
-    "dedup_repeated_chunks",
-    "dedup_simhash_near",
-    "embedding_pca_gram",
-    "events_daily_active",
-    "events_daily_growth",
-    "events_ewma",
-    "events_rate_per_type",
-    "events_sliding",
-    "kmeans_embeddings",
-    "multimodal_image_dedup",
-    "pipeline_incremental_dedup",
-    "sample_bernoulli",
-    "sample_train_test_split",
-    "scalar_json",
-    "sink_cdc_apply",
-    "sink_compacted_files",
-    "sink_python_datasource_roundtrip",
-    "sink_scd2_history",
-    "source_orc_roundtrip",
-    "source_python_datasource",
-    "sql_group_by_all",
-    "sql_scripting_batch",
-    "stream_python_source_exec",
-    "stream_session_exec",
-    "stream_session_state_exec",
-    "stream_sliding_exec",
-    "stream_stateful_count_exec",
-    "stream_stream_join_exec",
+    "ann_topk_multiprobe",
+    "search_hybrid_rrf_batch_ann",
+    "search_hybrid_rrf_batch_pq",
+    "search_hybrid_rrf_weighted",
+    # -- slots 12-16: round-5-attested residue (the last 5) --
+    "text_normalize_nfc",
+    "text_quality_calibrated",
+    "text_token_stats",
+    "text_top_bigrams",
+    "window_trailing_range",
+    # -- slots 17-45: the round-6-attested block (all 29) --
+    "agg_argminmax",
+    "agg_cube",
+    "agg_frequent_pairs",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_mode_median",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_stats",
+    "agg_unpivot",
+    "dedup_components_star",
+    "dedup_embedding_components",
+    "dedup_embedding_cosine",
+    "dedup_minhash_components",
+    "dedup_minhash_lsh",
+    "dedup_semantic_clusters",
+    "global_topn",
+    "join_full_outer",
+    "join_interval_bucketed",
+    "join_theta",
+    "pipeline_clean_corpus",
+    "q11_important_values",
+    "q13_order_distribution",
+    "q1_pricing_summary",
+    "q22_dormant_customers",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "scalar_math",
+    "sql_entry_point",
+    # -- slots 46-50: oldest round-7-attested residue (first 5) --
+    "agg_benford_prices",
+    "agg_mutual_info",
+    "dedup_edit_distance",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
-#: this round: the round-11 additions and every plan whose operator
-#: code, plan code, or oracle SQL changed in round 11 (rationale per
-#: name: the slots 1-7 blocks of the PRIORITY_WINDOW comment above).
+#: this round: the round-12 additions and every plan whose operator
+#: code, plan code, or oracle SQL changed in round 12 (rationale per
+#: name: the slots 1-11 block of the PRIORITY_WINDOW comment above).
 #: Guard-tested in tests/test_plan_quality.py so a slot can never
 #: silently slip below the window cut.
 WINDOW_CRITICAL: frozenset[str] = frozenset({
-    "search_hybrid_rrf_weighted",
-    "search_hybrid_rrf_batch_pq",
-    "pipeline_retention_suite",
-    "dedup_keep_best_source",
+    "search_hybrid_rrf_batch_ivfpq",
+    "search_hybrid_rrf_alpha_col",
+    "pipeline_retention_materialize",
     "ann_topk_pq",
     "ann_topk_pq_refine",
     "ann_topk_ivfpq",
+    "ann_topk_learned_ivf",
+    "ann_topk_multiprobe",
+    "search_hybrid_rrf_batch_ann",
+    "search_hybrid_rrf_batch_pq",
+    "search_hybrid_rrf_weighted",
 })
 
 

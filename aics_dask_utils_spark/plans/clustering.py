@@ -53,12 +53,15 @@ def _kmeans_ctes(
     prev = "c0"
     for i in range(1, n_assign + 1):
         src = "e" if i > iters else train
+        # keep the un-aliased form when reading `e` directly so the
+        # train_n=None string stays byte-identical to the pre-r12 oracle
+        frm = "e" if src == "e" else f"{src} e"
         ctes.append(
             f"""s{i} AS (
       SELECT e.vid, e.v, c.cid,
              list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
                + list_dot_product(c.c, c.c) AS dist2
-      FROM {src} e CROSS JOIN {prev} c
+      FROM {frm} CROSS JOIN {prev} c
     )"""
         )
         ctes.append(

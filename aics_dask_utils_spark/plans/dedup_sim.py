@@ -1493,3 +1493,107 @@ def pipeline_retention_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("unit")
     )
+
+
+@register(
+    "pipeline_retention_materialize",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    und AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS unit
+      FROM reach GROUP BY a
+    ),
+    pr AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN source IN ({_SRC_CURATED_SQL}) THEN 3
+                  WHEN source IN ({_SRC_WEB_SQL}) THEN 2
+                  ELSE 1 END AS priority
+      FROM documents
+    ),
+    u AS (
+      SELECT p.doc_id, p.source, p.priority, p.n_chars,
+             COALESCE(c.unit, p.doc_id) AS unit
+      FROM pr p LEFT JOIN comp c USING (doc_id)
+    ),
+    winners AS (
+      SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY unit
+                                  ORDER BY priority DESC, n_chars DESC,
+                                           doc_id) AS rn
+        FROM u
+      ) WHERE rn = 1
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS bytes_kept,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM winners GROUP BY source ORDER BY source
+    """,
+    doc="retention-suite EXECUTOR (E5/E31 composition; r11-verdict "
+    "queue item) — closes the loop from report to ARTIFACT: the "
+    "provenance-policy winner set (the same minhash_lsh_pairs + "
+    "connected_components_star units and STRUCT (priority, n_chars) "
+    "retention key as dedup_keep_best_source / the retention suite) "
+    "is joined back to documents and MATERIALIZED as a "
+    "source-partitioned parquet corpus (partitionBy(source) — the "
+    "lake layout downstream training jobs partition-prune by "
+    "provenance tier), then READ BACK and aggregated per source — "
+    "the returned row set comes from the materialized files, so the "
+    "hash match proves the kept corpus on disk is exactly the "
+    "logical winner set, not just that the winner logic is right. "
+    "Scale shape: one LSH + CC-star chain (band-keyed, never "
+    "all-pairs), winners via a partial-aggregable max_by — no "
+    "component window — then a LEFT SEMI join of documents against "
+    "the |units|-sized winner relation and one partitioned write; "
+    "the read-back aggregate collapses map-side per source (EXT, "
+    "LLM pipeline, sink)",
+    tags=("dedup", "pipeline", "sink", "iterative"),
+)
+def pipeline_retention_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .sources_plans import _tmp
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", "source", "n_chars").withColumn(
+        "priority",
+        F.when(F.col("source").isin(*_SRC_CURATED), F.lit(3))
+        .when(F.col("source").isin(*_SRC_WEB), F.lit(2))
+        .otherwise(F.lit(1)),
+    ).withColumn(
+        "retention_key", F.struct(F.col("priority"), F.col("n_chars"))
+    )
+    t = _component_units(spark, sf_dir).join(keyed, "doc_id")
+    winners = (
+        D.keep_best(
+            t, unit_col="unit", id_col="doc_id", score_col="retention_key"
+        )
+        .where(F.col("kept") == 1)
+        .select("doc_id")
+    )
+    kept_corpus = docs.select("doc_id", "source", "n_chars").join(
+        winners, "doc_id", "left_semi"
+    )
+    path = _tmp(sf_dir, "retained")
+    kept_corpus.write.mode("overwrite").partitionBy("source").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("bytes_kept"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )

@@ -654,3 +654,29 @@ def test_keep_best_picks_max_score_min_id_and_flags_everyone(spark):
         for r in kept.groupBy("unit").agg(F.sum("kept").alias("n")).collect()
     }
     assert per_unit == {100: 1, 200: 1}
+
+
+def test_retention_materialize_writes_source_partitioned_winner_set(
+    spark, sf_dir
+):
+    # The executor's contract beyond the oracle hash: the artifact on
+    # disk is laid out as source= partition directories (the
+    # provenance-prunable lake layout), and the materialized corpus is
+    # exactly one winner per near-dup unit — no unit lost, none kept
+    # twice.
+    import os
+
+    from aics_dask_utils_spark.plans import all_plans
+    from aics_dask_utils_spark.plans.dedup_sim import _component_units
+    from aics_dask_utils_spark.plans.sources_plans import _tmp
+
+    rows = (
+        all_plans()["pipeline_retention_materialize"].fn(spark, sf_dir).collect()
+    )
+    path = _tmp(sf_dir, "retained")
+    parts = [d for d in os.listdir(path) if d.startswith("source=")]
+    assert parts, os.listdir(path)
+    assert {r["source"] for r in rows} == {p.split("=", 1)[1] for p in parts}
+    n_kept = sum(r["n_kept"] for r in rows)
+    n_units = _component_units(spark, sf_dir).select("unit").distinct().count()
+    assert n_kept == n_units, (n_kept, n_units)
