@@ -190,6 +190,14 @@ HEADLINE = [
     "pipeline_retention_suite",
     # the IVFADC index (coarse cells + residual PQ + exact refine)
     "ann_topk_ivfpq",
+    # round-12 additions (own name-hash buckets): the batched hybrid
+    # with an IVFADC dense side (cell-pruned AND code-compressed — the
+    # full IndexIVFPQ retrieval story), per-query fusion weights as a
+    # data column, and the retention-suite executor (winner set
+    # materialized as a source-partitioned corpus and read back)
+    "search_hybrid_rrf_batch_ivfpq",
+    "search_hybrid_rrf_alpha_col",
+    "pipeline_retention_materialize",
 ]
 
 

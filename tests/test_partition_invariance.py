@@ -66,6 +66,14 @@ PLANS = [
     # exact-decimal means, the ADC fold is pinned in subspace order
     # from the per-cell base term, ranks are pure order functions
     "ann_topk_ivfpq",
+    # round-12 additions: the IVFADC hybrid composes the pinned ADC
+    # fold with the grouped fused ranks; alpha-as-data multiplies
+    # integer-rank reciprocals by a broadcast per-query weight; the
+    # retention executor's read-back aggregate is a pure function of
+    # the (deterministic) winner set, independent of write layout
+    "search_hybrid_rrf_batch_ivfpq",
+    "search_hybrid_rrf_alpha_col",
+    "pipeline_retention_materialize",
 ]
 
 
