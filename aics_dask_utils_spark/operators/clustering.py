@@ -22,23 +22,82 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from ..functions.vectors import as_double_array, vec_dot
 
 
+def _centroid_candidates(cent: DataFrame) -> DataFrame:
+    """Collapse the (cid, c) centroid relation into ONE row holding the
+    candidate array [(cid, c, cc)] with cc = ⟨c,c⟩ precomputed — the
+    broadcast side of the expression-level argmin below."""
+    return cent.agg(
+        F.collect_list(
+            F.struct("cid", "c", vec_dot("c", "c").alias("cc"))
+        ).alias("cands")
+    )
+
+
+def _scored_struct_array(
+    v_col: str = "v", cands_col: str = "cands", vv_col: str | None = None
+):
+    """(dist2, cid) struct per candidate, dist² by the same three-fold
+    identity the row-per-candidate formulation used — bit-identical
+    doubles, so argmin/ordering decisions are unchanged. Pass a
+    pre-computed ⟨v,v⟩ column via ``vv_col`` so the self-dot folds
+    once per row instead of once per candidate (same value, same
+    bits)."""
+    vv = F.col(vv_col) if vv_col is not None else vec_dot(v_col, v_col)
+    return F.transform(
+        F.col(cands_col),
+        lambda x: F.struct(
+            (vv - F.lit(2.0) * vec_dot(v_col, x["c"]) + x["cc"]).alias(
+                "dist2"
+            ),
+            x["cid"].alias("cid"),
+        ),
+    )
+
+
+def spread_to_cores(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to ``defaultParallelism`` — ONLY when
+    the relation arrives with fewer partitions (guide §2.5 "input
+    skew": a small input read as one parquet split serializes every
+    downstream expression pass onto one task; the round-12
+    expression-level assignment/encode passes no longer have an
+    incidental shuffle to spread them). At real scale the scan yields
+    >= cores splits and this is a NO-OP — no shuffle is added at the
+    100 TB design point; results never depend on partitioning."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def kmeans_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: (vid, v) × (cid, c) -> (vid, v, cid).
-    Broadcast cross join + dist² identity; ties break to the lowest cid."""
-    scored = e.crossJoin(F.broadcast(cent)).withColumn(
-        "dist2",
-        vec_dot("v", "v") - F.lit(2.0) * vec_dot("v", "c") + vec_dot("c", "c"),
+    Ties break to the lowest cid.
+
+    Round-12 shape (guide §2.3/§2.4): the k centroids collapse to a
+    one-row broadcast array and the argmin is a whole-stage-codegen
+    ``array_min`` over (dist2, cid) structs — struct ordering IS the
+    old ``row_number().over(orderBy(dist2, cid))`` tie-break, NaNs
+    greatest, so the selected cid is bit-identical. The previous
+    formulation exploded k rows per vector and paid an Exchange + Sort
+    + Window per assignment pass; this one never shuffles at all —
+    at 100 TB each Lloyd round's assignment was a full-corpus-×-k
+    shuffle, now zero. Small inputs are spread to core count first
+    (see :func:`spread_to_cores` — a no-op at scale) so the
+    expression pass parallelizes without the old window's incidental
+    shuffle."""
+    e = spread_to_cores(e)
+    scored = e.withColumn("_vv", vec_dot("v", "v")).crossJoin(
+        F.broadcast(_centroid_candidates(cent))
     )
-    w = W.partitionBy("vid").orderBy("dist2", "cid")
+    best = F.array_min(_scored_struct_array(vv_col="_vv"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vid", "v", "cid")
+        scored.select("vid", "v", best["cid"].alias("cid"))
+        .where(F.col("cid").isNotNull())
     )
 
 
@@ -50,16 +109,122 @@ def kmeans_assign_topn(e: DataFrame, cent: DataFrame, n: int = 2) -> DataFrame:
     the cost of n× probe fan-out; the corpus itself stays
     single-assigned). Carries ``v`` through so probe-side consumers
     (semantic_screen_ivf's probed corpus) don't need a vid self-join
-    to recover the vector."""
-    scored = e.crossJoin(F.broadcast(cent)).withColumn(
-        "dist2",
-        vec_dot("v", "v") - F.lit(2.0) * vec_dot("v", "c") + vec_dot("c", "c"),
+    to recover the vector.
+
+    Same round-12 expression-level formulation as
+    :func:`kmeans_assign`: ``array_sort`` over (dist2, cid) structs is
+    exactly the old window's (dist2, cid) order (NaNs greatest), the
+    first ``n`` slots explode to probe_rank 1..n — no Exchange, no
+    Sort, no Window. Small inputs spread to core count first (no-op
+    at scale)."""
+    e = spread_to_cores(e)
+    scored = e.withColumn("_vv", vec_dot("v", "v")).crossJoin(
+        F.broadcast(_centroid_candidates(cent))
     )
-    w = W.partitionBy("vid").orderBy("dist2", "cid")
-    return (
-        scored.withColumn("probe_rank", F.row_number().over(w))
-        .where(F.col("probe_rank") <= n)
-        .select("vid", "v", "cid", "probe_rank")
+    ranked = F.slice(F.array_sort(_scored_struct_array(vv_col="_vv")), 1, n)
+    return scored.select(
+        "vid", "v", F.posexplode(ranked).alias("pos", "sc")
+    ).select(
+        "vid",
+        "v",
+        F.col("sc")["cid"].alias("cid"),
+        (F.col("pos") + 1).alias("probe_rank"),
+    )
+
+
+def _lloyd_local(
+    rows: list[tuple[int, list[float]]], k: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """Driver-side Lloyd over a BOUNDED sample, bit-identical to the
+    distributed loop (``kmeans_centroids`` / ``_pq_train``) — the
+    round-12 trainer for the ``train_limit`` paths. FAISS trains
+    quantizers centrally on a bounded sample; here the sample is
+    ≤ train_limit rows BY CONSTRUCTION (a few hundred KB), so the
+    driver does O(sample·k·iters) arithmetic once per plan — while the
+    distributed loop paid ~3 s of job/stage machinery per trainer at
+    any scale (measured sf0.1: 2 Lloyd rounds over 512 vectors = 3.0 s
+    wall with zero data volume). Exactness, step by step:
+
+    - seeds: vids < k, ascending (same rows as the WHERE vid < k seed);
+    - dist² = ⟨v,v⟩ − 2·⟨v,c⟩ + ⟨c,c⟩ with each dot a LEFT fold of
+      IEEE-double multiply-adds — Python floats are the same IEEE
+      doubles, same order → identical bits;
+    - argmin tie-break = lexicographic (dist2, cid), the window's
+      (dist2, cid) order;
+    - mean = ROUND(CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE)/n, 9):
+      Spark's double→decimal cast goes through Double.toString (the
+      shortest round-trip repr — Python ``repr`` produces the same
+      digits), HALF_UP at 12 dp (``Decimal.quantize(1E-12, HALF_UP)``);
+      decimal sums are exact in any order; decimal→double is correctly
+      rounded on both sides (``BigDecimal.doubleValue`` /
+      ``float(Decimal)``); ROUND(x, 9) is BigDecimal.valueOf(x) —
+      Double.toString again — setScale(9, HALF_UP), i.e.
+      ``Decimal(repr(x)).quantize(1E-9, HALF_UP)``.
+
+    tests/test_ann_recall.py pins the equivalence against the
+    distributed loop on real data; every consumer plan stays
+    oracle-hash-verified."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal("1E-12")
+    q9 = Decimal("1E-9")
+
+    def dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    cent = [(vid, list(v)) for vid, v in rows if vid < k]
+    for _ in range(iters):
+        cands = [(cid, c, dot(c, c)) for cid, c in cent]
+        agg: dict[int, list] = {}
+        for vid, v in rows:
+            vv = dot(v, v)
+            best: tuple[float, int] | None = None
+            for cid, c, cc in cands:
+                d2 = vv - 2.0 * dot(v, c) + cc
+                if best is None or (d2, cid) < best:
+                    best = (d2, cid)
+            if best is None:
+                continue
+            slot = agg.setdefault(best[1], [0, None])
+            slot[0] += 1
+            if slot[1] is None:
+                slot[1] = [Decimal(repr(x)).quantize(q12, ROUND_HALF_UP) for x in v]
+            else:
+                for i, x in enumerate(v):
+                    slot[1][i] += Decimal(repr(x)).quantize(q12, ROUND_HALF_UP)
+        cent = [
+            (
+                cid,
+                [
+                    float(
+                        Decimal(repr(float(s) / n)).quantize(q9, ROUND_HALF_UP)
+                    )
+                    for s in sums
+                ],
+            )
+            for cid, (n, sums) in sorted(agg.items())
+        ]
+    return cent
+
+
+def kmeans_centroids_local(
+    train: DataFrame, k: int, iters: int
+) -> DataFrame:
+    """Driver-side trainer entry: collect the BOUNDED (vid, v) training
+    relation (the ``vid < train_limit`` sample — KBs by contract), run
+    :func:`_lloyd_local`, and parallelize the k centroids back as a
+    (cid, c) relation. One collect job replaces ~3 s of per-round
+    shuffle/checkpoint machinery; float values round-trip exactly
+    through Arrow/pickle in both directions."""
+    rows = [(r[0], list(r[1])) for r in train.select("vid", "v").collect()]
+    rows.sort(key=lambda t: t[0])
+    cent = _lloyd_local(rows, k, iters)
+    spark = train.sparkSession
+    return spark.createDataFrame(
+        [(cid, c) for cid, c in cent], schema="cid long, c array<double>"
     )
 
 
@@ -103,9 +268,16 @@ def kmeans_centroids(
     without it every consumer pays ``iters`` full-corpus passes before
     the quantizer exists. Deterministic and oracle-mirrorable (one
     WHERE clause). Assignment of the full corpus against the trained
-    centroids is the caller's (cheap, single-pass) job."""
+    centroids is the caller's (cheap, single-pass) job.
+
+    Round 12: the bounded-``train_limit`` path trains DRIVER-SIDE
+    (:func:`kmeans_centroids_local` — bit-identical arithmetic, see
+    :func:`_lloyd_local`); the unbounded path keeps the distributed
+    loop."""
     e = df.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v"))
     train = e.where(F.col("vid") < train_limit) if train_limit is not None else e
+    if train_limit is not None:
+        return kmeans_centroids_local(train, k, iters)
     cent = train.where(F.col("vid") < k).select(
         F.col("vid").alias("cid"), F.col("v").alias("c")
     )
@@ -114,7 +286,7 @@ def kmeans_centroids(
         # cent re-executes ALL previous rounds (broadcast exchanges are
         # re-planned per consumer), making the loop quadratic in iters.
         cent = _recompute_centroids(kmeans_assign(train, cent)).localCheckpoint(
-            eager=True
+            eager=False
         )
     return cent
 
@@ -136,7 +308,7 @@ def kmeans_fit_predict(
     assign = None
     for _ in range(iters):
         assign = kmeans_assign(e, cent)
-        cent = _recompute_centroids(assign).localCheckpoint(eager=True)
+        cent = _recompute_centroids(assign).localCheckpoint(eager=False)
     sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
     return (
         sizes.join(cent, "cid")

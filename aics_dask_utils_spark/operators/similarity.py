@@ -149,34 +149,38 @@ def brute_force_topk_pandas(
     )
 
 
-def _pq_train_encode(
+def _pq_train(
     subs: DataFrame,
     codes_k: int,
     iters: int,
-    carry: tuple[str, ...] = (),
     train_limit: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """One Lloyd chain keyed by the subspace index ``s`` over
     (vid, s, v) sub-vector rows: train a ``codes_k``-word codebook per
     subspace (seeds = lowest ids, exact-decimal means — the same
-    deterministic trainer recipe as ``operators.clustering``) and run
-    the final encoding pass against the trained books. Returns
-    ``(codebooks, encoding)`` = ((s, cid, c), (vid, s, v, cid,
-    *carry)); ``carry`` threads extra ``subs`` columns (e.g. the IVF
-    cell) through the final assignment only. Shared by the plain-PQ
-    and the IVFADC residual quantizers.
+    deterministic trainer recipe as ``operators.clustering``).
+    Returns the codebooks (s, cid, c). Shared by the plain-PQ and the
+    IVFADC residual quantizers; the corpus encode is the callers'
+    shuffle-free expression pass (see :func:`_pq_encode_codes`).
 
     ``train_limit``: when set, the Lloyd rounds train ONLY on rows with
-    ``vid < train_limit`` (the final encoding pass still covers every
-    row) — the production FAISS recipe, which fits codebooks on a
-    bounded sample (~1M vectors) instead of the corpus. Without it,
-    every ANN plan pays ``iters+1`` full-corpus shuffles before
-    answering a single query; with it the training cost is O(sample)
-    regardless of corpus size. The ``vid < N`` cut is deterministic
-    and oracle-mirrorable (one WHERE clause); ids here are arbitrary
-    synthetic keys, so the cut is an unbiased sample — on a corpus
-    whose ids correlate with content, use the content-hash idiom from
-    ``operators.sampling.hash48`` instead.
+    ``vid < train_limit`` — the production FAISS recipe, which fits
+    codebooks on a bounded sample (~1M vectors) instead of the corpus.
+    Without it, every ANN plan pays ``iters`` full-corpus shuffles
+    before answering a single query; with it the training cost is
+    O(sample) regardless of corpus size. The ``vid < N`` cut is
+    deterministic and oracle-mirrorable (one WHERE clause); ids here
+    are arbitrary synthetic keys, so the cut is an unbiased sample —
+    on a corpus whose ids correlate with content, use the content-hash
+    idiom from ``operators.sampling.hash48`` instead.
+
+    Round-12 assignment shape (guide §2.3/§2.4): per-subspace
+    codebooks collapse to an m-row broadcast of candidate ARRAYS and
+    the argmin is a codegen array_min over (dist2, cid) structs —
+    bit-identical to the previous row_number().over(orderBy(dist2,
+    cid)) pick (struct ordering = same tie-break, NaNs greatest) but
+    with no per-candidate row explosion and no Exchange + Sort +
+    Window per Lloyd pass.
 
     Seed-diversity note: seeds are always the sub-vectors of ids
     0..codes_k-1. For the IVFADC residual trainer those seeds may all
@@ -185,27 +189,28 @@ def _pq_train_encode(
     mirrors the same recipe and tests/test_ann_recall.py pins the
     measured floor). If recall degrades at larger k_coarse, seed
     per-cell instead."""
+    from .clustering import _scored_struct_array
+
     train = (
         subs.where(F.col("vid") < train_limit) if train_limit is not None else subs
     )
     cent = train.where(F.col("vid") < codes_k).select(
         "s", F.col("vid").alias("cid"), F.col("v").alias("c")
     )
-    assign = None
-    for it in range(iters + 1):
-        src = subs if it == iters else train
-        scored = src.join(F.broadcast(cent), "s").withColumn(
-            "dist2",
-            vec_dot("v", "v") - F.lit(2.0) * vec_dot("v", "c") + vec_dot("c", "c"),
+    for _ in range(iters):
+        cands = cent.groupBy("s").agg(
+            F.collect_list(
+                F.struct("cid", "c", vec_dot("c", "c").alias("cc"))
+            ).alias("cands")
         )
-        w = W.partitionBy("vid", "s").orderBy("dist2", "cid")
+        scored = train.withColumn("_vv", vec_dot("v", "v")).join(
+            F.broadcast(cands), "s"
+        )
+        best = F.array_min(_scored_struct_array(vv_col="_vv"))
         assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vid", "s", "v", "cid", *carry)
+            scored.select("vid", "s", "v", best["cid"].alias("cid"))
+            .where(F.col("cid").isNotNull())
         )
-        if it == iters:
-            break  # final encoding pass against the trained codebooks
         dim_means = (
             assign.select("s", "cid", F.posexplode("v"))
             .groupBy("s", "cid", "pos")
@@ -225,8 +230,128 @@ def _pq_train_encode(
                 F.array_sort(F.collect_list(F.struct("pos", "mn"))),
                 lambda st: st["mn"],
             ).alias("c")
-        ).localCheckpoint(eager=True)
-    return cent, assign
+        ).localCheckpoint(eager=False)
+    return cent
+
+
+def _pq_train_local(subs: DataFrame, codes_k: int, iters: int) -> DataFrame:
+    """Driver-side PQ trainer for the BOUNDED ``train_limit`` paths:
+    collect the (vid, s, v) training sub-vector sample (train_limit × m
+    rows — a few hundred KB by contract), run the bit-identical local
+    Lloyd chain per subspace (``operators.clustering._lloyd_local`` —
+    see its exactness notes), and parallelize the (s, cid, c) codebooks
+    back. Replaces ~3 s of per-round shuffle/checkpoint machinery with
+    one collect job; the unbounded path keeps :func:`_pq_train`."""
+    from .clustering import _lloyd_local
+
+    by_s: dict[int, list] = {}
+    for r in subs.select("vid", "s", "v").collect():
+        by_s.setdefault(r[1], []).append((r[0], list(r[2])))
+    out = []
+    for s in sorted(by_s):
+        grp = sorted(by_s[s], key=lambda t: t[0])
+        for cid, c in _lloyd_local(grp, codes_k, iters):
+            out.append((s, cid, c))
+    return subs.sparkSession.createDataFrame(
+        out, schema="s int, cid long, c array<double>"
+    )
+
+
+def _pq_cands_map(cent: DataFrame) -> DataFrame:
+    """ONE row holding {s -> [(cid, c, cc)]} — the broadcast side of
+    the expression-level corpus encode. m x codes_k x (d+2) doubles:
+    KBs by construction, scale-independent of the corpus."""
+    return (
+        cent.groupBy("s")
+        .agg(
+            F.collect_list(
+                F.struct("cid", "c", vec_dot("c", "c").alias("cc"))
+            ).alias("cands")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("s", "cands"))
+            ).alias("cmap")
+        )
+    )
+
+
+def _pq_encode_codes(vec_col: str, m: int, d: int):
+    """codes[s] = argmin_cid dist²(sub-vector s of ``vec_col``,
+    codeword) for s = 0..m-1, fully expression-level against the
+    broadcast ``cmap`` column — the round-12 corpus encode. The old
+    encode exploded the corpus to n·m sub-vector rows, joined codes_k
+    candidates onto each and ranked a (vid, s) window: an Exchange +
+    Sort over n·m·codes_k rows before a single code existed. This
+    computes the same argmin (same dist² folds, same (dist2, cid)
+    tie-break via struct array_min, NaNs greatest) with zero shuffles
+    and no row explosion — at 100 TB the encode becomes one narrow
+    map-side pass over the vectors. The sub-vector and its self-dot
+    are hoisted into a per-s struct OUTSIDE the candidate loop
+    (evaluated once per subspace, not once per candidate — measured
+    2.5 s -> 1.2 s warm for the sf0.1 encode); the dist² doubles are
+    unchanged (same folds, same values)."""
+    subvv = F.transform(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.slice(F.col(vec_col), i * d + 1, d),
+        ),
+        lambda sv: F.struct(sv.alias("sv"), vec_dot(sv, sv).alias("vv")),
+    )
+    return F.transform(
+        subvv,
+        lambda x, s: F.array_min(
+            F.transform(
+                F.element_at(F.col("cmap"), s.cast("int")),
+                lambda cd: F.struct(
+                    (
+                        x["vv"]
+                        - F.lit(2.0) * vec_dot(x["sv"], cd["c"])
+                        + cd["cc"]
+                    ).alias("dist2"),
+                    cd["cid"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+
+
+def _pq_lut_map(lut: DataFrame, codes_k: int) -> DataFrame:
+    """Pack the per-query ADC LUT rows (q_id, s, cid, dd) as one row
+    per query: {s * codes_k + cid -> dd} — query-dimension-sized,
+    broadcast for the expression-level scoring pass."""
+    return lut.groupBy("q_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("s") * codes_k + F.col("cid"))
+                    .cast("int")
+                    .alias("k"),
+                    F.col("dd"),
+                )
+            )
+        ).alias("dds")
+    )
+
+
+def _pq_adc_score(codes_col: str, codes_k: int):
+    """ADC approximate cosine: fold of the m looked-up LUT entries in
+    subspace order from 0.0 — the same left fold (bit-identical
+    doubles) the previous groupBy(q_id, vid) + sorted-collect_list
+    formulation produced, but computed row-local against the broadcast
+    ``dds`` map: the corpus codes never shuffle for scoring, where the
+    old shape shuffled n·m·|queries| partial rows into the (q_id, vid)
+    aggregation."""
+    return F.aggregate(
+        F.transform(
+            F.col(codes_col),
+            lambda c, i: F.element_at(
+                F.col("dds"), (i * codes_k + c).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def pq_topk(
@@ -262,13 +387,18 @@ def pq_topk(
        on any engine).
 
     Scale shape: PQ compresses 100 TB of float vectors to ~1-2% code
-    bytes that scan at memory-bandwidth speed; scoring is one narrow
-    pass over the codes joined against the broadcast LUT, then one
-    (q_id, vid)-keyed aggregation — no shuffle of the raw vectors at
-    any point. ``train_limit`` bounds the codebook training sample to
+    bytes that scan at memory-bandwidth speed. Round-12 shape: the
+    corpus encode is a zero-shuffle expression pass against the
+    broadcast codebook map (:func:`_pq_encode_codes` — the old encode
+    exploded n·m sub-vector rows and ranked a (vid, s) window), and
+    ADC scoring folds each row's m codes against the broadcast
+    per-query LUT map row-locally (:func:`_pq_adc_score` — the old
+    scoring shuffled n·m·|queries| partial rows into a (q_id, vid)
+    aggregation). The training sample is the only exploded relation
+    left. ``train_limit`` bounds the codebook training sample to
     ``vid < train_limit`` (the FAISS bounded-sample recipe — see
-    :func:`_pq_train_encode`); the encoding pass always covers the
-    full corpus. Returns (q_id, neighbor_id, approx_cosine, rank), top
+    :func:`_pq_train`); the encoding pass always covers the full
+    corpus. Returns (q_id, neighbor_id, approx_cosine, rank), top
     ``k`` per query by approximate score; recall floor vs the exact
     scan pinned in tests/test_ann_recall.py.
     """
@@ -276,23 +406,37 @@ def pq_topk(
         raise ValueError(f"dim {n_dims} not divisible by m={m}")
     d = n_dims // m
 
-    e = with_unit_vector(
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v0")),
-        "v0",
-        "u",
-    ).select("vid", "u")
+    from .clustering import spread_to_cores
+
+    e = spread_to_cores(
+        with_unit_vector(
+            corpus.select(
+                F.col(id_col).alias("vid"), F.col(vec_col).alias("v0")
+            ),
+            "v0",
+            "u",
+        ).select("vid", "u")
+    )
     slices = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda i: F.slice("u", i * d + 1, d),
     )
-    # The sub-vector relation feeds every Lloyd round and the final
-    # encoding pass; checkpoint it once so the explode+normalize never
-    # re-executes (it is n·m small rows, far cheaper than re-deriving).
-    subs = e.select("vid", F.posexplode(slices).alias("s", "v")).localCheckpoint(
-        eager=False
+    # Only the TRAINING sample explodes to sub-vector rows now (the
+    # corpus encode below is expression-level); checkpoint it once so
+    # the explode+normalize never re-executes across Lloyd rounds.
+    if train_limit is not None:
+        tsubs = e.where(F.col("vid") < train_limit).select(
+            "vid", F.posexplode(slices).alias("s", "v")
+        )
+        cent = _pq_train_local(tsubs, codes_k, iters)
+    else:
+        subs = e.select(
+            "vid", F.posexplode(slices).alias("s", "v")
+        ).localCheckpoint(eager=False)
+        cent = _pq_train(subs, codes_k, iters)
+    enc = e.crossJoin(F.broadcast(_pq_cands_map(cent))).select(
+        "vid", _pq_encode_codes("u", m, d).alias("codes")
     )
-
-    cent, assign = _pq_train_encode(subs, codes_k, iters, train_limit=train_limit)
 
     qe = with_unit_vector(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("v0")),
@@ -308,17 +452,13 @@ def pq_topk(
         "q_id", "s", "cid", vec_dot("qs", "c").alias("dd")
     )
 
-    partials = assign.select("vid", "s", "cid").join(
-        F.broadcast(lut), ["s", "cid"]
-    ).where(F.col("vid") != F.col("q_id"))
-    approx = F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "dd"))), lambda st: st["dd"]
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    scored_q = (
+        enc.crossJoin(F.broadcast(_pq_lut_map(lut, codes_k)))
+        .where(F.col("vid") != F.col("q_id"))
+        .select(
+            "q_id", "vid", _pq_adc_score("codes", codes_k).alias("approx_cosine")
+        )
     )
-    scored_q = partials.groupBy("q_id", "vid").agg(approx.alias("approx_cosine"))
     # Per-query ranks are exact DISTRIBUTED grouped_row_numbers, not a
     # q_id-partitioned window: with a handful of queries ranking a
     # whole corpus each, the partitioned window is lint-clean but
@@ -388,7 +528,7 @@ def ivfpq_topk(
        decomposition below is exact);
     2. residual r = u - c(cell); train the ``m``-subspace /
        ``codes_k``-word codebooks on the residual sub-vectors (the
-       shared :func:`_pq_train_encode` Lloyd chain) and encode the
+       shared :func:`_pq_train` Lloyd chain) and encode the
        corpus to (vid, cell, m codes);
     3. each query probes its ``n_probe`` nearest cells
        (``kmeans_assign_topn``) and precomputes (a) the per-cell base
@@ -411,7 +551,7 @@ def ivfpq_topk(
     raw-vector touches are quantizer training, the one-off encode, and
     the refine×|queries| exact fetch. ``train_limit`` bounds BOTH
     trainers (coarse k-means and residual PQ) to ``vid < train_limit``
-    (the FAISS bounded-sample recipe — see :func:`_pq_train_encode`);
+    (the FAISS bounded-sample recipe — see :func:`_pq_train`);
     assignment and encoding always cover the full corpus. Every
     per-query ranking is an exact distributed grouped_row_numbers
     rank. Recall floor vs the exact scan pinned in
@@ -441,13 +581,22 @@ def ivfpq_topk(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda i: F.slice("r", i * d + 1, d),
     )
-    # same checkpoint rationale as pq_topk: the sub-vector relation
-    # feeds every Lloyd round and the final encoding pass
-    subs = res.select(
-        "vid", "cell", F.posexplode(slices).alias("s", "v")
-    ).localCheckpoint(eager=False)
-    cb, enc = _pq_train_encode(
-        subs, codes_k, iters, carry=("cell",), train_limit=train_limit
+    # Only the TRAINING sample explodes to residual sub-vector rows
+    # (the corpus encode below is expression-level); bounded samples
+    # train driver-side, the unbounded path keeps the distributed loop.
+    if train_limit is not None:
+        tsubs = res.where(F.col("vid") < train_limit).select(
+            "vid", F.posexplode(slices).alias("s", "v")
+        )
+        cb = _pq_train_local(tsubs, codes_k, iters)
+    else:
+        subs = res.select(
+            "vid", F.posexplode(slices).alias("s", "v")
+        ).localCheckpoint(eager=False)
+        cb = _pq_train(subs, codes_k, iters)
+    # zero-shuffle residual encode: (vid, cell, m codes) — see pq_topk
+    enc = res.crossJoin(F.broadcast(_pq_cands_map(cb))).select(
+        "vid", "cell", _pq_encode_codes("r", m, d).alias("codes")
     )
 
     qe = with_unit_vector(
@@ -474,26 +623,22 @@ def ivfpq_topk(
         .select("q_id", "cell", vec_dot("v", "c").alias("qc"))
     )
 
-    cand = (
-        enc.select("vid", "s", "cid", "cell")
-        .join(F.broadcast(probes), "cell")
-        .join(F.broadcast(lut), ["q_id", "s", "cid"])
-        .where(F.col("vid") != F.col("q_id"))
-    )
-    fold = F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "dd"))), lambda st: st["dd"]
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # qc is constant within a (q_id, vid) group — a corpus vector has
-    # exactly one cell — so max() is a deterministic pick of it
+    # candidates = codes of the probed cells: the CELL-EQUI-JOIN against
+    # the broadcast probe relation is still the IVF prune (never a
+    # cartesian); a (vid, q_id) pair is unique (one cell per vector, one
+    # probe row per (q_id, cell)), so the old groupBy(q_id, vid) with
+    # max(qc) + sorted-fold collapses to the row-local qc + ADC fold —
+    # same addition order, bit-identical doubles, no scoring shuffle.
     scored_q = (
-        cand.groupBy("q_id", "vid")
-        .agg(F.max("qc").alias("__qc"), fold.alias("__acc"))
+        enc.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(_pq_lut_map(lut, codes_k)), "q_id")
+        .where(F.col("vid") != F.col("q_id"))
         .select(
-            "q_id", "vid", (F.col("__qc") + F.col("__acc")).alias("approx_cosine")
+            "q_id",
+            "vid",
+            (F.col("qc") + _pq_adc_score("codes", codes_k)).alias(
+                "approx_cosine"
+            ),
         )
     )
     pq_order = [F.desc("approx_cosine"), F.asc("vid")]

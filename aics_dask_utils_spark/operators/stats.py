@@ -29,6 +29,7 @@ went green in round 6).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -833,6 +834,27 @@ def global_running_sums(
     count and coalesces the two addends — without it, ``offset +
     NULL`` would wrongly blank rows whose partition starts with NULLs
     even though earlier partitions contributed real values.
+
+    Physical shape (round-12 optimization; guide §2.4): the local row
+    number and partition id are decoded from
+    ``monotonically_increasing_id`` stamped AFTER the within-partition
+    sort (the classic zipWithIndex idiom: id = pid << 33 | local row
+    index), which removes the hashpartition Exchange + re-Sort +
+    Window that the per-partition ``row_number`` formulation paid over
+    the persisted relation (its range partitioning is opaque to the
+    window planner) — one full-data shuffle and sort fewer per rank
+    call. The running-SUMS path still needs the per-partition
+    cumulative window; the rank-only path (every
+    ``global_row_numbers``/``grouped_row_numbers`` caller) is
+    window-free. One range partition is capped at 2^33 rows — raise
+    ``num_partitions`` long before that at scale. The persist (not a
+    localCheckpoint) is deliberate: a checkpoint would truncate the
+    plan to a LogicalRDD, and the checkpointed subtree compiles
+    WITHOUT adaptive execution and with unknown stats — measured
+    1.4 s -> 3.3 s on search_hybrid_rrf when round 12 tried it; the
+    InMemoryRelation keeps AQE, cache statistics and the visible plan
+    tree (the repeated subtrees in explain output are display-level:
+    the cache is built once).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -841,14 +863,15 @@ def global_running_sums(
     val_exprs = {
         out: (F.col(c) if isinstance(c, str) else c) for out, c in sums.items()
     }
-    # Persist the range-partitioned relation: both the totals branch
-    # and the running-sum branch consume it, and without persistence
-    # the lineage duplicates and the upstream source is scanned twice.
     r0 = (
         df.repartitionByRange(num_partitions, *order_exprs)
         .sortWithinPartitions(*order_exprs)
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .withColumn(
+            "_lr", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1)
+        )
     )
     totals = r0.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_c"),
@@ -875,19 +898,21 @@ def global_running_sums(
             for out in val_exprs
         ],
     )
-    local_w = Window.partitionBy("_pid").orderBy(*order_exprs)
-    run_w = local_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out = r0
-    if row_col is not None:
-        out = out.withColumn("_lr", F.row_number().over(local_w))
-    for name, v in val_exprs.items():
-        out = out.withColumn(f"_run_{name}", F.sum(v).over(run_w))
-        out = out.withColumn(f"_runnn_{name}", F.count(v).over(run_w))
+    if val_exprs:
+        # cumulative sums still need the per-partition ordered window;
+        # _mid is a faithful proxy for the (already sorted) row order,
+        # so ordering by it avoids re-evaluating multi-column sort keys
+        local_w = Window.partitionBy("_pid").orderBy("_mid")
+        run_w = local_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        for name, v in val_exprs.items():
+            out = out.withColumn(f"_run_{name}", F.sum(v).over(run_w))
+            out = out.withColumn(f"_runnn_{name}", F.count(v).over(run_w))
     out = out.join(offsets, "_pid")
     if row_col is not None:
         out = out.withColumn(
             row_col, (F.col("_off_c") + F.col("_lr")).cast("long")
-        ).drop("_lr")
+        )
     for name in val_exprs:
         # NULL iff the global prefix has no non-NULL value; otherwise
         # offset + local running sum with each all-NULL side as 0
@@ -902,7 +927,7 @@ def global_running_sums(
                 + F.coalesce(F.col(f"_run_{name}"), F.lit(0))
             ),
         ).drop(f"_off_{name}", f"_run_{name}", f"_offnn_{name}", f"_runnn_{name}")
-    return out.drop("_pid", "_off_c")
+    return out.drop("_pid", "_off_c", "_mid", "_lr")
 
 
 def _exact_int_div(a, b):

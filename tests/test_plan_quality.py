@@ -525,6 +525,9 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("operators/bloom.py", "bits"):
         "contract: Bloom bit-set, <= m rows by construction",
     ("operators/clustering.py", "cent"): "contract: k centroids",
+    ("operators/clustering.py", "_centroid_candidates(cent)"):
+        "contract: ONE row holding the k-centroid candidate array "
+        "(k x (dim+2) doubles — KBs; the expression-argmin build side)",
     ("operators/dedup.py", "cent"): "contract: k centroids (SemDeDup)",
     ("operators/graph.py", 'nodes.agg(F.count(F.lit(1)).alias("n_nodes"))'):
         "scalar: 1-row node count",
@@ -535,6 +538,19 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("operators/similarity.py", "qe"): "contract: query embeddings",
     ("operators/similarity.py", "q"): "contract: query side (bounded by API)",
     ("operators/similarity.py", "cb"): "contract: m x codes_k PQ codebooks",
+    ("operators/similarity.py", "cands"):
+        "contract: m rows, each holding the codes_k-word candidate "
+        "array for one subspace (m x codes_k x (d+2) doubles — KBs; "
+        "the expression-argmin build side of the PQ Lloyd chain)",
+    ("operators/similarity.py", "_pq_cands_map(cent)"):
+        "contract: ONE row holding {s -> codes_k candidates} — the "
+        "zero-shuffle PQ corpus-encode build side (KBs)",
+    ("operators/similarity.py", "_pq_cands_map(cb)"):
+        "contract: ONE row holding {s -> codes_k candidates} — the "
+        "zero-shuffle IVFADC residual-encode build side (KBs)",
+    ("operators/similarity.py", "_pq_lut_map(lut, codes_k)"):
+        "contract: one row per query holding the m x codes_k ADC LUT "
+        "map — query-dimension-sized, scale-independent of the corpus",
     (
         "operators/similarity.py",
         'cent.withColumnRenamed("cid", "cell")',
@@ -1122,11 +1138,12 @@ def test_hybrid_rrf_batch_pq_compressed_dense_side_plan_shape(spark, sf_dir):
             doc_scan_ids.add(m.group(1))
     assert len(doc_scan_ids) == 2, doc_scan_ids
     assert "CartesianProduct" not in plan
-    # the per-query (s, cid) dot-product LUT reaches the codes via an
-    # equi-join on the subspace/code keys (renders as the join's key
-    # detail lines), never via the raw vectors
-    assert re.search(r"keys \[2\]: \[s#\d+, cid#", plan), (
-        "ADC scoring lost its (s, cid) LUT join"
+    # round-12 shape: ADC scoring is the row-local fold of each row's
+    # m CODES against the broadcast per-query LUT map — the plan must
+    # show the aggregate-over-codes expression (never a shuffle of the
+    # codes or a join against the raw vectors)
+    assert "aggregate(transform(codes" in plan, (
+        "ADC scoring lost its row-local fold over the codes"
     )
 
 
@@ -1155,8 +1172,14 @@ def test_hybrid_rrf_batch_ivfpq_pruned_and_compressed_dense_side(
     assert re.search(r"keys \[1\]: \[cell#", plan), (
         "dense side lost its cell-equi-join pruning"
     )
-    assert re.search(r"keys \[3\]: \[q_id#\d+L?, s#\d+L?, cid#", plan), (
-        "ADC scoring lost its (q_id, s, cid) LUT join"
+    # round-12 shape: the per-query LUT map arrives via a broadcast
+    # q_id equi-join and the residual ADC is the row-local fold of
+    # each candidate's CODES (never a shuffle of the codes)
+    assert re.search(r"keys \[1\]: \[q_id#", plan), (
+        "ADC scoring lost its broadcast q_id LUT-map join"
+    )
+    assert "aggregate(transform(codes" in plan, (
+        "ADC scoring lost its row-local fold over the codes"
     )
 
 
