@@ -37,6 +37,83 @@ def _centroid_candidates(cent: DataFrame) -> DataFrame:
     )
 
 
+def _dot_local(a, b) -> float:
+    """Left-fold dot product — the same IEEE multiply-add order as
+    :func:`..functions.vectors.vec_dot`'s aggregate fold, so a value
+    computed here is bit-identical to the engine's."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _local_candidate_expr(rows: list[tuple[int, list[float]]]):
+    """The [(cid, c, cc)] candidate array as ONE folded LITERAL, for
+    centroids that were trained driver-side (the bounded-sample
+    ``train_limit`` paths) — same struct schema
+    :func:`_centroid_candidates` broadcasts; ``cc`` is the local
+    left-fold dot (bit-identical doubles, see :func:`_dot_local`).
+
+    Delivery is ``from_json`` on a literal STRING: ``from_json`` of a
+    foldable input is foldable, so ConstantFolding collapses the whole
+    thing into a single array Literal before codegen — one reference
+    object, no jobs, no BroadcastExchange per consumer. (A naive
+    ``F.lit(list)`` builds array(lit, lit, …) — thousands of Column
+    objects through py4j and a giant tree through every analyzer /
+    optimizer pass: measured 1.7 s per construction for a 16×16×4
+    codebook vs 0.08 s this way.) Doubles round-trip exactly: Python
+    ``repr`` emits shortest round-trip digits and Jackson parses
+    correctly rounded. The k-centroid relation is KBs by contract."""
+    import json
+
+    payload = json.dumps(
+        [
+            {"cid": int(cid), "c": [float(x) for x in c], "cc": _dot_local(c, c)}
+            for cid, c in rows
+        ]
+    )
+    return F.from_json(
+        F.lit(payload), "array<struct<cid:bigint,c:array<double>,cc:double>>"
+    )
+
+
+def _local_centroid_map(rows: list[tuple[int, list[float]]]):
+    """{cid -> c} as one folded literal MAP (driver-side-trained
+    centroids): consumers fetch a row's own centroid via ``element_at``
+    instead of a broadcast join against the (cid, c) relation — zero
+    jobs, same doubles. Same foldable from_json delivery as
+    :func:`_local_candidate_expr` (map_from_entries of a foldable
+    array is itself foldable)."""
+    import json
+
+    payload = json.dumps(
+        [{"key": int(cid), "value": [float(x) for x in c]} for cid, c in rows]
+    )
+    return F.map_from_entries(
+        F.from_json(
+            F.lit(payload), "array<struct<key:bigint,value:array<double>>>"
+        )
+    )
+
+
+def _local_candidates_rel(spark, rows: list[tuple[int, list[float]]]):
+    """ONE-ROW LocalRelation holding the literal candidate array — the
+    broadcast build side for driver-side-trained centroids. VALUES(1)
+    + a foldable projection optimizes to a LocalRelation, so the
+    BroadcastExchange materializes driver-side with no upstream query
+    (the old build side ran collect_list over the centroid relation —
+    an aggregate job per consumer). Why a broadcast JOIN instead of
+    putting :func:`_local_candidate_expr` straight into the consumer's
+    projection: the join is a CollapseProject BOUNDARY, so the
+    streamed side's derived array columns (unit vectors, residuals)
+    stay materialized once per row — inlined into the per-candidate
+    argmin lambda they re-evaluate per candidate (measured 4× the
+    norm fold per row, ~2.5× the assignment pass)."""
+    return spark.sql("VALUES (1)").select(
+        _local_candidate_expr(rows).alias("cands")
+    )
+
+
 def _scored_struct_array(
     v_col: str = "v", cands_col: str = "cands", vv_col: str | None = None
 ):
@@ -89,11 +166,20 @@ def kmeans_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     shuffle, now zero. Small inputs are spread to core count first
     (see :func:`spread_to_cores` — a no-op at scale) so the
     expression pass parallelizes without the old window's incidental
-    shuffle."""
+    shuffle.
+
+    When ``cent`` was trained driver-side (``_local_rows`` carried by
+    :func:`kmeans_centroids_local`) the candidate array ships as a
+    LITERAL instead of a broadcast — zero jobs (see
+    :func:`_local_candidate_expr`), same doubles."""
     e = spread_to_cores(e)
-    scored = e.withColumn("_vv", vec_dot("v", "v")).crossJoin(
-        F.broadcast(_centroid_candidates(cent))
-    )
+    rows = getattr(cent, "_local_rows", None)
+    base = e.withColumn("_vv", vec_dot("v", "v"))
+    if rows is not None:
+        cands_rel = _local_candidates_rel(e.sparkSession, rows)
+        scored = base.crossJoin(F.broadcast(cands_rel))
+    else:
+        scored = base.crossJoin(F.broadcast(_centroid_candidates(cent)))
     best = F.array_min(_scored_struct_array(vv_col="_vv"))
     return (
         scored.select("vid", "v", best["cid"].alias("cid"))
@@ -116,11 +202,16 @@ def kmeans_assign_topn(e: DataFrame, cent: DataFrame, n: int = 2) -> DataFrame:
     exactly the old window's (dist2, cid) order (NaNs greatest), the
     first ``n`` slots explode to probe_rank 1..n — no Exchange, no
     Sort, no Window. Small inputs spread to core count first (no-op
-    at scale)."""
+    at scale). Driver-side-trained centroids ship as a literal
+    candidate array (zero jobs) — see :func:`kmeans_assign`."""
     e = spread_to_cores(e)
-    scored = e.withColumn("_vv", vec_dot("v", "v")).crossJoin(
-        F.broadcast(_centroid_candidates(cent))
-    )
+    rows = getattr(cent, "_local_rows", None)
+    base = e.withColumn("_vv", vec_dot("v", "v"))
+    if rows is not None:
+        cands_rel = _local_candidates_rel(e.sparkSession, rows)
+        scored = base.crossJoin(F.broadcast(cands_rel))
+    else:
+        scored = base.crossJoin(F.broadcast(_centroid_candidates(cent)))
     ranked = F.slice(F.array_sort(_scored_struct_array(vv_col="_vv")), 1, n)
     return scored.select(
         "vid", "v", F.posexplode(ranked).alias("pos", "sc")
@@ -223,9 +314,19 @@ def kmeans_centroids_local(
     rows.sort(key=lambda t: t[0])
     cent = _lloyd_local(rows, k, iters)
     spark = train.sparkSession
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [(cid, c) for cid, c in cent], schema="cid long, c array<double>"
     )
+    # Consumers that only need the candidate/centroid VALUES read this
+    # and skip the relation entirely (literal expressions, zero jobs);
+    # the DataFrame stays the public return for relational consumers.
+    out._local_rows = cent
+    # The collected training sample itself: lets a downstream trainer
+    # that needs a transform OF THE SAME SAMPLE (IVFADC's residual
+    # codebooks) derive it driver-side instead of paying a second
+    # collect job (see similarity._residual_subs_local).
+    out._train_rows = rows
+    return out
 
 
 def _recompute_centroids(assign: DataFrame) -> DataFrame:

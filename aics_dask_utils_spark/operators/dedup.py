@@ -507,15 +507,20 @@ def connected_components_star(
     orig = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u") != F.col("v")
     )
-    nodes = iter_checkpoint(
-        orig.select("u").union(orig.select(F.col("v").alias("u"))).distinct(),
-        reliable=reliable,
-    )
     # Canonical direction larger -> smaller; the star steps preserve it.
     e = iter_checkpoint(
         orig.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct(),
         reliable=reliable,
     )
+    # Node set = endpoints of the CHECKPOINTED canonical edges (u≠v and
+    # canonicalization preserve endpoints, so this is exactly the raw
+    # pair list's endpoint set). Deriving it from ``e`` instead of
+    # ``orig`` means the upstream pair chain (an LSH banding + verify
+    # pipeline for every dedup caller) executes ONCE — materializing a
+    # separate nodes checkpoint from ``orig`` ran that whole chain a
+    # second time. Consumed once (the final left join), so it needs no
+    # checkpoint of its own.
+    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
 
     def _sig(df: DataFrame):
         # Order-insensitive convergence signature: one tiny aggregate vs

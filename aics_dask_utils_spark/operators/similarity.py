@@ -234,26 +234,162 @@ def _pq_train(
     return cent
 
 
-def _pq_train_local(subs: DataFrame, codes_k: int, iters: int) -> DataFrame:
-    """Driver-side PQ trainer for the BOUNDED ``train_limit`` paths:
-    collect the (vid, s, v) training sub-vector sample (train_limit × m
-    rows — a few hundred KB by contract), run the bit-identical local
-    Lloyd chain per subspace (``operators.clustering._lloyd_local`` —
-    see its exactness notes), and parallelize the (s, cid, c) codebooks
-    back. Replaces ~3 s of per-round shuffle/checkpoint machinery with
-    one collect job; the unbounded path keeps :func:`_pq_train`."""
+def _pq_train_rows(
+    sub_rows: list[tuple[int, int, list[float]]], codes_k: int, iters: int
+) -> list[tuple[int, int, list[float]]]:
+    """Driver-side PQ training core over already-local (vid, s, v)
+    sub-vector rows: the bit-identical local Lloyd chain per subspace
+    (``operators.clustering._lloyd_local`` — see its exactness notes).
+    Returns the (s, cid, c) codebook rows."""
     from .clustering import _lloyd_local
 
     by_s: dict[int, list] = {}
-    for r in subs.select("vid", "s", "v").collect():
-        by_s.setdefault(r[1], []).append((r[0], list(r[2])))
+    for vid, s, v in sub_rows:
+        by_s.setdefault(s, []).append((vid, v))
     out = []
     for s in sorted(by_s):
         grp = sorted(by_s[s], key=lambda t: t[0])
         for cid, c in _lloyd_local(grp, codes_k, iters):
             out.append((s, cid, c))
-    return subs.sparkSession.createDataFrame(
+    return out
+
+
+def _residual_subs_local(
+    trows: list[tuple[int, list[float]]],
+    cent_rows: list[tuple[int, list[float]]],
+    m: int,
+    d: int,
+) -> list[tuple[int, int, list[float]]]:
+    """The IVFADC residual training sample, derived DRIVER-SIDE from
+    the coarse trainer's already-collected (vid, u) sample: assign each
+    sample vector to its nearest trained centroid and slice the
+    residual into m sub-vectors — the same rows the engine pipeline
+    (kmeans_assign → zip_with subtract → posexplode slices → collect)
+    would produce, without the second collect job. Exactness: the
+    argmin is the identical lexicographic (dist2, cid) pick with the
+    identical left-fold dots (see ``clustering._lloyd_local``);
+    residual subtraction and slicing are elementwise IEEE doubles on
+    both sides."""
+    from .clustering import _dot_local
+
+    cands = [(cid, c, _dot_local(c, c)) for cid, c in cent_rows]
+    cmap = {cid: c for cid, c, _ in cands}
+    out = []
+    for vid, v in trows:
+        vv = _dot_local(v, v)
+        best: tuple[float, int] | None = None
+        for cid, c, cc in cands:
+            d2 = vv - 2.0 * _dot_local(v, c) + cc
+            if best is None or (d2, cid) < best:
+                best = (d2, cid)
+        if best is None:
+            continue
+        c = cmap[best[1]]
+        r = [a - b for a, b in zip(v, c)]
+        for si in range(m):
+            out.append((vid, si, r[si * d : (si + 1) * d]))
+    return out
+
+
+def _pq_train_local(subs: DataFrame, codes_k: int, iters: int) -> DataFrame:
+    """Driver-side PQ trainer for the BOUNDED ``train_limit`` paths:
+    collect the (vid, s, v) training sub-vector sample (train_limit × m
+    rows — a few hundred KB by contract), run the bit-identical local
+    Lloyd chain per subspace (:func:`_pq_train_rows`), and parallelize
+    the (s, cid, c) codebooks back. Replaces ~3 s of per-round
+    shuffle/checkpoint machinery with one collect job; the unbounded
+    path keeps :func:`_pq_train`."""
+    rows = [
+        (r[0], r[1], list(r[2])) for r in subs.select("vid", "s", "v").collect()
+    ]
+    out = _pq_train_rows(rows, codes_k, iters)
+    cent = subs.sparkSession.createDataFrame(
         out, schema="s int, cid long, c array<double>"
+    )
+    # Mirrors kmeans_centroids_local: codebook VALUES ride the plan as
+    # literals for expression-level consumers (zero jobs per consumer).
+    cent._local_rows = out
+    return cent
+
+
+def _pq_local_cands_map(rows: list[tuple[int, int, list[float]]]):
+    """{s -> [(cid, c, cc)]} as ONE folded LITERAL map — the
+    driver-side-trained twin of :func:`_pq_cands_map`: same struct
+    schema, same ``cc`` doubles (local left-fold dot, see
+    ``clustering._dot_local``), but ZERO jobs — no groupBy, no
+    map_from_entries aggregate, no BroadcastExchange per consumer.
+    Foldable from_json delivery (see ``clustering._local_candidate_expr``
+    for why naive array literals are ruinously expensive).
+    m × codes_k × (d+2) doubles: KBs by construction."""
+    import json
+
+    from .clustering import _dot_local
+
+    by_s: dict[int, list] = {}
+    for s, cid, c in rows:
+        by_s.setdefault(s, []).append((cid, c))
+    payload = json.dumps(
+        [
+            {
+                "key": int(s),
+                "value": [
+                    {
+                        "cid": int(cid),
+                        "c": [float(x) for x in c],
+                        "cc": _dot_local(c, c),
+                    }
+                    for cid, c in by_s[s]
+                ],
+            }
+            for s in sorted(by_s)
+        ]
+    )
+    return F.map_from_entries(
+        F.from_json(
+            F.lit(payload),
+            "array<struct<key:int,"
+            "value:array<struct<cid:bigint,c:array<double>,cc:double>>>>",
+        )
+    )
+
+
+def _pq_local_cands_rel(spark, rows: list[tuple[int, int, list[float]]]):
+    """ONE-ROW LocalRelation holding the literal codebook map — the
+    broadcast build side for driver-side-trained codebooks (same
+    column name/shape as :func:`_pq_cands_map`, no upstream query, no
+    aggregate job). The broadcast JOIN — rather than inlining the
+    literal into the consumer's projection — is deliberate: the join
+    is a CollapseProject boundary, so the corpus's derived residual /
+    unit-vector columns stay materialized once per row instead of
+    re-evaluating inside the m-way encode lambda (measured 16× the
+    residual computation per row when inlined)."""
+    return spark.sql("VALUES (1)").select(
+        _pq_local_cands_map(rows).alias("cmap")
+    )
+
+
+def _pq_dds_expr(qu_col: str, cmap, m: int, d: int, codes_k: int):
+    """The per-query ADC LUT map {s·codes_k+cid -> dd} computed as ONE
+    expression over the query's unit vector against the literal
+    codebook map ``cmap`` — replaces the explode-to-(q_id,s) + codebook
+    join + groupBy/collect chain that built the same map relationally.
+    dd = ⟨slice(qu, s·d+1, d), codeword⟩ — the identical fold the join
+    formulation produced, so every looked-up double is bit-identical."""
+    return F.map_from_entries(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.element_at(cmap, s.cast("int")),
+                    lambda cd: F.struct(
+                        (s * codes_k + cd["cid"]).cast("int").alias("k"),
+                        vec_dot(
+                            F.slice(F.col(qu_col), s * d + 1, d), cd["c"]
+                        ).alias("dd"),
+                    ),
+                ),
+            )
+        )
     )
 
 
@@ -434,26 +570,43 @@ def pq_topk(
             "vid", F.posexplode(slices).alias("s", "v")
         ).localCheckpoint(eager=False)
         cent = _pq_train(subs, codes_k, iters)
-    enc = e.crossJoin(F.broadcast(_pq_cands_map(cent))).select(
-        "vid", _pq_encode_codes("u", m, d).alias("codes")
-    )
+    # Driver-side-trained codebooks ride the plan as literals: the
+    # corpus encode and the per-query LUT need no codebook relation,
+    # no broadcast exchange, no jobs — only values (same doubles).
+    cb_rows = getattr(cent, "_local_rows", None)
+    if cb_rows is not None:
+        cmap_rel = _pq_local_cands_rel(corpus.sparkSession, cb_rows)
+        enc = e.crossJoin(F.broadcast(cmap_rel)).select(
+            "vid", _pq_encode_codes("u", m, d).alias("codes")
+        )
+    else:
+        enc = e.crossJoin(F.broadcast(_pq_cands_map(cent))).select(
+            "vid", _pq_encode_codes("u", m, d).alias("codes")
+        )
 
     qe = with_unit_vector(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("v0")),
         "v0",
         "qu",
     ).select("q_id", "qu")
-    qslices = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda i: F.slice("qu", i * d + 1, d),
-    )
-    qsub = qe.select("q_id", F.posexplode(qslices).alias("s", "qs"))
-    lut = qsub.join(F.broadcast(cent), "s").select(
-        "q_id", "s", "cid", vec_dot("qs", "c").alias("dd")
-    )
+    if cb_rows is not None:
+        dds_rel = qe.crossJoin(F.broadcast(cmap_rel)).select(
+            "q_id",
+            _pq_dds_expr("qu", F.col("cmap"), m, d, codes_k).alias("dds"),
+        )
+    else:
+        qslices = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.slice("qu", i * d + 1, d),
+        )
+        qsub = qe.select("q_id", F.posexplode(qslices).alias("s", "qs"))
+        lut = qsub.join(F.broadcast(cent), "s").select(
+            "q_id", "s", "cid", vec_dot("qs", "c").alias("dd")
+        )
+        dds_rel = _pq_lut_map(lut, codes_k)
 
     scored_q = (
-        enc.crossJoin(F.broadcast(_pq_lut_map(lut, codes_k)))
+        enc.crossJoin(F.broadcast(dds_rel))
         .where(F.col("vid") != F.col("q_id"))
         .select(
             "q_id", "vid", _pq_adc_score("codes", codes_k).alias("approx_cosine")
@@ -572,11 +725,27 @@ def ivfpq_topk(
         e, "vid", "u", k=k_coarse, iters=coarse_iters, train_limit=train_limit
     )
     assigned = kmeans_assign(e.select("vid", F.col("u").alias("v")), cent)
-    res = assigned.join(F.broadcast(cent), "cid").select(
-        "vid",
-        F.col("cid").alias("cell"),
-        F.zip_with("v", "c", lambda a, b: a - b).alias("r"),
-    )
+    # Driver-side-trained coarse centroids: fetch a row's own centroid
+    # from a literal {cid -> c} map instead of a broadcast join — zero
+    # jobs, same doubles (see clustering._local_centroid_map).
+    cent_rows = getattr(cent, "_local_rows", None)
+    if cent_rows is not None:
+        from .clustering import _local_centroid_map
+
+        _cmap = _local_centroid_map(cent_rows)
+        res = assigned.select(
+            "vid",
+            F.col("cid").alias("cell"),
+            F.zip_with(
+                "v", F.element_at(_cmap, F.col("cid")), lambda a, b: a - b
+            ).alias("r"),
+        )
+    else:
+        res = assigned.join(F.broadcast(cent), "cid").select(
+            "vid",
+            F.col("cid").alias("cell"),
+            F.zip_with("v", "c", lambda a, b: a - b).alias("r"),
+        )
     slices = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda i: F.slice("r", i * d + 1, d),
@@ -585,43 +754,79 @@ def ivfpq_topk(
     # (the corpus encode below is expression-level); bounded samples
     # train driver-side, the unbounded path keeps the distributed loop.
     if train_limit is not None:
-        tsubs = res.where(F.col("vid") < train_limit).select(
-            "vid", F.posexplode(slices).alias("s", "v")
-        )
-        cb = _pq_train_local(tsubs, codes_k, iters)
+        trows = getattr(cent, "_train_rows", None)
+        if trows is not None and cent_rows is not None:
+            # One collect total: the residual training sample is the
+            # coarse trainer's sample transformed driver-side (see
+            # _residual_subs_local) — the second collect job the
+            # engine-side tsubs chain paid is gone.
+            cb = None
+            cb_rows = _pq_train_rows(
+                _residual_subs_local(trows, cent_rows, m, d), codes_k, iters
+            )
+        else:
+            tsubs = res.where(F.col("vid") < train_limit).select(
+                "vid", F.posexplode(slices).alias("s", "v")
+            )
+            cb = _pq_train_local(tsubs, codes_k, iters)
+            cb_rows = cb._local_rows
     else:
         subs = res.select(
             "vid", F.posexplode(slices).alias("s", "v")
         ).localCheckpoint(eager=False)
         cb = _pq_train(subs, codes_k, iters)
-    # zero-shuffle residual encode: (vid, cell, m codes) — see pq_topk
-    enc = res.crossJoin(F.broadcast(_pq_cands_map(cb))).select(
-        "vid", "cell", _pq_encode_codes("r", m, d).alias("codes")
-    )
+        cb_rows = None
+    # zero-shuffle residual encode: (vid, cell, m codes) — see pq_topk;
+    # driver-side-trained codebooks ride the plan as literals.
+    if cb_rows is not None:
+        cmap_rel = _pq_local_cands_rel(corpus.sparkSession, cb_rows)
+        enc = res.crossJoin(F.broadcast(cmap_rel)).select(
+            "vid", "cell", _pq_encode_codes("r", m, d).alias("codes")
+        )
+    else:
+        enc = res.crossJoin(F.broadcast(_pq_cands_map(cb))).select(
+            "vid", "cell", _pq_encode_codes("r", m, d).alias("codes")
+        )
 
     qe = with_unit_vector(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("v0")),
         "v0",
         "qu",
     ).select("q_id", "qu")
-    qslices = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda i: F.slice("qu", i * d + 1, d),
-    )
-    qsub = qe.select("q_id", F.posexplode(qslices).alias("s", "qs"))
-    lut = qsub.join(F.broadcast(cb), "s").select(
-        "q_id", "s", "cid", vec_dot("qs", "c").alias("dd")
-    )
-    probes = (
-        kmeans_assign_topn(
-            qe.select(F.col("q_id").alias("vid"), F.col("qu").alias("v")),
-            cent,
-            n=n_probe,
+    if cb_rows is not None:
+        dds_rel = qe.crossJoin(F.broadcast(cmap_rel)).select(
+            "q_id",
+            _pq_dds_expr("qu", F.col("cmap"), m, d, codes_k).alias("dds"),
         )
-        .select(F.col("vid").alias("q_id"), F.col("cid").alias("cell"), "v")
-        .join(F.broadcast(cent.withColumnRenamed("cid", "cell")), "cell")
-        .select("q_id", "cell", vec_dot("v", "c").alias("qc"))
+    else:
+        qslices = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.slice("qu", i * d + 1, d),
+        )
+        qsub = qe.select("q_id", F.posexplode(qslices).alias("s", "qs"))
+        lut = qsub.join(F.broadcast(cb), "s").select(
+            "q_id", "s", "cid", vec_dot("qs", "c").alias("dd")
+        )
+        dds_rel = _pq_lut_map(lut, codes_k)
+    probes = kmeans_assign_topn(
+        qe.select(F.col("q_id").alias("vid"), F.col("qu").alias("v")),
+        cent,
+        n=n_probe,
     )
+    if cent_rows is not None:
+        probes = probes.select(
+            F.col("vid").alias("q_id"),
+            F.col("cid").alias("cell"),
+            vec_dot("v", F.element_at(_cmap, F.col("cid"))).alias("qc"),
+        )
+    else:
+        probes = (
+            probes.select(
+                F.col("vid").alias("q_id"), F.col("cid").alias("cell"), "v"
+            )
+            .join(F.broadcast(cent.withColumnRenamed("cid", "cell")), "cell")
+            .select("q_id", "cell", vec_dot("v", "c").alias("qc"))
+        )
 
     # candidates = codes of the probed cells: the CELL-EQUI-JOIN against
     # the broadcast probe relation is still the IVF prune (never a
@@ -631,7 +836,7 @@ def ivfpq_topk(
     # same addition order, bit-identical doubles, no scoring shuffle.
     scored_q = (
         enc.join(F.broadcast(probes), "cell")
-        .join(F.broadcast(_pq_lut_map(lut, codes_k)), "q_id")
+        .join(F.broadcast(dds_rel), "q_id")
         .where(F.col("vid") != F.col("q_id"))
         .select(
             "q_id",

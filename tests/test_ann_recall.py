@@ -364,3 +364,52 @@ def test_hybrid_alpha_col_matches_global_weight_where_alphas_agree(
         if r["q_id"] == 0
     }
     assert a0 == w0, a0 ^ w0
+
+
+def test_local_residual_sample_matches_engine_chain(spark, sf_dir):
+    # The round-12 single-collect IVFADC trainer derives the residual
+    # training sample DRIVER-SIDE from the coarse trainer's collected
+    # sample (similarity._residual_subs_local). Pin bit-exact
+    # equivalence against the engine-side chain it replaced
+    # (kmeans_assign -> broadcast centroid fetch -> zip_with subtract
+    # -> posexplode slices) on the real embeddings.
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.functions.vectors import with_unit_vector
+    from aics_dask_utils_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_centroids,
+    )
+    from aics_dask_utils_spark.operators.similarity import (
+        _residual_subs_local,
+    )
+
+    m, d = 16, 4
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = with_unit_vector(
+        emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v0")),
+        "v0",
+        "u",
+    ).select("vid", "u")
+    cent = kmeans_centroids(e, "vid", "u", k=4, iters=2, train_limit=64)
+    assigned = kmeans_assign(e.select("vid", F.col("u").alias("v")), cent)
+    res = assigned.join(F.broadcast(cent), "cid").select(
+        "vid", F.zip_with("v", "c", lambda a, b: a - b).alias("r")
+    )
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.slice("r", i * d + 1, d),
+    )
+    engine = {
+        (r[0], r[1]): list(r[2])
+        for r in res.where(F.col("vid") < 64)
+        .select("vid", F.posexplode(slices).alias("s", "v"))
+        .collect()
+    }
+    local = {
+        (vid, s): v
+        for vid, s, v in _residual_subs_local(
+            cent._train_rows, cent._local_rows, m, d
+        )
+    }
+    assert engine == local  # bit-exact: same keys, same doubles

@@ -172,11 +172,15 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
 
 
 def test_pq_scoring_joins_broadcast_lut(spark, sf_dir):
-    # ADC scoring must join the codes against a BROADCAST LUT — the
-    # corpus-codes relation (the 100 TB side) must not shuffle for the
-    # lookup
+    # ADC scoring must attach the per-query LUT to the codes via a
+    # BROADCAST — the corpus-codes relation (the 100 TB side) must not
+    # shuffle for the lookup. Round 12: the codebooks are literals, so
+    # the only LUT attach left is the broadcast cross join of the
+    # one-row-per-query dds relation (BroadcastNestedLoopJoin); the
+    # old BroadcastHashJoin of the codebook relation is gone entirely.
     plan = _formatted(spark, "ann_topk_pq", sf_dir)
-    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
 
 
 def test_repeated_chunks_single_explode_two_shuffles(spark, sf_dir):
@@ -551,6 +555,18 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
     ("operators/similarity.py", "_pq_lut_map(lut, codes_k)"):
         "contract: one row per query holding the m x codes_k ADC LUT "
         "map — query-dimension-sized, scale-independent of the corpus",
+    ("operators/clustering.py", "cands_rel"):
+        "contract: ONE-ROW LocalRelation of k literal (cid, c, cc) "
+        "candidates (driver-side-trained centroids) — KBs by "
+        "construction, no upstream query",
+    ("operators/similarity.py", "cmap_rel"):
+        "contract: ONE-ROW LocalRelation of the literal {s -> codes_k "
+        "candidates} codebook map (driver-side-trained PQ) — m x "
+        "codes_k x (d+2) doubles, KBs by construction",
+    ("operators/similarity.py", "dds_rel"):
+        "contract: one row per query holding the m x codes_k ADC LUT "
+        "map (literal-codebook or relational build — same relation as "
+        "_pq_lut_map) — query-dimension-sized, corpus-independent",
     (
         "operators/similarity.py",
         'cent.withColumnRenamed("cid", "cell")',
