@@ -185,11 +185,18 @@ def label_propagation(
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("w")
     ).where(F.col("a") != F.col("b"))
+    # Lazy checkpoints throughout (round-12): LPA has NO per-round
+    # action — a fixed iteration count, no convergence probe — so
+    # eager checkpoints spent one materialization job per round. Lazy
+    # marking still truncates the SQL plan per round (the kmeans /
+    # pagerank lesson this loop exists for); the caller's single
+    # action materializes every round's blocks once, in order.
     und = iter_checkpoint(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w")),
         reliable=reliable,
+        eager=False,
     )
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -206,5 +213,6 @@ def label_propagation(
             .where(F.col("rn") == 1)
             .select("node", "label"),
             reliable=reliable,
+            eager=False,
         )
     return labels
