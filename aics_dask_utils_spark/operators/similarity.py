@@ -622,7 +622,7 @@ def pq_topk(
     pq_order = [F.desc("approx_cosine"), F.asc("vid")]
     if refine is None:
         return (
-            grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="rank")
+            grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="rank", bounded_groups=True)
             .where(F.col("rank") <= k)
             .select(
                 "q_id", F.col("vid").alias("neighbor_id"), "approx_cosine", "rank"
@@ -635,7 +635,7 @@ def pq_topk(
     # touches refine x |queries| vectors — thousands, not billions —
     # so recall approaches exact while the scan stays compressed.
     short = (
-        grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="arank")
+        grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="arank", bounded_groups=True)
         .where(F.col("arank") <= refine)
         .select("q_id", "vid")
     )
@@ -646,7 +646,8 @@ def pq_topk(
     )
     return (
         grouped_row_numbers(
-            ref, ["q_id"], [F.desc("cosine"), F.asc("vid")], out_col="rank"
+            ref, ["q_id"], [F.desc("cosine"), F.asc("vid")], out_col="rank",
+            bounded_groups=True,
         )
         .where(F.col("rank") <= k)
         .select("q_id", F.col("vid").alias("neighbor_id"), "cosine", "rank")
@@ -849,14 +850,14 @@ def ivfpq_topk(
     pq_order = [F.desc("approx_cosine"), F.asc("vid")]
     if refine is None:
         return (
-            grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="rank")
+            grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="rank", bounded_groups=True)
             .where(F.col("rank") <= k)
             .select(
                 "q_id", F.col("vid").alias("neighbor_id"), "approx_cosine", "rank"
             )
         )
     short = (
-        grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="arank")
+        grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="arank", bounded_groups=True)
         .where(F.col("arank") <= refine)
         .select("q_id", "vid")
     )
@@ -867,7 +868,8 @@ def ivfpq_topk(
     )
     return (
         grouped_row_numbers(
-            ref, ["q_id"], [F.desc("cosine"), F.asc("vid")], out_col="rank"
+            ref, ["q_id"], [F.desc("cosine"), F.asc("vid")], out_col="rank",
+            bounded_groups=True,
         )
         .where(F.col("rank") <= k)
         .select("q_id", F.col("vid").alias("neighbor_id"), "cosine", "rank")

@@ -29,7 +29,6 @@ went green in round 6).
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -762,6 +761,7 @@ def grouped_row_numbers(
     *,
     num_partitions: int = 32,
     out_col: str = "i",
+    bounded_groups: bool = False,
 ) -> DataFrame:
     """Exact per-group row numbers 1..n_g, distributed — the scale-safe
     replacement for ``row_number().over(Window.partitionBy(g)
@@ -770,31 +770,94 @@ def grouped_row_numbers(
     lint-clean but still funnels |corpus| rows per group through one
     task).
 
-    Formulation: one :func:`global_row_numbers` pass over the composite
-    total order (group columns ascending, then ``order_cols``) — every
-    group's rows are contiguous in the global numbering — then each
-    group's rank is the global number minus the group's offset
-    ``min(i) - 1``, a |groups|-sized aggregate joined back (AQE
-    broadcasts it while it fits; no forced hint, so a high-cardinality
-    group column degrades to a keyed join, not an OOM).
+    Formulation (round-13 one-pass shape, guide §2.4): range-partition
+    + sort on the composite total order (group columns ascending, then
+    ``order_cols``) — every group's rows are CONTIGUOUS both globally
+    and within each range partition — then ONE aggregate over the
+    persisted relation collects, per (partition, group) block, the row
+    count and the first local row. Everything else derives on that
+    tiny (≤ num_partitions + |groups| − 1 row) block relation: the
+    global rows preceding a block are a running count over the
+    (partition, first-row) order, a block's group offset is the min of
+    that running count over its group (contiguity: earlier groups in
+    the same partition are exactly the local rows before the block),
+    and a row's per-group rank is its local row number plus its
+    block's adjustment. One full-data aggregate pass and ONE join
+    against the data (the round-12 shape paid two aggregate passes and
+    two joins, each a full hashpartition Exchange + Sort in the static
+    plan).
+
+    ``bounded_groups=True`` asserts the group dimension is bounded by
+    the CALLER's contract (a fixed query batch, k cells — never a
+    data-proportional column) and broadcast-hints the block relation,
+    removing the final join's full-data Exchange from the static plan.
+    Default False: a high-cardinality group column degrades to a keyed
+    join under AQE, not a forced-broadcast OOM (the r5 lesson).
 
     ``order_cols`` must be total WITHIN each group (unique tiebreak).
     ``group_cols`` are plain column names. Returns ``df`` with
-    ``out_col`` appended (long, 1-based within each group).
+    ``out_col`` appended (long, 1-based within each group). NULL group
+    keys are dropped by the equi-join, as in every prior formulation.
     """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
     composite = [F.asc(c) for c in group_cols] + [
         F.col(c) if isinstance(c, str) else c for c in order_cols
     ]
-    g = global_row_numbers(
-        df, composite, num_partitions=num_partitions, out_col="__gi"
+    r0 = (
+        df.repartitionByRange(num_partitions, *composite)
+        .sortWithinPartitions(*composite)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .withColumn(
+            "_lr", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1)
+        )
     )
-    offsets = g.groupBy(*group_cols).agg(
-        (F.min("__gi") - F.lit(1)).alias("__off")
+    # ONE pass: per-(partition, group) block -> (row count, first local
+    # row). Blocks are contiguous, so the relation has at most
+    # num_partitions + |groups| - 1 rows.
+    gt = r0.groupBy("_pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("_c"), F.min("_lr").alias("_minlr")
     )
+    # Block-relation arithmetic (never touches the data again): a
+    # block's global predecessor count _cum = rows in earlier
+    # partitions (+ earlier groups' rows in this partition = _minlr-1,
+    # by contiguity); a block's group offset is min(_cum) over its
+    # group (its group's FIRST block). The only single-task object is
+    # the <= num_partitions-row per-partition totals (the same bounded
+    # prefix-sum global_running_sums uses); the per-group min runs as
+    # a PARTITIONED window over <= num_partitions blocks per group, so
+    # a data-proportional group column stays distributed.
+    w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    pid_off = (
+        gt.groupBy("_pid")
+        .agg(F.sum("_c").alias("_c"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_c").over(w_pid), F.lit(0)).alias("_off_c"),
+        )
+    )
+    w_grp = Window.partitionBy(*group_cols)
+    adj = (
+        gt.join(F.broadcast(pid_off), "_pid")
+        .withColumn("_cum", F.col("_off_c") + F.col("_minlr") - 1)
+        .withColumn("_goff", F.min("_cum").over(w_grp))
+        .select(
+            "_pid",
+            *group_cols,
+            (F.col("_cum") - F.col("_minlr") + 1 - F.col("_goff")).alias(
+                "_adj"
+            ),
+        )
+    )
+    if bounded_groups:
+        adj = F.broadcast(adj)
     return (
-        g.join(offsets, list(group_cols))
-        .withColumn(out_col, (F.col("__gi") - F.col("__off")).cast("long"))
-        .drop("__gi", "__off")
+        r0.join(adj, ["_pid", *group_cols])
+        .withColumn(out_col, (F.col("_adj") + F.col("_lr")).cast("long"))
+        .drop("_pid", "_mid", "_lr", "_adj")
     )
 
 
@@ -908,7 +971,12 @@ def global_running_sums(
         for name, v in val_exprs.items():
             out = out.withColumn(f"_run_{name}", F.sum(v).over(run_w))
             out = out.withColumn(f"_runnn_{name}", F.count(v).over(run_w))
-    out = out.join(offsets, "_pid")
+    # offsets is <= num_partitions rows BY CONSTRUCTION (one per range
+    # partition) — broadcast-hint it so the attach is never planned as
+    # a full-data Exchange + Sort + SortMergeJoin (guide §3.1: the
+    # planner cannot estimate a Window-over-aggregate subtree; round 13
+    # measured the static plan choosing SMJ here on every rank call).
+    out = out.join(F.broadcast(offsets), "_pid")
     if row_col is not None:
         out = out.withColumn(
             row_col, (F.col("_off_c") + F.col("_lr")).cast("long")

@@ -654,3 +654,34 @@ def test_grouped_row_numbers_partition_count_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_grouped_row_numbers_bounded_groups_identical_and_broadcast(spark):
+    # Round-13 one-pass internals: bounded_groups=True only swaps the
+    # block-relation attach to a broadcast join — the rank VALUES must
+    # be bit-identical to the default path (and to the partitioned
+    # window), and the data-side attach must plan as a broadcast hash
+    # join, never a full-data sort-merge.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aics_dask_utils_spark.operators.stats import grouped_row_numbers
+
+    df = spark.createDataFrame(
+        [(i % 3, (i * 7) % 13, i) for i in range(40)], "g int, v int, id long"
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        (r["g"], r["id"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    ranked = grouped_row_numbers(
+        df, ["g"], [F.desc("v"), F.asc("id")], num_partitions=5,
+        bounded_groups=True,
+    )
+    got = {(r["g"], r["id"]): r["i"] for r in ranked.collect()}
+    assert got == want
+    plan = ranked._sc._jvm.PythonSQLUtils.explainString(
+        ranked._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan, plan
