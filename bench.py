@@ -1,7 +1,9 @@
 """Benchmark harness: headline plans at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints the FULL record JSON line (per-query maps), then a compact
-summary as the FINAL stdout line:
+Prints the FULL record JSON line (per-query maps), then a top-N
+per-query line (round-13: the driver's tail capture gets real
+per-query signal — see ``_topn_line``), then a compact summary as the
+FINAL stdout line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "isolated_total_sec": N, "isolated_groups_skipped": 0,
    "isolated_rotation": R, "isolated_n_groups": 11, "n_queries": N,
@@ -409,19 +411,46 @@ def _compact_summary(rec: dict) -> dict:
     return out
 
 
+#: How many of the most expensive queries ride the top-N line below.
+TOPN = 12
+
+
+def _topn_line(rec: dict) -> dict:
+    """Round-13 repair (r12 VERDICT What's-wrong #1 / Next-round #2):
+    the driver's 2000-char tail capture never sees the full per-query
+    maps, so PERF_r12 had ``per_query={}`` and a null geomean. This
+    SECOND compact line — printed immediately before the final scalar
+    summary so both fit the tail together — carries the top-``TOPN``
+    most expensive queries of each pass (the ones any perf adjudication
+    is about; sub-second tail queries are flap-dominated anyway). The
+    final line's contract is unchanged; this line only ADDS surviving
+    per-query signal."""
+    out: dict = {"metric": "headline_queries_topn", "n_top": TOPN}
+    for key in ("queries", "queries_isolated"):
+        if rec.get(key):
+            top = sorted(rec[key].items(), key=lambda kv: -kv[1])[:TOPN]
+            out[key] = {n: round(s, 3) for n, s in top}
+    return out
+
+
 #: Where the full per-query record lands every run (committed per
-#: round as docs/bench_r{N}_local.json).
+#: round as docs/bench_r{N}_local.json). The driver runs the bench at
+#: MORE THAN ONE core count (32 then 8) and the second run used to
+#: overwrite the first's per-query record — the per-CPU twin below
+#: keeps every core count's full record (r12 VERDICT What's-wrong #1).
 _FULL_RECORD_PATH = "docs/bench_full_latest.json"
+_FULL_RECORD_CPU_PATH = f"docs/bench_full_c{CPUS}.json"
 
 
 def _write_full_record(rec: dict) -> None:
-    try:
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), _FULL_RECORD_PATH)
-        with open(path, "w") as f:
-            json.dump(rec, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError as e:  # never fail the bench over the side-file
-        print(f"could not write {_FULL_RECORD_PATH}: {e}", file=sys.stderr)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for rel in (_FULL_RECORD_PATH, _FULL_RECORD_CPU_PATH):
+        try:
+            with open(os.path.join(here, rel), "w") as f:
+                json.dump(rec, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as e:  # never fail the bench over a side-file
+            print(f"could not write {rel}: {e}", file=sys.stderr)
 
 
 def _emit_partial_and_exit(signum, frame):  # pragma: no cover - signal path
@@ -430,6 +459,7 @@ def _emit_partial_and_exit(signum, frame):  # pragma: no cover - signal path
         rec["partial"] = True
         _write_full_record(rec)
         sys.stdout.write("\n" + json.dumps(rec) + "\n")
+        sys.stdout.write(json.dumps(_topn_line(rec)) + "\n")
         # compact summary LAST so the driver's tail capture parses it
         sys.stdout.write(json.dumps(_compact_summary(rec)) + "\n")
         sys.stdout.flush()
@@ -526,6 +556,10 @@ def main() -> None:
     _LIVE.update(out)
     _write_full_record(out)
     print(json.dumps(out))
+    # Top-N per-query line just above the final summary so real
+    # per-query signal survives the driver's 2000-char tail capture
+    # (round-13 repair; see _topn_line).
+    print(json.dumps(_topn_line(out)))
     # Compact summary as the FINAL line — the one the driver's 2000-char
     # tail capture actually parses (round-9 repair; see module docstring).
     print(json.dumps(_compact_summary(out)))
