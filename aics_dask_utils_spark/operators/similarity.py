@@ -622,7 +622,7 @@ def pq_topk(
     pq_order = [F.desc("approx_cosine"), F.asc("vid")]
     if refine is None:
         return (
-            grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="rank", bounded_groups=True)
+            grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="rank")
             .where(F.col("rank") <= k)
             .select(
                 "q_id", F.col("vid").alias("neighbor_id"), "approx_cosine", "rank"
@@ -635,7 +635,7 @@ def pq_topk(
     # touches refine x |queries| vectors — thousands, not billions —
     # so recall approaches exact while the scan stays compressed.
     short = (
-        grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="arank", bounded_groups=True)
+        grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="arank")
         .where(F.col("arank") <= refine)
         .select("q_id", "vid")
     )
@@ -646,8 +646,7 @@ def pq_topk(
     )
     return (
         grouped_row_numbers(
-            ref, ["q_id"], [F.desc("cosine"), F.asc("vid")], out_col="rank",
-            bounded_groups=True,
+            ref, ["q_id"], [F.desc("cosine"), F.asc("vid")], out_col="rank"
         )
         .where(F.col("rank") <= k)
         .select("q_id", F.col("vid").alias("neighbor_id"), "cosine", "rank")
@@ -850,14 +849,14 @@ def ivfpq_topk(
     pq_order = [F.desc("approx_cosine"), F.asc("vid")]
     if refine is None:
         return (
-            grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="rank", bounded_groups=True)
+            grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="rank")
             .where(F.col("rank") <= k)
             .select(
                 "q_id", F.col("vid").alias("neighbor_id"), "approx_cosine", "rank"
             )
         )
     short = (
-        grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="arank", bounded_groups=True)
+        grouped_row_numbers(scored_q, ["q_id"], pq_order, out_col="arank")
         .where(F.col("arank") <= refine)
         .select("q_id", "vid")
     )
@@ -868,8 +867,7 @@ def ivfpq_topk(
     )
     return (
         grouped_row_numbers(
-            ref, ["q_id"], [F.desc("cosine"), F.asc("vid")], out_col="rank",
-            bounded_groups=True,
+            ref, ["q_id"], [F.desc("cosine"), F.asc("vid")], out_col="rank"
         )
         .where(F.col("rank") <= k)
         .select("q_id", F.col("vid").alias("neighbor_id"), "cosine", "rank")

@@ -761,7 +761,6 @@ def grouped_row_numbers(
     *,
     num_partitions: int = 32,
     out_col: str = "i",
-    bounded_groups: bool = False,
 ) -> DataFrame:
     """Exact per-group row numbers 1..n_g, distributed — the scale-safe
     replacement for ``row_number().over(Window.partitionBy(g)
@@ -787,12 +786,16 @@ def grouped_row_numbers(
     two joins, each a full hashpartition Exchange + Sort in the static
     plan).
 
-    ``bounded_groups=True`` asserts the group dimension is bounded by
-    the CALLER's contract (a fixed query batch, k cells — never a
-    data-proportional column) and broadcast-hints the block relation,
-    removing the final join's full-data Exchange from the static plan.
-    Default False: a high-cardinality group column degrades to a keyed
-    join under AQE, not a forced-broadcast OOM (the r5 lesson).
+    The block-relation attach is deliberately UNHINTED (measured,
+    round 13): forcing ``F.broadcast`` on it (and on the per-partition
+    offsets) made every hybrid consumer ~10% SLOWER at sf0.1 in the
+    bench's own isolated protocol — each BroadcastExchange is a
+    blocking driver-collect job whose upstream chain must finish
+    before the probe side can even be scheduled, while AQE overlaps
+    both sides' map stages and converts the join to a runtime
+    broadcast anyway (the block relation is tiny at any scale). The
+    residual cost AQE leaves is one map-side shuffle write of the
+    ranked relation, overlapped with the block-side work.
 
     ``order_cols`` must be total WITHIN each group (unique tiebreak).
     ``group_cols`` are plain column names. Returns ``df`` with
@@ -841,7 +844,7 @@ def grouped_row_numbers(
     )
     w_grp = Window.partitionBy(*group_cols)
     adj = (
-        gt.join(F.broadcast(pid_off), "_pid")
+        gt.join(pid_off, "_pid")
         .withColumn("_cum", F.col("_off_c") + F.col("_minlr") - 1)
         .withColumn("_goff", F.min("_cum").over(w_grp))
         .select(
@@ -852,8 +855,6 @@ def grouped_row_numbers(
             ),
         )
     )
-    if bounded_groups:
-        adj = F.broadcast(adj)
     return (
         r0.join(adj, ["_pid", *group_cols])
         .withColumn(out_col, (F.col("_adj") + F.col("_lr")).cast("long"))
@@ -971,12 +972,15 @@ def global_running_sums(
         for name, v in val_exprs.items():
             out = out.withColumn(f"_run_{name}", F.sum(v).over(run_w))
             out = out.withColumn(f"_runnn_{name}", F.count(v).over(run_w))
-    # offsets is <= num_partitions rows BY CONSTRUCTION (one per range
-    # partition) — broadcast-hint it so the attach is never planned as
-    # a full-data Exchange + Sort + SortMergeJoin (guide §3.1: the
-    # planner cannot estimate a Window-over-aggregate subtree; round 13
-    # measured the static plan choosing SMJ here on every rank call).
-    out = out.join(F.broadcast(offsets), "_pid")
+    # No broadcast hint on offsets (measured, round 13): it is
+    # <= num_partitions rows by construction, but forcing the hint made
+    # every chained-rank consumer ~0.3-0.5 s SLOWER at sf0.1
+    # (events_rfm_segments probes 1.3 -> 1.7 s): the BroadcastExchange
+    # serializes a driver collect per rank call, while AQE already
+    # converts the unhinted join to a broadcast with a local shuffle
+    # read at runtime. The GROUPED rank path broadcasts its (provably
+    # tiny) block relations instead — see grouped_row_numbers.
+    out = out.join(offsets, "_pid")
     if row_col is not None:
         out = out.withColumn(
             row_col, (F.col("_off_c") + F.col("_lr")).cast("long")

@@ -837,7 +837,7 @@ def search_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bm = T.bm25_scores_multi(docs, _RRF_QUERIES)
     lex = grouped_row_numbers(
-        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex", bounded_groups=True
+        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex"
     ).select("q_id", "doc_id", "r_lex")
 
     emb = with_unit_vector(
@@ -850,7 +850,7 @@ def search_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine", vec_dot("__u", "__qu")
     )
     vec = grouped_row_numbers(
-        scored, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], out_col="r_vec", bounded_groups=True
+        scored, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], out_col="r_vec"
     ).select("q_id", F.col("vec_id").alias("doc_id"), "r_vec")
 
     fused = lex.join(vec, ["q_id", "doc_id"], "full").withColumn(
@@ -859,7 +859,7 @@ def search_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)),
     )
     top = grouped_row_numbers(
-        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk", bounded_groups=True
+        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk"
     )
     return (
         top.where(F.col("__rk") <= 5)
@@ -1000,7 +1000,7 @@ def search_hybrid_rrf_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bm = T.bm25_scores_multi(docs, _RRF_QUERIES)
     lex = grouped_row_numbers(
-        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex", bounded_groups=True
+        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex"
     ).select("q_id", "doc_id", "r_lex")
 
     from .clustering import _TRAIN_N
@@ -1038,7 +1038,7 @@ def search_hybrid_rrf_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", vec_dot("qu", "cu"))
     )
     vec = grouped_row_numbers(
-        cand, ["q_id"], [F.desc("cosine"), F.asc("doc_id")], out_col="r_vec", bounded_groups=True
+        cand, ["q_id"], [F.desc("cosine"), F.asc("doc_id")], out_col="r_vec"
     ).select("q_id", "doc_id", "r_vec")
 
     fused = lex.join(vec, ["q_id", "doc_id"], "full").withColumn(
@@ -1047,7 +1047,7 @@ def search_hybrid_rrf_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)),
     )
     top = grouped_row_numbers(
-        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk", bounded_groups=True
+        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk"
     )
     return (
         top.where(F.col("__rk") <= 5)
@@ -1160,7 +1160,7 @@ def search_hybrid_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bm = T.bm25_scores_multi(docs, _RRF_QUERIES)
     lex = grouped_row_numbers(
-        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex", bounded_groups=True
+        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex"
     ).select("q_id", "doc_id", "r_lex")
 
     emb = with_unit_vector(
@@ -1173,7 +1173,7 @@ def search_hybrid_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine", vec_dot("__u", "__qu")
     )
     vec = grouped_row_numbers(
-        scored, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], out_col="r_vec", bounded_groups=True
+        scored, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], out_col="r_vec"
     ).select("q_id", F.col("vec_id").alias("doc_id"), "r_vec")
 
     fused = lex.join(vec, ["q_id", "doc_id"], "full").withColumn(
@@ -1184,7 +1184,7 @@ def search_hybrid_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)),
     )
     top = grouped_row_numbers(
-        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk", bounded_groups=True
+        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk"
     )
     return (
         top.where(F.col("__rk") <= 5)
@@ -1313,7 +1313,7 @@ def search_hybrid_rrf_batch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bm = T.bm25_scores_multi(docs, _RRF_QUERIES)
     lex = grouped_row_numbers(
-        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex", bounded_groups=True
+        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex"
     ).select("q_id", "doc_id", "r_lex")
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1339,7 +1339,7 @@ def search_hybrid_rrf_batch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)),
     )
     top = grouped_row_numbers(
-        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk", bounded_groups=True
+        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk"
     )
     return (
         top.where(F.col("__rk") <= 5)
@@ -1412,7 +1412,7 @@ def _lex_spark_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bm = T.bm25_scores_multi(docs, _RRF_QUERIES)
     return grouped_row_numbers(
-        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex", bounded_groups=True
+        bm, ["q_id"], [F.desc("bm25"), F.asc("doc_id")], out_col="r_lex"
     ).select("q_id", "doc_id", "r_lex")
 
 
@@ -1428,7 +1428,7 @@ def _rrf_fuse_top5(lex: DataFrame, vec: DataFrame) -> DataFrame:
         + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)),
     )
     top = grouped_row_numbers(
-        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk", bounded_groups=True
+        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk"
     )
     return (
         top.where(F.col("__rk") <= 5)
@@ -1615,7 +1615,7 @@ def search_hybrid_rrf_alpha_col(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine", vec_dot("__u", "__qu")
     )
     vec = grouped_row_numbers(
-        scored, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], out_col="r_vec", bounded_groups=True
+        scored, ["q_id"], [F.desc("cosine"), F.asc("vec_id")], out_col="r_vec"
     ).select("q_id", F.col("vec_id").alias("doc_id"), "r_vec")
 
     alpha = spark.createDataFrame(
@@ -1633,7 +1633,7 @@ def search_hybrid_rrf_alpha_col(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top = grouped_row_numbers(
-        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk", bounded_groups=True
+        fused, ["q_id"], [F.desc("rrf"), F.asc("doc_id")], out_col="__rk"
     )
     return (
         top.where(F.col("__rk") <= 5)

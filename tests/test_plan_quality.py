@@ -576,19 +576,6 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], str] = {
         "probes",
     ): "contract: n_probe x |queries| probe relation (IVFADC cell prune)",
     ("operators/stats.py", "base"): "scalar: one baseline-variant row",
-    ("operators/stats.py", "offsets"):
-        "contract: per-range-partition prefix offsets — "
-        "<= num_partitions rows by construction (the two-phase "
-        "rank/prefix-sum's own totals relation)",
-    ("operators/stats.py", "pid_off"):
-        "contract: per-range-partition prefix offsets — "
-        "<= num_partitions rows by construction (grouped-rank block "
-        "arithmetic)",
-    ("operators/stats.py", "adj"):
-        "contract: gated on bounded_groups=True — the CALLER asserts "
-        "the group dimension is bounded (a fixed query batch / k "
-        "cells), making the block relation <= num_partitions + "
-        "|groups| - 1 rows; the default leaves the join unhinted",
     ("operators/stats.py", "gmax"):
         "scalar: 1-row global max timestamp (Kaplan-Meier censor edge)",
     ("operators/stats.py", "side"):

@@ -656,32 +656,30 @@ def test_grouped_row_numbers_partition_count_invariant(spark):
     assert a == b
 
 
-def test_grouped_row_numbers_bounded_groups_identical_and_broadcast(spark):
-    # Round-13 one-pass internals: bounded_groups=True only swaps the
-    # block-relation attach to a broadcast join — the rank VALUES must
-    # be bit-identical to the default path (and to the partitioned
-    # window), and the data-side attach must plan as a broadcast hash
-    # join, never a full-data sort-merge.
+def test_grouped_row_numbers_spanning_blocks_match_window(spark):
+    # Round-13 one-pass internals: the per-(partition, group) block
+    # arithmetic must reproduce the partitioned window exactly when
+    # groups SPAN range partitions (num_partitions >> groups forces
+    # every group across several partition boundaries) and when many
+    # groups share one partition (num_partitions=1).
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from aics_dask_utils_spark.operators.stats import grouped_row_numbers
 
     df = spark.createDataFrame(
-        [(i % 3, (i * 7) % 13, i) for i in range(40)], "g int, v int, id long"
+        [(i % 3, (i * 7) % 13, i) for i in range(60)], "g int, v int, id long"
     )
     w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
     want = {
         (r["g"], r["id"]): r["rn"]
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
-    ranked = grouped_row_numbers(
-        df, ["g"], [F.desc("v"), F.asc("id")], num_partitions=5,
-        bounded_groups=True,
-    )
-    got = {(r["g"], r["id"]): r["i"] for r in ranked.collect()}
-    assert got == want
-    plan = ranked._sc._jvm.PythonSQLUtils.explainString(
-        ranked._jdf.queryExecution(), "formatted"
-    )
-    assert "SortMergeJoin" not in plan, plan
+    for n_parts in (1, 17):
+        got = {
+            (r["g"], r["id"]): r["i"]
+            for r in grouped_row_numbers(
+                df, ["g"], [F.desc("v"), F.asc("id")], num_partitions=n_parts
+            ).collect()
+        }
+        assert got == want, n_parts
