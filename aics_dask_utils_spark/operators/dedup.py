@@ -544,12 +544,18 @@ def connected_components_star(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", "u").alias("m"))
         )
+        # No distinct here (round-13, guide §2.4): both consumers are
+        # duplicate-insensitive — mins2 is a MIN aggregate and small's
+        # own trailing distinct collapses the join fan-out — so the
+        # edge SET (and the round signature, computed after that
+        # distinct) is identical while each round pays one less full
+        # (u, v) Exchange. The duplicate volume this leaves in flight
+        # is exactly what the removed distinct used to shuffle.
         large = (
             und.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star over the (larger -> smaller) edges: connect each
         # smaller neighbor and u itself to u's minimum.

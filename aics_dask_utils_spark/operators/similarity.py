@@ -502,6 +502,7 @@ def pq_topk(
     n_dims: int = 64,
     refine: int | None = None,
     train_limit: int | None = None,
+    truncate_shortlist: bool = False,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011) with asymmetric
     distance computation, fully deterministic. With ``refine=N`` the
@@ -639,6 +640,23 @@ def pq_topk(
         .where(F.col("arank") <= refine)
         .select("q_id", "vid")
     )
+    if truncate_shortlist:
+        # Lazy localCheckpoint (round 13, guide §3.3): the shortlist is
+        # refine × |queries| rows BY CONSTRUCTION (150 here — tiny at
+        # any scale), but its lineage carries the whole compressed-
+        # domain scoring tree (broadcast codebooks, the m-way encode
+        # expression, the ADC rank machinery). Truncating here stops
+        # every downstream consumer from re-embedding that tree —
+        # measured 2.42M -> 0.57M plan chars / 2926 -> 686 Exchanges /
+        # 7.4 -> 6.1 s isolated on search_hybrid_rrf_batch_ivfpq,
+        # oracle-identical — so the deep HYBRID consumers (two more
+        # rank passes + the fuse above this shortlist) opt in. The
+        # standalone ANN plans leave it off: with only the exact
+        # re-rank downstream, the same boundary MEASURED ~0.6-1 s
+        # SLOWER (ann_topk_ivfpq isolated 2.4-4.1 -> 4.0-4.7 s) — the
+        # extra materialization job buys no construct savings there.
+        # AQE/stat loss at the LogicalRDD is irrelevant for 150 rows.
+        short = short.localCheckpoint(eager=False)
     ref = (
         short.join(e, "vid")
         .join(F.broadcast(qe), "q_id")
@@ -668,6 +686,7 @@ def ivfpq_topk(
     n_dims: int = 64,
     refine: int | None = None,
     train_limit: int | None = None,
+    truncate_shortlist: bool = False,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011; FAISS IndexIVFPQ): coarse cell
     pruning + product quantization of the RESIDUALS — the composition
@@ -860,6 +879,23 @@ def ivfpq_topk(
         .where(F.col("arank") <= refine)
         .select("q_id", "vid")
     )
+    if truncate_shortlist:
+        # Lazy localCheckpoint (round 13, guide §3.3): the shortlist is
+        # refine × |queries| rows BY CONSTRUCTION (150 here — tiny at
+        # any scale), but its lineage carries the whole compressed-
+        # domain scoring tree (broadcast codebooks, the m-way encode
+        # expression, the ADC rank machinery). Truncating here stops
+        # every downstream consumer from re-embedding that tree —
+        # measured 2.42M -> 0.57M plan chars / 2926 -> 686 Exchanges /
+        # 7.4 -> 6.1 s isolated on search_hybrid_rrf_batch_ivfpq,
+        # oracle-identical — so the deep HYBRID consumers (two more
+        # rank passes + the fuse above this shortlist) opt in. The
+        # standalone ANN plans leave it off: with only the exact
+        # re-rank downstream, the same boundary MEASURED ~0.6-1 s
+        # SLOWER (ann_topk_ivfpq isolated 2.4-4.1 -> 4.0-4.7 s) — the
+        # extra materialization job buys no construct savings there.
+        # AQE/stat loss at the LogicalRDD is irrelevant for 150 rows.
+        short = short.localCheckpoint(eager=False)
     ref = (
         short.join(e, "vid")
         .join(F.broadcast(qe), "q_id")

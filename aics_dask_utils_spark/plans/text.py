@@ -1325,7 +1325,7 @@ def search_hybrid_rrf_batch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = pq_topk(
         emb, queries, "vec_id", "embedding",
         m=16, codes_k=16, iters=2, k=50, n_dims=64, refine=50,
-        train_limit=_TRAIN_N,
+        train_limit=_TRAIN_N, truncate_shortlist=True,
     )
     vec = dense.select(
         F.col("q_id").cast("int").alias("q_id"),
@@ -1516,7 +1516,7 @@ def search_hybrid_rrf_batch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame
         emb, queries, "vec_id", "embedding",
         k_coarse=4, coarse_iters=2, n_probe=2,
         m=16, codes_k=16, iters=2, k=50, n_dims=64, refine=50,
-        train_limit=_TRAIN_N,
+        train_limit=_TRAIN_N, truncate_shortlist=True,
     )
     vec = dense.select(
         F.col("q_id").cast("int").alias("q_id"),
