@@ -26,6 +26,19 @@ from pyspark.sql import functions as F
 from ..functions.vectors import as_double_array, vec_dot
 
 
+#: Driver-side-training gate (r12 ADVICE): the ``train_limit`` bounded
+#: paths collect the sample and run pure-Python Lloyd on the driver —
+#: a clear win for the few-hundred-row samples the plans use, but the
+#: same knob is documented as the FAISS ~1M-vector recipe, where the
+#: collect is GBs of Python objects and the local loop is ~10^10 ops.
+#: Above this row bound the bounded sample keeps training in the
+#: RETAINED distributed Lloyd loop instead (identical values — the
+#: local/distributed equivalence is pinned in tests/test_ann_recall.py).
+#: 4096 rows x 64 dims collects ~2 MB and local-trains in well under a
+#: second; scale the bound only with a measurement.
+LOCAL_TRAIN_MAX = 4096
+
+
 def _centroid_candidates(cent: DataFrame) -> DataFrame:
     """Collapse the (cid, c) centroid relation into ONE row holding the
     candidate array [(cid, c, cc)] with cc = ⟨c,c⟩ precomputed — the
@@ -135,6 +148,17 @@ def _scored_struct_array(
     )
 
 
+#: Memoized spread decisions, keyed on (session id, semantic plan
+#: hash): ``df.rdd`` forces physical planning (~50 ms per fresh
+#: DataFrame, 2-3 calls per hybrid plan construction — r12 ADVICE), so
+#: the partition count of a semantically identical plan is computed
+#: once per session. The cached value is a PERFORMANCE hint only —
+#: results never depend on partitioning — so a stale entry (files
+#: changed under the same plan) can cost a repartition, never a wrong
+#: row. Bounded: cleared wholesale if it ever grows past 256 plans.
+_SPREAD_CACHE: dict[tuple[int, int], int] = {}
+
+
 def spread_to_cores(df: DataFrame) -> DataFrame:
     """Round-robin repartition to ``defaultParallelism`` — ONLY when
     the relation arrives with fewer partitions (guide §2.5 "input
@@ -146,7 +170,14 @@ def spread_to_cores(df: DataFrame) -> DataFrame:
     100 TB design point; results never depend on partitioning."""
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    key = (id(df.sparkSession), df.semanticHash())
+    got = _SPREAD_CACHE.get(key)
+    if got is None:
+        if len(_SPREAD_CACHE) > 256:
+            _SPREAD_CACHE.clear()
+        got = df.rdd.getNumPartitions()
+        _SPREAD_CACHE[key] = got
+    if got < n:
         return df.repartition(n)
     return df
 
@@ -272,14 +303,20 @@ def _lloyd_local(
         agg: dict[int, list] = {}
         for vid, v in rows:
             vv = dot(v, v)
-            best: tuple[float, int] | None = None
+            best: tuple[int, float, int] | None = None
             for cid, c, cc in cands:
                 d2 = vv - 2.0 * dot(v, c) + cc
-                if best is None or (d2, cid) < best:
-                    best = (d2, cid)
+                # NaN-greatest ordering key, matching the engine's
+                # struct comparator exactly (r12 ADVICE): a bare
+                # (d2, cid) tuple never displaces a NaN best because
+                # every NaN comparison is False in Python, whereas the
+                # engine sorts NaN greatest and ties NaN==NaN by cid.
+                key = (1, 0.0, cid) if d2 != d2 else (0, d2, cid)
+                if best is None or key < best:
+                    best = key
             if best is None:
                 continue
-            slot = agg.setdefault(best[1], [0, None])
+            slot = agg.setdefault(best[2], [0, None])
             slot[0] += 1
             if slot[1] is None:
                 slot[1] = [Decimal(repr(x)).quantize(q12, ROUND_HALF_UP) for x in v]
@@ -305,7 +342,8 @@ def kmeans_centroids_local(
     train: DataFrame, k: int, iters: int
 ) -> DataFrame:
     """Driver-side trainer entry: collect the BOUNDED (vid, v) training
-    relation (the ``vid < train_limit`` sample — KBs by contract), run
+    relation (the ``vid < train_limit`` sample; callers gate this path
+    on ``LOCAL_TRAIN_MAX``, so the collect is a few MB at most), run
     :func:`_lloyd_local`, and parallelize the k centroids back as a
     (cid, c) relation. One collect job replaces ~3 s of per-round
     shuffle/checkpoint machinery; float values round-trip exactly
@@ -377,7 +415,7 @@ def kmeans_centroids(
     loop."""
     e = df.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v"))
     train = e.where(F.col("vid") < train_limit) if train_limit is not None else e
-    if train_limit is not None:
+    if train_limit is not None and train_limit <= LOCAL_TRAIN_MAX:
         return kmeans_centroids_local(train, k, iters)
     cent = train.where(F.col("vid") < k).select(
         F.col("vid").alias("cid"), F.col("v").alias("c")

@@ -196,7 +196,13 @@ def label_propagation(
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w")),
         reliable=reliable,
-        eager=False,
+        # reliable=True keeps EAGER: checkpoint(eager=False) only marks
+        # the last RDD and recomputes the chain at the first action
+        # (checkpointAllMarkedAncestors is off by default), silently
+        # losing the per-round lineage cut fault tolerance exists for
+        # (r12 ADVICE). The lazy optimization applies to the
+        # localCheckpoint path only.
+        eager=reliable,
     )
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -213,6 +219,6 @@ def label_propagation(
             .where(F.col("rn") == 1)
             .select("node", "label"),
             reliable=reliable,
-            eager=False,
+            eager=reliable,  # see the und checkpoint note above
         )
     return labels

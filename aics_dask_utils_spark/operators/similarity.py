@@ -277,14 +277,16 @@ def _residual_subs_local(
     out = []
     for vid, v in trows:
         vv = _dot_local(v, v)
-        best: tuple[float, int] | None = None
+        best: tuple[int, float, int] | None = None
         for cid, c, cc in cands:
             d2 = vv - 2.0 * _dot_local(v, c) + cc
-            if best is None or (d2, cid) < best:
-                best = (d2, cid)
+            # NaN-greatest key — same comparator note as _lloyd_local
+            key = (1, 0.0, cid) if d2 != d2 else (0, d2, cid)
+            if best is None or key < best:
+                best = key
         if best is None:
             continue
-        c = cmap[best[1]]
+        c = cmap[best[2]]
         r = [a - b for a, b in zip(v, c)]
         for si in range(m):
             out.append((vid, si, r[si * d : (si + 1) * d]))
@@ -294,7 +296,10 @@ def _residual_subs_local(
 def _pq_train_local(subs: DataFrame, codes_k: int, iters: int) -> DataFrame:
     """Driver-side PQ trainer for the BOUNDED ``train_limit`` paths:
     collect the (vid, s, v) training sub-vector sample (train_limit × m
-    rows — a few hundred KB by contract), run the bit-identical local
+    rows — callers gate this path on ``clustering.LOCAL_TRAIN_MAX``, so
+    the collect is a few MB at most, never the FAISS ~1M-vector design
+    point, which falls back to the distributed loop), run the
+    bit-identical local
     Lloyd chain per subspace (:func:`_pq_train_rows`), and parallelize
     the (s, cid, c) codebooks back. Replaces ~3 s of per-round
     shuffle/checkpoint machinery with one collect job; the unbounded
@@ -561,16 +566,21 @@ def pq_topk(
     # Only the TRAINING sample explodes to sub-vector rows now (the
     # corpus encode below is expression-level); checkpoint it once so
     # the explode+normalize never re-executes across Lloyd rounds.
-    if train_limit is not None:
+    from .clustering import LOCAL_TRAIN_MAX
+
+    if train_limit is not None and train_limit <= LOCAL_TRAIN_MAX:
         tsubs = e.where(F.col("vid") < train_limit).select(
             "vid", F.posexplode(slices).alias("s", "v")
         )
         cent = _pq_train_local(tsubs, codes_k, iters)
     else:
+        # train_limit above the driver-side gate (or unbounded): the
+        # RETAINED distributed Lloyd chain trains on the (possibly
+        # filtered) sample — identical values (see LOCAL_TRAIN_MAX).
         subs = e.select(
             "vid", F.posexplode(slices).alias("s", "v")
         ).localCheckpoint(eager=False)
-        cent = _pq_train(subs, codes_k, iters)
+        cent = _pq_train(subs, codes_k, iters, train_limit)
     # Driver-side-trained codebooks ride the plan as literals: the
     # corpus encode and the per-query LUT need no codebook relation,
     # no broadcast exchange, no jobs — only values (same doubles).
@@ -772,7 +782,9 @@ def ivfpq_topk(
     # Only the TRAINING sample explodes to residual sub-vector rows
     # (the corpus encode below is expression-level); bounded samples
     # train driver-side, the unbounded path keeps the distributed loop.
-    if train_limit is not None:
+    from .clustering import LOCAL_TRAIN_MAX
+
+    if train_limit is not None and train_limit <= LOCAL_TRAIN_MAX:
         trows = getattr(cent, "_train_rows", None)
         if trows is not None and cent_rows is not None:
             # One collect total: the residual training sample is the
@@ -790,10 +802,13 @@ def ivfpq_topk(
             cb = _pq_train_local(tsubs, codes_k, iters)
             cb_rows = cb._local_rows
     else:
+        # above the driver-side gate (or unbounded): distributed Lloyd
+        # over the (possibly filtered) residual sample — see
+        # clustering.LOCAL_TRAIN_MAX for the why and the equivalence.
         subs = res.select(
             "vid", F.posexplode(slices).alias("s", "v")
         ).localCheckpoint(eager=False)
-        cb = _pq_train(subs, codes_k, iters)
+        cb = _pq_train(subs, codes_k, iters, train_limit)
         cb_rows = None
     # zero-shuffle residual encode: (vid, cell, m codes) — see pq_topk;
     # driver-side-trained codebooks ride the plan as literals.

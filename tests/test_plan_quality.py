@@ -1154,13 +1154,33 @@ def test_hybrid_rrf_batch_pq_compressed_dense_side_plan_shape(spark, sf_dir):
             doc_scan_ids.add(m.group(1))
     assert len(doc_scan_ids) == 2, doc_scan_ids
     assert "CartesianProduct" not in plan
-    # round-12 shape: ADC scoring is the row-local fold of each row's
-    # m CODES against the broadcast per-query LUT map — the plan must
-    # show the aggregate-over-codes expression (never a shuffle of the
-    # codes or a join against the raw vectors)
-    assert "aggregate(transform(codes" in plan, (
+    # round-13: the hybrid truncates the refine-shortlist lineage (see
+    # similarity.pq_topk truncate_shortlist), so the compressed-domain
+    # internals live BEHIND a LogicalRDD boundary in the final plan —
+    # the boundary itself must be present...
+    assert "ExistingRDD" in plan, "shortlist truncation boundary missing"
+    # ...and the round-12 compressed-scoring contract is pinned on the
+    # dense side's own (untruncated) plan: ADC scoring is the row-local
+    # fold of each row's m CODES against the broadcast per-query LUT
+    # map — never a shuffle of the codes or a join on the raw vectors.
+    from aics_dask_utils_spark.operators.similarity import pq_topk
+    from aics_dask_utils_spark.plans.clustering import _TRAIN_N
+    from aics_dask_utils_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = pq_topk(
+        emb, emb.where(F.col("vec_id") < 3), "vec_id", "embedding",
+        m=16, codes_k=16, iters=2, k=50, n_dims=64, refine=50,
+        train_limit=_TRAIN_N,
+    )
+    dplan = dense._sc._jvm.PythonSQLUtils.explainString(
+        dense._jdf.queryExecution(), "formatted"
+    )
+    assert "aggregate(transform(codes" in dplan, (
         "ADC scoring lost its row-local fold over the codes"
     )
+    assert "CartesianProduct" not in dplan
 
 
 def test_hybrid_rrf_batch_ivfpq_pruned_and_compressed_dense_side(
@@ -1185,18 +1205,41 @@ def test_hybrid_rrf_batch_ivfpq_pruned_and_compressed_dense_side(
             doc_scan_ids.add(m.group(1))
     assert len(doc_scan_ids) == 2, doc_scan_ids
     assert "CartesianProduct" not in plan
-    assert re.search(r"keys \[1\]: \[cell#", plan), (
+    # round-13: the refine-shortlist lineage is truncated (see
+    # similarity.ivfpq_topk truncate_shortlist), so the pruned +
+    # compressed internals live behind a LogicalRDD boundary — the
+    # boundary must be present in the final plan...
+    assert "ExistingRDD" in plan, "shortlist truncation boundary missing"
+    # ...and the cell-pruning + compressed-scoring contracts are pinned
+    # on the dense side's own (untruncated) plan: candidates reach the
+    # scorer through the broadcast cell equi-join, the per-query LUT
+    # map through a broadcast q_id equi-join, and the residual ADC is
+    # the row-local fold of each candidate's CODES.
+    from aics_dask_utils_spark.operators.similarity import ivfpq_topk
+    from aics_dask_utils_spark.plans.clustering import _TRAIN_N
+    from aics_dask_utils_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 3), "vec_id", "embedding",
+        k_coarse=4, coarse_iters=2, n_probe=2,
+        m=16, codes_k=16, iters=2, k=50, n_dims=64, refine=50,
+        train_limit=_TRAIN_N,
+    )
+    dplan = dense._sc._jvm.PythonSQLUtils.explainString(
+        dense._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"keys \[1\]: \[cell#", dplan), (
         "dense side lost its cell-equi-join pruning"
     )
-    # round-12 shape: the per-query LUT map arrives via a broadcast
-    # q_id equi-join and the residual ADC is the row-local fold of
-    # each candidate's CODES (never a shuffle of the codes)
-    assert re.search(r"keys \[1\]: \[q_id#", plan), (
+    assert re.search(r"keys \[1\]: \[q_id#", dplan), (
         "ADC scoring lost its broadcast q_id LUT-map join"
     )
-    assert "aggregate(transform(codes" in plan, (
+    assert "aggregate(transform(codes" in dplan, (
         "ADC scoring lost its row-local fold over the codes"
     )
+    assert "CartesianProduct" not in dplan
 
 
 def test_hybrid_rrf_alpha_col_plan_shape(spark, sf_dir):
