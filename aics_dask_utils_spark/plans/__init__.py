@@ -60,124 +60,117 @@ def register(
 # ``queries()`` yields them and has only ever reached the FIRST 50.
 # ``PRIORITY_WINDOW`` pins that order deliberately, re-cut each round:
 #
-# Round-12 cut. The rotation keeps paying the attestation-age debt,
-# oldest round first then name (recomputed from CORRECTNESS_r01–r11;
-# docs/attestation_age_r12.md — r11 cleared the round-4 tail and 34
-# of the 39 round-5 names):
+# Round-13 cut (optimization round — NO plan's declared semantics
+# changed; every optimization is oracle-hash-verified value-identical
+# at sf0.001/sf0.01 and the full registry re-sweeps at sf0.1, see
+# docs/sweep_r13_strict_final.log):
 #
-#   slots 1-11 (must-attest: the three r12 additions + every plan
-#   whose plan code or oracle SQL changed in round 12 — verified by
-#   an oracle-string diff against the r11 HEAD):
-#     search_hybrid_rrf_batch_ivfpq — NEW (IVFADC dense side for the
-#       batched hybrid RRF: candidates are the residual-PQ codes of
-#       each query's 2 probed coarse cells, ADC top-50 shortlist,
-#       exact re-rank — cell-pruned AND code-compressed, the full
-#       IndexIVFPQ retrieval story; plan shape + recall floor pinned;
-#       pre-validated at 3 SFs);
-#     search_hybrid_rrf_alpha_col — NEW (per-query fusion weights AS
-#       DATA: a broadcast (q_id, alpha) relation instead of a plan
-#       literal — zero new scan shape; pre-validated at 3 SFs);
-#     pipeline_retention_materialize — NEW (retention-suite EXECUTOR:
-#       provenance-policy winner set materialized as a
-#       source-partitioned parquet corpus, read back and aggregated —
-#       the hash match proves the on-disk artifact equals the logical
-#       winner set; pre-validated at 3 SFs);
-#     ann_topk_pq / ann_topk_pq_refine / ann_topk_ivfpq /
-#     ann_topk_learned_ivf / ann_topk_multiprobe /
-#     search_hybrid_rrf_batch_ann / search_hybrid_rrf_batch_pq —
-#       code + oracle change (r11-verdict item 1): quantizer training
-#       (PQ Lloyd chain and coarse k-means) now bounded to a
-#       deterministic vid<512 sample, mirrored into the oracle CTEs;
-#       full-corpus assignment/encode unchanged. Bit-identical at
-#       sf<=0.01 (500 vectors), re-validated vs oracle at all 3 SFs;
-#     search_hybrid_rrf_weighted — oracle-only change (r11 ADVICE):
-#       the interpolated alpha literals are now CAST(... AS DOUBLE)
-#       so cross-engine bit-identity doesn't ride on DuckDB's
-#       decimal-literal typing.
-#   slots 12-16: the 5 remaining round-5-attested names (the oldest
-#     green rows left).
-#   slots 17-45: the full round-6-attested block (29 names).
-#   slots 46-50: the 5 alphabetically-first round-7-attested names.
+#   slots 1-13 (must-attest: every plan sitting on this round's
+#   optimized operator paths, so the driver itself attests the
+#   riskiest diffs):
+#     search_hybrid_rrf_batch / _weighted / _alpha_col /
+#     _batch_ann / _batch_pq / _batch_ivfpq — the one-pass
+#       grouped-rank machinery (operators/stats.py) under every rank
+#       pass, plus the refine-shortlist lineage truncation in the two
+#       compressed dense sides (operators/similarity.py);
+#     ann_topk_pq / ann_topk_pq_refine / ann_topk_ivfpq — same rank
+#       machinery + the NaN-greatest local-argmin key and the
+#       LOCAL_TRAIN_MAX trainer gate (values identical by
+#       construction; the gate only reroutes >4096-row samples to the
+#       retained distributed loop);
+#     dedup_keep_best_scored / pipeline_retention_materialize /
+#     pipeline_dedup_card — the connected-components large-star
+#       distinct removal (set-identical by construction) + the r12
+#       verdict's dedup-card adjudication item;
+#     graph_label_propagation — the reliable-path checkpoint
+#       eagerness fix (the registry plan uses the localCheckpoint
+#       path, unchanged, but the operator file changed).
+#   slots 14-50: the 37 alphabetically-first of the 39 remaining
+#     round-7-attested names (attestation-age debt, oldest round
+#     first then name, per docs/attestation_age_r13.md; the two
+#     names past the cut — text_tfidf_top_terms,
+#     text_unigram_lm_score — stay covered by the committed
+#     full-registry sf0.1 sweep).
 #
 # Slots 51+: every remaining plan (all driver-attested, all ever-
 # green) in registration order. ``WINDOW_CRITICAL`` below is guard-
 # tested to sit inside the first 50.
 # ---------------------------------------------------------------------------
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # -- slots 1-11: must-attest (new plans + r12 code/oracle changes) --
-    "search_hybrid_rrf_batch_ivfpq",
+    # -- slots 1-13: must-attest (r13 optimized operator paths) --
+    "search_hybrid_rrf_batch",
+    "search_hybrid_rrf_weighted",
     "search_hybrid_rrf_alpha_col",
-    "pipeline_retention_materialize",
+    "search_hybrid_rrf_batch_ann",
+    "search_hybrid_rrf_batch_pq",
+    "search_hybrid_rrf_batch_ivfpq",
     "ann_topk_pq",
     "ann_topk_pq_refine",
     "ann_topk_ivfpq",
-    "ann_topk_learned_ivf",
-    "ann_topk_multiprobe",
-    "search_hybrid_rrf_batch_ann",
-    "search_hybrid_rrf_batch_pq",
-    "search_hybrid_rrf_weighted",
-    # -- slots 12-16: round-5-attested residue (the last 5) --
-    "text_normalize_nfc",
-    "text_quality_calibrated",
-    "text_token_stats",
-    "text_top_bigrams",
-    "window_trailing_range",
-    # -- slots 17-45: the round-6-attested block (all 29) --
-    "agg_argminmax",
-    "agg_cube",
-    "agg_frequent_pairs",
-    "agg_grouping_sets",
-    "agg_histogram",
-    "agg_mode_median",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_stats",
-    "agg_unpivot",
-    "dedup_components_star",
-    "dedup_embedding_components",
-    "dedup_embedding_cosine",
-    "dedup_minhash_components",
-    "dedup_minhash_lsh",
-    "dedup_semantic_clusters",
-    "global_topn",
-    "join_full_outer",
-    "join_interval_bucketed",
-    "join_theta",
-    "pipeline_clean_corpus",
-    "q11_important_values",
-    "q13_order_distribution",
-    "q1_pricing_summary",
-    "q22_dormant_customers",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "scalar_math",
-    "sql_entry_point",
-    # -- slots 46-50: oldest round-7-attested residue (first 5) --
-    "agg_benford_prices",
-    "agg_mutual_info",
-    "dedup_edit_distance",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
+    "dedup_keep_best_scored",
+    "pipeline_retention_materialize",
+    "pipeline_dedup_card",
+    "graph_label_propagation",
+    # -- slots 14-50: round-7-attested block (first 37 of 39) --
+    "events_autocorrelation",
+    "events_calibration_bins",
+    "events_chi2_independence",
+    "events_classifier_eval",
+    "events_kruskal_wallis",
+    "events_mann_whitney",
+    "events_resample_ffill",
+    "events_retention",
+    "events_survival_km",
+    "events_value_drift",
+    "events_welch_ttest",
+    "graph_pagerank_nations",
+    "graph_triangle_counts",
+    "pipeline_quality_checks",
+    "pipeline_source_caps",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_or_pushdown",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_balance_langs",
+    "sample_temperature_mix",
+    "stream_static_join_exec",
+    "text_bigram_lm_score",
+    "text_bm25_search",
+    "text_decontaminate",
+    "text_exact_substring_ranges",
 )
 
 #: Names that MUST occupy one of the first 50 (driver-checked) slots
-#: this round: the round-12 additions and every plan whose operator
-#: code, plan code, or oracle SQL changed in round 12 (rationale per
-#: name: the slots 1-11 block of the PRIORITY_WINDOW comment above).
-#: Guard-tested in tests/test_plan_quality.py so a slot can never
-#: silently slip below the window cut.
+#: this round: every plan sitting on a round-13 optimized operator
+#: path (rationale per name: the slots 1-13 block of the
+#: PRIORITY_WINDOW comment above). Guard-tested in
+#: tests/test_plan_quality.py so a slot can never silently slip below
+#: the window cut.
 WINDOW_CRITICAL: frozenset[str] = frozenset({
-    "search_hybrid_rrf_batch_ivfpq",
+    "search_hybrid_rrf_batch",
+    "search_hybrid_rrf_weighted",
     "search_hybrid_rrf_alpha_col",
-    "pipeline_retention_materialize",
+    "search_hybrid_rrf_batch_ann",
+    "search_hybrid_rrf_batch_pq",
+    "search_hybrid_rrf_batch_ivfpq",
     "ann_topk_pq",
     "ann_topk_pq_refine",
     "ann_topk_ivfpq",
-    "ann_topk_learned_ivf",
-    "ann_topk_multiprobe",
-    "search_hybrid_rrf_batch_ann",
-    "search_hybrid_rrf_batch_pq",
-    "search_hybrid_rrf_weighted",
+    "dedup_keep_best_scored",
+    "pipeline_retention_materialize",
+    "pipeline_dedup_card",
+    "graph_label_propagation",
 })
 
 
